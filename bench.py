@@ -1,0 +1,70 @@
+"""Benchmark runner: the declared query suite at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "declared_suite_total", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md §2): wall-clock sec/query on local[$SPARK_GRAFT_CPUS],
+AQE on, one warm-up of the flagship query to absorb JVM/codegen start-up;
+each query is executed with a count()-style full materialization so the
+whole plan runs, but rows never collect to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.session import get_spark
+
+    spark = get_spark("cdl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    specs["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        start = time.perf_counter()
+        try:
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1614 @@
+"""Declared relational operator suite (SURVEY.md §2.2-§2.8).
+
+The reference's effective operator surface is "any SQL DataFusion 41
+accepts" (the passthrough at reference crates/cdl-fs/src/lib.rs:78-81 plus
+the expression feature flags in its Cargo.toml:59-69). Each spec here
+declares one capability row with a Spark implementation (DataFrame API for
+plan-shaped operators, spark.sql for SQL-syntax surface) and the DuckDB
+oracle SQL. Semantics traps (NULL order, fp association, type widening,
+dialect drift) are resolved per FIXTURES.md canonicalization rules — see
+inline notes on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connected_data_lake_spark.plans import query
+from connected_data_lake_spark.sources.tables import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str, tables: tuple[str, ...]) -> DataFrame:
+    register_views(spark, sf_dir, tables)
+    return spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filter / projection (P1-P8, S1-S2) + flagship aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                           AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                      AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                           AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                      AS avg_price,
+           ROUND(AVG(l_discount), 6)                           AS avg_disc,
+           COUNT(*)                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: scan→filter→hash-agg→sort.
+
+    Scale notes: partial aggregation happens map-side automatically; the
+    shuffle carries only |returnflag × linestatus| groups per partition.
+    Filter + column pruning reach the parquet scan (verified via explain).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.expr("l_shipdate <= CAST('1998-09-01' AS TIMESTAMP_NTZ)"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 6) AS disc_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scan", "filter"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown + projection pruning (reference P3-P6 shapes).
+
+    Per-row arithmetic on stored doubles is bitwise-identical across
+    engines, so only the explicit ROUND is needed for hash stability.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.expr(
+                "l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+                " AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)"
+            )
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("disc_revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "agg_sum_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 25
+    """,
+    tags=("agg", "scan"),
+)
+def agg_sum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped global aggregate (single-row result)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.expr(
+            "l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)"
+            " AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+        )
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT fuses to TakeOrderedAndProject (no global sort) —
+    SURVEY §2.6 O4. Unique tiebreak (o_orderkey) makes the top-k stable."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    tags=("sort", "limit"),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET support (SURVEY §2.6 O5; Spark 3.4+)."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10",
+        ("orders",),
+    )
+
+
+@query(
+    "orderby_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, bal
+    FROM t
+    ORDER BY bal DESC NULLS FIRST, c_custkey
+    LIMIT 40
+    """,
+    tags=("sort",),
+)
+def orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL ordering (engine defaults differ — SURVEY §2.6 O2)."""
+    cust = _t(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    return t.orderBy(F.col("bal").desc_nulls_first(), F.col("c_custkey")).limit(40)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, dimension side broadcast (J1).
+
+    At 100 TB the customer dim is small relative to the orders fact —
+    broadcasting avoids shuffling the fact table entirely.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_multiway_q5",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: fact × 4 dims, all dims broadcast (J1 at
+    scale: one shuffle-free pass over lineitem after broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)"
+            " AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)"
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (J2)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nkey FROM supplier)
+    SELECT COALESCE(cn.nkey, sn.nkey) AS nkey,
+           (cn.nkey IS NOT NULL) AS has_customer,
+           (sn.nkey IS NOT NULL) AS has_supplier
+    FROM cn FULL OUTER JOIN sn ON cn.nkey = sn.nkey
+    ORDER BY nkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NULL fill on both sides (J2)."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey")).distinct()
+    joined = cn.alias("cn").join(sn.alias("sn"), F.col("cn.nkey") == F.col("sn.nkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("cn.nkey"), F.col("sn.nkey")).alias("nkey"),
+        F.col("cn.nkey").isNotNull().alias("has_customer"),
+        F.col("sn.nkey").isNotNull().alias("has_supplier"),
+    ).orderBy("nkey")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join = EXISTS (J3)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = NOT EXISTS (J4; declared as NOT EXISTS, never
+    NOT IN, to dodge the NULL-semantics trap). The subquery filter keeps
+    the result non-trivial at every scale factor."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product on two tiny dims (J5)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.p_brand AS brand, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    GROUP BY a.p_brand
+    ORDER BY brand
+    """,
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality (theta) self-join (J6). The equi-key (p_brand) keeps it a
+    hash join with a residual range predicate — never a full BNLJ."""
+    a = _t(spark, sf_dir, "part").alias("a")
+    b = _t(spark, sf_dir, "part").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_size") < F.col("b.p_size")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("brand")
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("join", "subquery"),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (J7)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "subquery"),
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (J7; subquery side has no NULLs by construction)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        ORDER BY c_custkey
+        """,
+        ("customer", "orders"),
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT c_custkey
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    tags=("join", "subquery"),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (J7) — decorrelates to a semi join in Catalyst."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+        """,
+        ("customer", "orders"),
+    )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    ORDER BY c_custkey
+    """,
+    tags=("join", "subquery"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (J7); NULL for customers without orders."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        ORDER BY c_custkey
+        """,
+        ("customer", "orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_stats",
+    oracle="""
+    SELECT COUNT(*)                                   AS n_rows,
+           COUNT(DISTINCT l_suppkey)                  AS n_supp,
+           ROUND(SUM(l_quantity), 2)                  AS sum_qty,
+           ROUND(AVG(l_extendedprice), 6)             AS avg_price,
+           MIN(l_extendedprice)                       AS min_price,
+           MAX(l_extendedprice)                       AS max_price,
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship,
+           CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT/COUNT DISTINCT/SUM/AVG/MIN/MAX (A1-A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").cast("date").cast("string").alias("first_ship"),
+        F.max("l_shipdate").cast("date").cast("string").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_group_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) per group (A2) — Spark expands distinct
+    aggregates; AQE handles the extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+            F.count_distinct(F.col("l_partkey")).alias("n_part"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stddev_var",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp,
+           ROUND(STDDEV_POP(l_quantity), 6)  AS sd_pop,
+           ROUND(VAR_SAMP(l_quantity), 6)    AS v_samp,
+           ROUND(VAR_POP(l_quantity), 6)     AS v_pop
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (A3), fp-tolerant via in-query rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
+            F.round(F.var_samp("l_quantity"), 6).alias("v_samp"),
+            F.round(F.var_pop("l_quantity"), 6).alias("v_pop"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS corr_qp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_samp,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)  AS cov_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORR / COVAR (A4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_samp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS p25_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (A7's exact cousin — approx variants are never
+    hash-compared). Spark percentile() and DuckDB quantile_cont() both use
+    linear interpolation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() (A8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (A8)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A8)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        ("lineitem",),
+    )
+
+
+@query(
+    "agg_filter_having",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 10
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_filter_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) clause + HAVING (A9, A10)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        HAVING COUNT(*) > 10
+        ORDER BY l_returnflag
+        """,
+        ("lineitem",),
+    )
+
+
+@query(
+    "agg_array_sorted",
+    oracle="""
+    SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    tags=("agg", "array"),
+)
+def agg_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG with order pinned via array_sort (A6 — collect order is
+    nondeterministic in every engine, so it's always sorted before compare)."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-level DISTINCT (A11)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_row_number",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+      FROM customer) t
+    WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+    tags=("window",),
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ROW_NUMBER (W1). Unique order key (tiebreak on
+    c_custkey) makes assignment deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           CAST(RANK()       OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+    ORDER BY p_brand, p_size DESC, p_partkey
+    """,
+    tags=("window",),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK/DENSE_RANK with real ties (integer p_size) (W1)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    ).orderBy("p_brand", F.col("p_size").desc(), "p_partkey")
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - LAG(o_totalprice) OVER w, 6)  AS delta_prev,
+           ROUND(LEAD(o_totalprice, 1, 0.0) OVER w, 6)        AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD with default (W2)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w), 6).alias("next_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over explicit ROWS frame (W4, W5)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_sliding_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (W5)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_ntile_pct",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INT)      AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)   AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)      AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST (W1). Global window — fine for a
+    declared semantics test; large-scale ranking partitions by key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey)  OVER w AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE with the frame spelled out (W3 — the default
+    frame ends at CURRENT ROW, which makes LAST_VALUE a trap; never rely
+    on it)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_close
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key (W5). RANGE includes peers, so
+    ties in o_totalprice don't break determinism."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               COUNT(*) OVER (
+                 ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_close
+        FROM orders
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_custkey AS key, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+    ORDER BY src, key
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (DSL union == UNION ALL)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("key"))
+        .withColumn("src", F.lit("customer"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("key"))
+        .withColumn("src", F.lit("supplier"))
+    )
+    return cust.union(supp).orderBy("src", "key")
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    UNION
+    SELECT s_nationkey AS nkey FROM supplier
+    ORDER BY nkey
+    """,
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return cn.union(sn).distinct().orderBy("nkey")
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nkey FROM supplier
+    ORDER BY nkey
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return cn.intersect(sn).orderBy("nkey")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nkey FROM supplier
+    ORDER BY nkey
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return cn.subtract(sn).orderBy("nkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                    AS up,
+           LOWER(p_brand)                   AS lo,
+           SUBSTR(p_name, 1, 8)             AS sub,
+           CAST(LENGTH(p_name) AS INT)      AS len_name,
+           REPLACE(p_type, 'O', '0')        AS rep,
+           CONCAT_WS('|', p_brand, p_type)  AS cw,
+           p_brand || '/' || p_type         AS cat,
+           SPLIT_PART(p_name, ' ', 1)       AS first_word,
+           LPAD(p_brand, 12, '*')           AS lp,
+           RPAD(p_brand, 12, '.')           AS rp,
+           TRIM('  ' || p_brand || ' ')     AS trimmed,
+           REVERSE(p_name)                  AS rev,
+           LEFT(p_name, 3)                  AS l3,
+           RIGHT(p_name, 3)                 AS r3,
+           REPEAT(LEFT(p_brand, 2), 3)      AS rep3,
+           TRANSLATE(p_name, 'aeiou', 'AEIOU') AS tr,
+           CAST(INSTR(p_name, 'widget') AS INT) AS pos_widget
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (§2.8 string_expressions)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               UPPER(p_name)                    AS up,
+               LOWER(p_brand)                   AS lo,
+               SUBSTR(p_name, 1, 8)             AS sub,
+               LENGTH(p_name)                   AS len_name,
+               REPLACE(p_type, 'O', '0')        AS rep,
+               CONCAT_WS('|', p_brand, p_type)  AS cw,
+               p_brand || '/' || p_type         AS cat,
+               SPLIT_PART(p_name, ' ', 1)       AS first_word,
+               LPAD(p_brand, 12, '*')           AS lp,
+               RPAD(p_brand, 12, '.')           AS rp,
+               TRIM('  ' || p_brand || ' ')     AS trimmed,
+               REVERSE(p_name)                  AS rev,
+               LEFT(p_name, 3)                  AS l3,
+               RIGHT(p_name, 3)                 AS r3,
+               REPEAT(LEFT(p_brand, 2), 3)      AS rep3,
+               TRANSLATE(p_name, 'aeiou', 'AEIOU') AS tr,
+               INSTR(p_name, 'widget')          AS pos_widget
+        FROM part
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_unicode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(LEVENSHTEIN(p_brand, 'Brand#13') AS INT) AS lev,
+           CAST(ASCII(p_name) AS INT)                    AS first_cp,
+           CHR(65 + p_size % 26)                         AS ch,
+           CAST(LENGTH(p_name) AS INT)                   AS clen
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode family: levenshtein / ascii / chr / char_length (§2.8)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               LEVENSHTEIN(p_brand, 'Brand#13')  AS lev,
+               ASCII(p_name)                     AS first_cp,
+               CHAR(65 + p_size % 26)            AS ch,
+               CHAR_LENGTH(p_name)               AS clen
+        FROM part
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g')        AS novowel,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1)             AS first_word,
+           REGEXP_MATCHES(p_name, '^[a-m]')                  AS starts_am,
+           REGEXP_REPLACE(p_type, '[A-Z]{2}', 'XX', 'g')     AS masked
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "regex"),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family on POSIX-safe patterns only (Java vs RE2 dialects agree
+    on classes, anchors, bounded repeats — no lookaheads, no \\d shorthand).
+    NOTE: Spark regexp_replace replaces ALL matches; DuckDB needs the 'g'
+    flag to match that."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               REGEXP_REPLACE(p_name, '[aeiou]', '')   AS novowel,
+               REGEXP_EXTRACT(p_name, '([a-z]+)', 1)   AS first_word,
+               p_name RLIKE '^[a-m]'                   AS starts_am,
+               REGEXP_REPLACE(p_type, '[A-Z]{2}', 'XX') AS masked
+        FROM part
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                         AS absdiff,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)         AS ceil7,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_k,
+           ROUND(SQRT(l_extendedprice), 6)                AS sq,
+           ROUND(POWER(l_quantity, 2.0), 6)               AS pw,
+           ROUND(LN(l_extendedprice), 6)                  AS ln_p,
+           ROUND(LOG10(l_extendedprice), 6)               AS log10_p,
+           ROUND(EXP(l_discount), 6)                      AS exp_d,
+           ROUND(SIN(l_quantity), 6)                      AS sin_q,
+           ROUND(ATAN2(l_quantity, 3.0), 6)               AS at2,
+           CAST(SIGN(l_discount - 0.05) AS INT)           AS sgn,
+           l_orderkey % 7                                 AS mod7,
+           GREATEST(l_quantity, l_discount * 100)         AS gr,
+           LEAST(l_quantity, l_discount * 100)            AS ls
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (§2.8). libm-backed functions rounded to 1e-6; exact ops
+    (abs/ceil/floor/sign/mod) compared raw with type-width casts (Spark
+    CEIL(double)->BIGINT vs DuckDB ->DOUBLE)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05)                          AS absdiff,
+               CAST(CEIL(l_quantity / 7.0) AS BIGINT)          AS ceil7,
+               CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_k,
+               ROUND(SQRT(l_extendedprice), 6)                 AS sq,
+               ROUND(POWER(l_quantity, 2.0D), 6)               AS pw,
+               ROUND(LN(l_extendedprice), 6)                   AS ln_p,
+               ROUND(LOG10(l_extendedprice), 6)                AS log10_p,
+               ROUND(EXP(l_discount), 6)                       AS exp_d,
+               ROUND(SIN(l_quantity), 6)                       AS sin_q,
+               ROUND(ATAN2(l_quantity, 3.0D), 6)               AS at2,
+               CAST(SIGNUM(l_discount - 0.05) AS INT)          AS sgn,
+               l_orderkey % 7                                  AS mod7,
+               GREATEST(l_quantity, l_discount * 100)          AS gr,
+               LEAST(l_quantity, l_discount * 100)             AS ls
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        ("lineitem",),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS trunc_month,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)                AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)               AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT)                 AS dy,
+           CAST(QUARTER(o_orderdate) AS INT)                          AS qtr,
+           CAST(DATE_DIFF('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT)          AS days_since,
+           STRFTIME(o_orderdate, '%Y-%m')                             AS ym,
+           CAST(MAKE_DATE(2020, 1 + CAST(o_orderkey % 12 AS INT), 15) AS VARCHAR) AS md,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)            AS plus30,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR)       AS eom
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (§2.8): trunc/extract/diff/format/make_date.
+    Formatting dialects differ (Spark 'yyyy-MM' vs strftime '%Y-%m') — each
+    side spells its own pattern, outputs are identical strings. Calendar
+    outputs are projected as strings: pandas/arrow round-trips disagree on
+    DATE representation between engines, strings never do."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS STRING) AS trunc_month,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)            AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)           AS mo,
+               CAST(EXTRACT(DAY FROM o_orderdate) AS INT)             AS dy,
+               CAST(QUARTER(o_orderdate) AS INT)                      AS qtr,
+               DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since,
+               DATE_FORMAT(o_orderdate, 'yyyy-MM')                    AS ym,
+               CAST(MAKE_DATE(2020, 1 + CAST(o_orderkey % 12 AS INT), 15) AS STRING) AS md,
+               CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) AS STRING) AS plus30,
+               CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS STRING)    AS eom
+        FROM orders
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "fn_date_bin",
+    oracle="""
+    SELECT (epoch_us(ts) // 600000000) * 600 AS bucket_s,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("scalar", "datetime", "events"),
+)
+def fn_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_bin emulation (SURVEY §2.8 datetime note): fixed-width 10-minute
+    buckets via integer epoch arithmetic — the declared emulated form.
+    Integer DIV (not float division): int64 epochs exceed double mantissa."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.expr("(ts_us DIV 600000000) * 600").alias("bucket_s"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("bucket_s")
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           MD5(c_name)    AS h_md5,
+           SHA256(c_name) AS h_sha256
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "crypto"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto digests (§2.8 crypto_expressions) — lowercase hex on both."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_encoding",
+    oracle="""
+    SELECT c_custkey,
+           BASE64(ENCODE(c_name))              AS b64,
+           DECODE(FROM_BASE64(BASE64(ENCODE(c_name)))) AS rt,
+           HEX(ENCODE(c_name))                 AS hx
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "encoding"),
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64/hex encode-decode roundtrip (§2.8 encoding_expressions)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               BASE64(CAST(c_name AS BINARY))                        AS b64,
+               CAST(UNBASE64(BASE64(CAST(c_name AS BINARY))) AS STRING) AS rt,
+               HEX(c_name)                                           AS hx
+        FROM customer
+        ORDER BY c_custkey
+        """,
+        ("customer",),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT p_partkey,
+           [p_size, p_size * 2, 1]                                    AS arr,
+           LIST_CONTAINS([1, 5, 10], p_size % 11)                     AS has_sz,
+           CAST(LEN(GENERATE_SERIES(1, 1 + p_size % 5)) AS INT)       AS seq_len,
+           GENERATE_SERIES(1, 1 + p_size % 5)[2]                      AS second,
+           LIST_SORT([p_size % 7, p_size % 3, p_size % 5])            AS sorted3,
+           ARRAY_TO_STRING([p_brand, p_type], '/')                    AS joined,
+           GENERATE_SERIES(1, 1 + p_size % 5)[1:2]                    AS first2,
+           LIST_SORT(LIST_DISTINCT([1, p_size % 3, 1, p_size % 3]))   AS dedup,
+           FLATTEN([[1, 2], [p_size % 4]])                            AS flat
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/nested family (§2.8): construct/contains/length/index/sort/
+    join/slice/distinct/flatten. Spark sequence() args cast to BIGINT so the
+    element type matches DuckDB's generate_series (BIGINT list); distinct
+    results are order-pinned with array_sort."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               ARRAY(p_size, p_size * 2, 1)                              AS arr,
+               ARRAY_CONTAINS(ARRAY(1, 5, 10), p_size % 11)              AS has_sz,
+               SIZE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT))) AS seq_len,
+               ELEMENT_AT(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT)), 2) AS second,
+               ARRAY_SORT(ARRAY(p_size % 7, p_size % 3, p_size % 5))     AS sorted3,
+               ARRAY_JOIN(ARRAY(p_brand, p_type), '/')                   AS joined,
+               SLICE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT)), 1, 2) AS first2,
+               ARRAY_SORT(ARRAY_DISTINCT(ARRAY(1, p_size % 3, 1, p_size % 3))) AS dedup,
+               FLATTEN(ARRAY(ARRAY(1, 2), ARRAY(p_size % 4)))            AS flat
+        FROM part
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_explode_unnest",
+    oracle="""
+    SELECT p_partkey, UNNEST(GENERATE_SERIES(1, 1 + p_size % 3)) AS x
+    FROM part
+    ORDER BY p_partkey, x
+    """,
+    tags=("scalar", "array"),
+)
+def fn_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST → LATERAL VIEW explode (§2.8 array family)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, x
+        FROM part
+        LATERAL VIEW EXPLODE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 3 AS BIGINT))) t AS x
+        ORDER BY p_partkey, x
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json", "events"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (Spark get_json_object ↔ DuckDB
+    json_extract_string) — our extension beyond DataFusion 41 core."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END                              AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open')     AS st,
+           IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'LOW')  AS prio,
+           LEAST(o_totalprice, 100000.0)                    AS capped,
+           GREATEST(o_totalprice, 100000.0)                 AS floored
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/IFNULL/LEAST/GREATEST (P7)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 150000 THEN 'mid'
+                    ELSE 'low' END                              AS bucket,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open')     AS st,
+               IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'LOW')  AS prio,
+               LEAST(o_totalprice, 100000.0)                    AS capped,
+               GREATEST(o_totalprice, 100000.0)                 AS floored
+        FROM orders
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT)       AS price_int,
+           CAST(o_orderkey AS VARCHAR)               AS key_str,
+           TRY_CAST(o_orderstatus AS INT)            AS bad_int,
+           TRY_CAST('123' AS INT)                    AS ok_int,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "cast"),
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST / TRY_CAST (P8). double→int goes through FLOOR because the
+    engines disagree on bare cast (Spark truncates, DuckDB rounds)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice) AS BIGINT)      AS price_int,
+               CAST(o_orderkey AS STRING)               AS key_str,
+               TRY_CAST(o_orderstatus AS INT)           AS bad_int,
+               TRY_CAST('123' AS INT)                   AS ok_int,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str
+        FROM orders
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )

@@ -1,0 +1,107 @@
+"""SparkSession construction and tuning.
+
+The reference pins DataFusion to ``target_partitions = 1`` (single-partition,
+deliberately serial — reference: crates/cdl-fs/src/lib.rs:258) and enables
+parquet ``pushdown_filters``/``reorder_filters`` (ibid. :256-257). We do the
+opposite on partitioning — Spark's whole point is partitioned execution — and
+get pushdown/reordering from Catalyst for free.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for local runs (tests, bench).
+- :func:`prepare_session` applies the *runtime-settable* SQL confs to an
+  externally created session (the correctness driver builds its own
+  SparkSession; every query function calls this so semantics don't depend on
+  who constructed the session).
+
+Semantics-critical confs (the DuckDB oracle depends on these):
+
+- ``spark.sql.session.timeZone=UTC`` — the test tables store naive (ntz)
+  timestamps; with a UTC session, TIMESTAMP and TIMESTAMP_NTZ arithmetic
+  agree and DuckDB's naive TIMESTAMP matches.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
+  TIMESTAMP(NANOS) which Spark has no native type for; we read the raw int64
+  nanoseconds and convert to microsecond TIMESTAMP_NTZ ourselves
+  (sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that can be set on a live session (no restart needed) and that
+#: query semantics rely on. Applied by prepare_session().
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # dynamic broadcast). On by default in Spark 3.2+, pinned here anyway.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas()/pandas_udf boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Exact ANSI-interval / try_cast behavior is not required; keep ANSI off
+    # so overflow/parse errors degrade to NULL like the declared queries
+    # expect (all declared casts are explicit and in-range anyway).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Worker-thread count for local mode: $SPARK_GRAFT_CPUS or all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return multiprocessing.cpu_count()
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be static on some builds; never fail a query on it.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "connected-data-lake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS or n_cores]`` with shuffle
+    partitions sized to the core count — at 100 TB on a real cluster the
+    same code runs with cluster defaults + AQE coalescing, which re-sizes
+    post-shuffle partitions at runtime, so a static number here only seeds
+    the local case.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Binary-heavy tables (rootfs.data payloads): bound scan partition
+        # size so a partition of 1 GiB-payload rows still fits in memory.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return prepare_session(spark)

@@ -1,0 +1,3 @@
+from connected_data_lake_spark.sources.tables import TABLE_NAMES, load_table, register_views
+
+__all__ = ["TABLE_NAMES", "load_table", "register_views"]

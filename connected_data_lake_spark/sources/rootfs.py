@@ -1,0 +1,279 @@
+"""rootfs table: a filesystem tree as one columnar table.
+
+Re-expresses the reference's core data model (SURVEY §1.1; schema from
+reference crates/cdl-fs/src/lib.rs:772-787): one row per file — or per chunk
+when chunking is enabled — with POSIX metadata and the raw bytes in a
+BinaryType ``data`` column.
+
+Spark-first design decisions:
+
+- Ingestion uses the built-in ``binaryFile`` source (distributed, file-split
+  planning done by Spark) instead of the reference's driver-side glob+stream
+  loop (reference lib.rs:593-715). Executors read files in parallel.
+- Chunking (reference lib.rs:666-697: ⌈size/chunk⌉ rows, metadata populated
+  only on the head chunk) is a DataFrame transform: posexplode over byte
+  slices — no imperative loop, scales with partitions.
+- Reassembly never relies on scan order (the reference leans on Lance
+  ``scan_in_order``, lib.rs:150); we always sort by (parent, name, chunk_id).
+- Storage is parquet (columnar like Lance). ``data`` payload pages are
+  skipped automatically by parquet column pruning for metadata-only queries
+  (the reference's P1 "x'' AS data" trick becomes unnecessary, but is kept
+  for API parity).
+
+Unsigned caveat (SURVEY §7.3): reference mode/size/chunk_* are u32/u64;
+Spark has no unsigned types — LongType covers every real file, sizes beyond
+2^63-1 are unsupported.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Arrow/Spark schema of the rootfs table (reference lib.rs:772-787).
+ROOTFS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("parent", T.StringType(), False),
+        T.StructField("atime", T.TimestampNTZType(), True),
+        T.StructField("ctime", T.TimestampNTZType(), True),
+        T.StructField("mtime", T.TimestampNTZType(), True),
+        T.StructField("mode", T.LongType(), True),
+        T.StructField("size", T.LongType(), True),
+        T.StructField("chunk_id", T.LongType(), False),
+        T.StructField("chunk_offset", T.LongType(), False),
+        T.StructField("chunk_size", T.LongType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+ROOTFS_COLUMNS = [f.name for f in ROOTFS_SCHEMA.fields]
+
+
+def ingest_dir(
+    spark: SparkSession,
+    root: str,
+    max_chunk_size: int = 0,
+    glob: str = "*",
+) -> DataFrame:
+    """Read a directory tree into the rootfs schema (reference S3:
+    load_all/local glob streaming, lib.rs:593-715).
+
+    ``binaryFile`` provides path/modificationTime/length/content; POSIX
+    atime/ctime/mode aren't surfaced by the Hadoop API, so mtime stands in
+    for all three timestamps and mode is a constant 0o644 — the queryable
+    shape (NULL-able metadata on head chunks only) is preserved exactly.
+    """
+    root = os.path.abspath(root)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    # binaryFile produces no splits for zero-byte files and silently drops
+    # them; the reference ingests them as ordinary rows. Union them back in
+    # from a Hadoop-FS listing (driver-side, same cost class as Spark's own
+    # file-index planning; works for file:/ and s3a:/ alike).
+    empties = _list_empty_files(spark, root)
+    if empties is not None:
+        raw = raw.unionByName(empties)
+    # never ingest our own table directory (local table_uri nests under the
+    # dataset root as <root>/.rootfs — see catalog.GlobalPath.table_uri)
+    raw = raw.filter(~F.col("path").like("%/.rootfs/%"))
+    # path is a "file:/abs/..." URI; rel = path below the ingest root, and
+    # parent is the "/"-rooted dir path relative to the dataset root
+    # (reference GlobalPath semantics, lib.rs:192-229).
+    prefix_len = len("file:") + len(root.rstrip("/")) + 1  # +1 for the "/"
+    base = (
+        raw.select(
+            F.expr(f"substring(path, {prefix_len + 1})").alias("_rel"),
+            F.col("modificationTime").cast("timestamp_ntz").alias("mtime"),
+            F.col("length").alias("size"),
+            F.col("content").alias("data"),
+        )
+        .withColumn("name", F.element_at(F.split("_rel", "/"), -1))
+        .select(
+            "name",
+            F.when(
+                F.instr("_rel", "/") > 0,
+                F.expr("concat('/', substring(_rel, 1, length(_rel) - length(name) - 1))"),
+            )
+            .otherwise(F.lit("/"))
+            .alias("parent"),
+            F.col("mtime").alias("atime"),
+            F.col("mtime").alias("ctime"),
+            "mtime",
+            F.lit(0o644).cast("long").alias("mode"),
+            F.col("size").cast("long").alias("size"),
+            "data",
+        )
+    )
+    return _chunk(base, max_chunk_size)
+
+
+def _list_empty_files(spark: SparkSession, root: str):
+    """Zero-byte files under ``root`` in the binaryFile output shape
+    (path/modificationTime/length/content), or None if there are none."""
+    import datetime
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    it = fs.listFiles(hpath, True)
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        if st.getLen() == 0:
+            rows.append(
+                (
+                    st.getPath().toString(),
+                    datetime.datetime.fromtimestamp(
+                        st.getModificationTime() / 1000.0, tz=datetime.timezone.utc
+                    ),
+                    0,
+                    bytearray(b""),
+                )
+            )
+    if not rows:
+        return None
+    # schema matches the binaryFile source exactly (modificationTime is a
+    # regular TIMESTAMP there; tz-aware input avoids driver-tz ambiguity)
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField("modificationTime", T.TimestampType(), False),
+                T.StructField("length", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def _chunk(df: DataFrame, max_chunk_size: int) -> DataFrame:
+    """Split payloads into ⌈size/chunk⌉ rows (reference lib.rs:666-697).
+
+    Head-chunk semantics preserved: metadata (atime..size) is NULL on every
+    chunk but the first (the reference's ``metadata.take()`` at lib.rs:687),
+    which is what makes ``WHERE size IS NOT NULL`` a one-row-per-file
+    listing predicate.
+    """
+    if max_chunk_size <= 0:
+        return df.select(
+            "name",
+            "parent",
+            "atime",
+            "ctime",
+            "mtime",
+            "mode",
+            "size",
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit(0).cast("long").alias("chunk_offset"),
+            F.coalesce(F.octet_length("data").cast("long"), F.lit(0)).alias("chunk_size"),
+            "data",
+        )
+    n = F.greatest(
+        F.ceil(F.octet_length("data").cast("long") / F.lit(max_chunk_size)).cast("long"),
+        F.lit(1),
+    )
+    exploded = df.select(
+        "name",
+        "parent",
+        "atime",
+        "ctime",
+        "mtime",
+        "mode",
+        "size",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("chunk_id", "_i"),
+        "data",
+    )
+    head = F.col("chunk_id") == 0
+    return exploded.select(
+        "name",
+        "parent",
+        F.when(head, F.col("atime")).alias("atime"),
+        F.when(head, F.col("ctime")).alias("ctime"),
+        F.when(head, F.col("mtime")).alias("mtime"),
+        F.when(head, F.col("mode")).alias("mode"),
+        F.when(head, F.col("size")).alias("size"),
+        "chunk_id",
+        (F.col("chunk_id") * max_chunk_size).alias("chunk_offset"),
+        F.least(
+            F.lit(max_chunk_size).cast("long"),
+            F.octet_length("data").cast("long") - F.col("chunk_id") * max_chunk_size,
+        ).alias("chunk_size"),
+        F.expr(f"substring(data, chunk_id * {max_chunk_size} + 1, {max_chunk_size})").alias(
+            "data"
+        ),
+    )
+
+
+def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
+    """Append sink (reference S4: Lance WriteMode::Append, lib.rs:822-853).
+
+    Parquet with bounded file sizes — the reference caps ``max_bytes_per
+    file``; Spark's writer splits by task + maxRecordsPerFile. Payload-heavy
+    rows stay scannable because metadata columns prune independently.
+    """
+    df.write.format("parquet").mode(mode).save(table_uri)
+
+
+def read_table(spark: SparkSession, table_uri: str) -> DataFrame:
+    """Table scan (reference S1), parquet-backed."""
+    return spark.read.schema(ROOTFS_SCHEMA).parquet(table_uri)
+
+
+def dump_to_dir(df: DataFrame, out_root: str) -> int:
+    """Local FS sink (reference S5, lib.rs:721-770): rows → files on disk,
+    reassembling chunks by explicit chunk_id order (never scan order).
+
+    Executed with foreachPartition-style parallelism via a grouped
+    reassembly: chunks of one file are grouped, ordered, concatenated, then
+    written. Returns the number of files written.
+
+    Driver note: file writes land on a shared filesystem path; on a real
+    cluster this is a distributed-FS mount or an S3A path per file.
+    """
+    out_root = os.path.abspath(out_root)
+
+    # Co-locate all chunks of a file in one partition, ordered by chunk_id,
+    # then stream them to disk — bounded memory even for many-chunk files.
+    rows = (
+        df.select("parent", "name", "chunk_id", "data")
+        .repartition("parent", "name")
+        .sortWithinPartitions("parent", "name", "chunk_id")
+    )
+
+    def _write(part):
+        import os as _os
+
+        current = None
+        handle = None
+        count = 0
+        for row in part:
+            key = (row["parent"], row["name"])
+            if key != current:
+                if handle:
+                    handle.close()
+                rel = row["parent"].strip("/")
+                dir_path = _os.path.join(out_root, rel) if rel else out_root
+                _os.makedirs(dir_path, exist_ok=True)
+                handle = open(_os.path.join(dir_path, row["name"]), "wb")
+                current = key
+                count += 1
+            if row["data"]:
+                handle.write(bytes(row["data"]))
+        if handle:
+            handle.close()
+        yield count
+
+    written = rows.rdd.mapPartitions(_write).sum()
+    return int(written)
