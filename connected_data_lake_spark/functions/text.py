@@ -1,0 +1,142 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen'd) — no Python
+UDFs in the hot path. Designed for the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) but applicable to any string column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the n-gram/stopword language guesser.
+#: Public knowledge (most-frequent function words per language).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "zh": ("的", "了", "是", "我", "在", "有", "和", "就", "不", "人"),
+}
+
+#: BPE-ish tokenizer regex: runs of letters, runs of digits, single other
+#: non-space symbols — a cheap, deterministic token-count estimator.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse internal whitespace — the canonical form
+    used for fingerprinting and exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, "[ \\t\\n\\r]+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex (int)."""
+    return F.size(F.expr(f"regexp_extract_all({_name(col)}, '{BPE_ISH_PATTERN}', 0)"))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length in characters (double; NULL for empty docs)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / F.size(toks),
+    )
+
+
+def punctuation_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space (double)."""
+    total = F.length(col)
+    clean = F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", ""))
+    return F.when(total > 0, (total - clean).cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (double) — a classic quality
+    signal (near-0 for gibberish/code, 0.2-0.6 for natural language)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation noise. Weights are public-folklore heuristics (e.g.
+    Gopher/C4-style filters) re-expressed as a single expression."""
+    n_tok = token_count(col).cast("double")
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.9), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct = punctuation_ratio(col)
+    punct_ok = F.when(punct <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((length_ok + sw_ok + punct_ok) / 3.0, 6)
+
+
+def language_guess(col: Column | str) -> Column:
+    """Stopword-overlap language guesser: argmax over per-language stopword
+    hit counts; 'und' (undetermined) when nothing matches. Pure Column
+    expression — a chain of GREATEST/CASE, no UDF."""
+    toks = tokens(col)
+
+    def _score(sw: tuple[str, ...]) -> Column:
+        # build the literal array outside the HOF lambda: a 2-arg lambda
+        # would be called as (element, index) by F.filter
+        sw_arr = F.array(*[F.lit(s) for s in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+
+    scores = {lang: _score(sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # first language (stable dict order) achieving the max wins
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style content fingerprint: min of rolling xxhash64 over
+    token n-grams — robust to small edits at the ends (unlike md5)."""
+    sh = shingles(col, window)
+    return F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (array<string>): sliding windows of n tokens
+    joined by a single space; empty array when the doc has < n tokens."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _name(col: Column | str) -> str:
+    """Column name for embedding in expr() strings (string inputs only)."""
+    if isinstance(col, str):
+        return col
+    raise TypeError("expr-embedded helpers need a column name string")

@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a pure DataFrame transform (no driver-side loops, no
+Python UDFs — everything shuffles on keys and scales horizontally):
+
+- exact:      md5 fingerprint of normalized text → hash groupBy
+- MinHash+LSH: shingle → k minhashes → banded bucket join → candidate pairs
+               → exact Jaccard verification
+- SimHash:    64-bit bit-vote signature → chunk-banded candidates → Hamming
+- embedding:  random-hyperplane LSH buckets → in-bucket cosine pairs
+
+Scale notes: all-pairs comparison is never materialized; candidates come
+from equality joins on (band, hash) buckets, so cost is O(collisions), not
+O(n²). Signatures are computed in one scan with higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connected_data_lake_spark.functions import text as TX
+from connected_data_lake_spark.functions import vectors as VX
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per normalized-text fingerprint (the min id — a
+    deterministic survivor). One shuffle on the fingerprint."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", TX.fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_dups, keep_id)."""
+    return (
+        df.groupBy(TX.fingerprint(text_col).alias("fingerprint"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: str, num_hashes: int = 128, shingle_n: int = 3) -> Column:
+    """k-minhash signature (array<bigint>) over token n-gram shingles.
+
+    Hash family: xxhash64(shingle, seed_i) — k seeded 64-bit hashes per
+    shingle, min per seed. NULL when the doc has < shingle_n tokens.
+    """
+    sh = TX.shingles(text_col, shingle_n)
+    return F.when(
+        F.size(sh) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH:
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    bands×rows = num_hashes; a pair collides if any band's row-slice hashes
+    equal. est_jaccard = fraction of equal signature positions.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    sig = (
+        df.select(F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
+    bucketed = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("double") / F.lit(float(1))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(est / F.size("sig_a"), 6).alias("est_jaccard"),
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step after
+    LSH): joins shingle sets back by id — two broadcast-able hash joins —
+    and filters by threshold."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    out = (
+        candidates.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over blocked pairs: all pairs within a block
+    (use LSH instead when blocks are large). With no block columns this is
+    a full self-join — test-scale only."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str, shingle_n: int = 3) -> Column:
+    """64-bit SimHash (bigint): per-feature xxhash64, ±1 vote per bit,
+    sign of the vote sum sets the bit. Features are distinct token
+    n-gram shingles (set semantics — aligns with the Jaccard ground
+    truth; unigram-token features barely separate same-vocabulary
+    docs). Pure HOF expression."""
+    feats = F.array_distinct(TX.shingles(text_col, shingle_n))
+    votes = F.aggregate(
+        feats,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                # call_function: SQL shiftright takes a Column bit index
+                # (the PySpark wrapper F.shiftright only accepts an int)
+                lambda i: F.when(
+                    F.call_function("shiftright", F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: band the 64-bit signature into
+    ``n_chunks`` equal bit chunks (pigeonhole: any pair within Hamming ≤
+    n_chunks-1 must agree on ≥1 chunk), equality-join per chunk, then
+    exact Hamming filter. Default 8×8-bit chunks guarantees recall for
+    Hamming ≤ 7; smaller chunks trade bigger candidate buckets for more
+    recall — at cluster scale prefer 4×16 (Hamming ≤ 3 guaranteed) to
+    keep bucket collision rates down."""
+    assert 64 % n_chunks == 0, "n_chunks must divide 64"
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sig = df.select(F.col(id_col).alias("id"), simhash(text_col, shingle_n).alias("sh"))
+    chunked = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda j: F.call_function("shiftright", F.col("sh"), j * chunk_bits).bitwiseAND(
+                    F.lit(mask)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets:
+    equality-join on the sign signature, exact cosine within buckets.
+    Near-identical vectors share all signs with high probability."""
+    from connected_data_lake_spark.operators.similarity import hyperplane_signature, make_planes
+
+    if planes is None:
+        planes = make_planes(dim=_dim_of(df, emb_col), n_planes=16, seed=42)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        hyperplane_signature(emb_col, planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(VX.cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _dim_of(df: DataFrame, emb_col: str) -> int:
+    row = df.select(F.size(emb_col).alias("d")).first()
+    return int(row["d"]) if row else 0

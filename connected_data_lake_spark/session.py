@@ -94,6 +94,7 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Binary-heavy tables (rootfs.data payloads): bound scan partition
         # size so a partition of 1 GiB-payload rows still fits in memory.

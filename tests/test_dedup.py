@@ -1,0 +1,86 @@
+"""Dedup operators recover the corpus's planted near-duplicates.
+
+Ground truth = exact all-pairs 3-gram Jaccard >= 0.5 with NO blocking
+(the documents fixture plants near-dup pairs whose `lang` labels differ,
+so lang-blocked exact counts are a strict subset)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.operators import dedup as DD
+from connected_data_lake_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(docs):
+    rows = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert len(pairs) > 0, "fixture should contain planted near-duplicates"
+    return pairs
+
+
+def test_exact_dedup_keeps_min_id_per_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in DD.exact_dedup(df).collect())
+    assert kept == [1, 3]
+    groups = DD.duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 1
+
+
+def test_minhash_lsh_full_recall_at_threshold(docs, truth_pairs):
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=128, bands=32)
+    verified = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_verify(cand, docs, threshold=0.5).select("id_a", "id_b").collect()
+    }
+    # verify step computes exact jaccard, so no false positives by construction;
+    # 128/32 banding gives ~certain recall at j>=0.5 on this corpus
+    assert verified == truth_pairs
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs):
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=128, bands=32)
+    joined = DD.jaccard_verify(cand, docs, threshold=0.5).join(
+        cand.select("id_a", "id_b", "est_jaccard"), ["id_a", "id_b"]
+    )
+    bad = joined.filter(F.abs(F.col("est_jaccard") - F.col("jaccard")) > 0.2).count()
+    assert bad == 0
+
+
+def test_simhash_high_recall_no_false_positives(docs, truth_pairs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_candidates(docs, max_hamming=7).select("id_a", "id_b").collect()
+    }
+    recall = len(got & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.8, f"recall {recall}"
+    assert not (got - truth_pairs), "hamming<=7 should admit no noise pairs on this corpus"
+
+
+def test_embedding_near_duplicates_finds_planted_pair(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]  # cosine ~0.9999
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    got = DD.embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    assert got[0].cos > 0.99

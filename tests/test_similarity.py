@@ -1,0 +1,65 @@
+"""Similarity-search operators: exact brute force is correct on a
+hand-checkable case; LSH achieves usable recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.operators import similarity as SIM
+from connected_data_lake_spark.sources.tables import load_table
+
+
+def test_knn_brute_force_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),  # closest to 0
+            (2, [0.0, 1.0]),  # orthogonal to 0
+            (3, [-1.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = SIM.knn_brute_force(df, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert got[0].cos > 0.99 and abs(got[1].cos) < 1e-6 and got[2].cos == -1.0
+
+
+def test_knn_excludes_self(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = SIM.knn_brute_force(emb, q, k=5).collect()
+    assert all(r.neighbor_id != 0 for r in got)
+    assert len(got) == 5
+
+
+def test_sketch_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.knn_brute_force(emb, q, k=10)
+    approx = SIM.knn_sketch(emb, q, k=10, n_bits=256, candidates_per_query=100)
+    r = SIM.recall_at_k(exact, approx, k=10)
+    # measured 0.94 on this corpus; isotropic data is the worst case
+    assert r >= 0.8, f"recall@10 {r}"
+
+
+def test_sketch_cos_values_match_exact_for_shared_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1)
+    exact = SIM.knn_brute_force(emb, q, k=10).select("query_id", "neighbor_id", "cos")
+    approx = SIM.knn_sketch(emb, q, k=10).select("query_id", "neighbor_id", "cos")
+    diff = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .filter(exact["cos"] != approx["cos"])
+        .count()
+    )
+    assert diff == 0
+
+
+def test_sketch_hamming_zero_for_identical(spark):
+    df = spark.createDataFrame([(0, [0.5, -1.0, 2.0])], "vec_id long, embedding array<double>")
+    planes = SIM.make_planes(3, 64, seed=1)
+    sk = df.select(SIM.hyperplane_sketch("embedding", planes).alias("s"))
+    row = sk.select(SIM.sketch_hamming("s", "s").alias("h")).first()
+    assert row.h == 0

@@ -1,0 +1,73 @@
+"""Unit tests for functions.text — semantics pinned on hand-made samples
+(these back the declared rows-only queries, e.g. text_language_guess)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.functions import text as TX
+
+
+def _one(spark, text: str, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_normalize_collapses_whitespace(spark):
+    assert _one(spark, "  Hello\t\tWorld \n", TX.normalize_text("text")) == "hello world"
+
+
+def test_fingerprint_is_normalization_invariant(spark):
+    a = _one(spark, "The  Quick\nFox", TX.fingerprint("text"))
+    b = _one(spark, "the quick fox", TX.fingerprint("text"))
+    assert a == b and len(a) == 32
+
+
+def test_token_count_and_avg_length(spark):
+    assert _one(spark, "one two three", TX.token_count("text")) == 3
+    assert _one(spark, "ab cd", TX.avg_token_length("text")) == 2.0
+
+
+def test_shingles(spark):
+    got = _one(spark, "a b c d", TX.shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", TX.shingles("text", 3)) == []
+
+
+def test_stopword_and_punct_ratio(spark):
+    assert _one(spark, "the cat", TX.stopword_ratio("text")) == 0.5
+    assert _one(spark, "ab!?", TX.punctuation_ratio("text")) == 0.5
+
+
+def test_language_guess_samples(spark):
+    samples = {
+        "the cat sat on the mat and it is happy": "en",
+        "der hund und die katze ist nicht da": "de",
+        "le chat et le chien est pour la maison": "fr",
+        "el perro y el gato es una casa por ahi": "es",
+        "zzz qqq xxx www": "und",
+    }
+    for text, want in samples.items():
+        assert _one(spark, text, TX.language_guess("text")) == want, text
+
+
+def test_quality_score_bands(spark):
+    # natural-ish english sentence: all three bands pass
+    good = _one(spark, "the quick brown fox jumps over the lazy dog today", TX.quality_score("text"))
+    assert good == 1.0
+    # too short + no stopwords
+    bad = _one(spark, "x y", TX.quality_score("text"))
+    assert bad < 0.5
+
+
+def test_bpe_estimate_counts_symbol_runs(spark):
+    # "hello, world 42" -> hello / , / world / 42
+    assert _one(spark, "hello, world 42", TX.bpe_token_estimate("text")) == 4
+
+
+def test_rolling_hash_fingerprint_stable_under_tail_edit(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = base + " extra"
+    a = _one(spark, base, TX.rolling_hash_fingerprint("text", window=8))
+    b = _one(spark, edited, TX.rolling_hash_fingerprint("text", window=8))
+    # winnowing min-hash usually survives a tail append (same min window)
+    assert a == b
