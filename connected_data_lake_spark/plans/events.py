@@ -1,4 +1,203 @@
 """Event-table (time-series) declared queries — batch-checkable shapes of
-the streaming operators (SURVEY §2.10 T3). Filled alongside streaming/."""
+the streaming operators (SURVEY §2.10 T3: the reference has no streaming
+query engine; these are the Spark-idiomatic equivalents the build mandates,
+verified in batch mode against DuckDB; their streaming twins live in
+connected_data_lake_spark/streaming/ and are asserted by tests).
+
+Timestamp discipline: events.ts is naive microsecond TIMESTAMP on both
+engines (sources/tables.py normalizes Spark's nanosAsLong read), so window
+starts/ends compare exactly; bucket arithmetic that must hash-match uses
+int64 epoch microseconds (float division would corrupt int64 epochs).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connected_data_lake_spark.plans import query
+from connected_data_lake_spark.sources.tables import load_table
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("events", "window"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type (T3). Batch shape
+    of ``groupBy(window(ts, '1 hour'))`` — identical code runs under
+    Structured Streaming with ``withWatermark`` (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_halfhour",
+    oracle="""
+    SELECT (epoch_us(ts) // 1800000000 - i) * 1800 AS win_start_s,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("events", "window"),
+)
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide — every event lands in
+    exactly two windows. Output key is the window start in epoch seconds
+    (BIGINT: int64-exact on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            # NTZ has no direct long cast; via TIMESTAMP in the UTC session
+            # (prepare_session pins it) the epoch is exact on both engines
+            F.col("w.start").cast("timestamp").cast("long").alias("win_start_s"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start_s")
+    )
+
+
+@query(
+    "events_session_gap30m",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("events", "window", "session"),
+)
+def events_session_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user:
+    ``session_window`` — [first_event, last_event + gap) with merge
+    semantics; the oracle recomputes sessions with the classic
+    gaps-and-islands SQL, pinning Spark's half-open boundary (an event at
+    exactly prev + gap starts a NEW session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_daily_top_users",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, user_id,
+             ROUND(SUM(value), 6) AS total_value,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day, user_id, total_value, n_events,
+           CAST(ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY total_value DESC, user_id) AS INT) AS rnk
+    FROM d
+    QUALIFY rnk <= 3
+    ORDER BY day, rnk
+    """,
+    tags=("events", "window", "topk"),
+)
+def events_daily_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup shape: daily per-user rollup, then top-3 users per
+    day (windowed rank over an event-time tumbling aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("total_value"), F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("day"), "user_id", "total_value", "n_events")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("total_value").desc(), "user_id")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+@query(
+    "events_funnel_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM o
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY event_type, next_type
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (funnel edges): LEAD over the
+    user timeline, then aggregate the (from, to) edge list."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "next_type")
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming over the events table (SURVEY §2.10 T3).
+
+The reference has NO streaming query engine (its "sync" is object-storage
+replication — reference crates/cdl-k8s-provider/src/object.rs:1203-1340);
+this module is the Spark-idiomatic equivalent the build mandates: file
+source → event-time windows + watermark → sink, with the same DataFrame
+shapes as the batch queries in plans/events.py, so one definition serves
+both batch and streaming ("run the batch query on a stream" is exactly
+what Structured Streaming promises).
+
+All builders take/return DataFrames; tests drive them with
+``trigger(availableNow=True)`` into memory sinks for deterministic
+assertions (late-window suppression, within-watermark dedup, cross-batch
+state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from connected_data_lake_spark.session import prepare_session
+
+#: on-disk schema of events.parquet as Spark sees it with
+#: legacy.parquet.nanosAsLong (ts is raw int64 nanoseconds)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events with the same column normalization as
+    the batch loader (sources/tables.py): ts_us LONG + ts TIMESTAMP_NTZ.
+
+    A file source needs an explicit schema; new files appearing under
+    ``path`` become micro-batches — the Auto-Loader-style ingestion shape
+    (reference T1 is a tokio channel pipeline, not a query stream)."""
+    prepare_session(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    # ts is TIMESTAMP (not NTZ): watermarks reject TIMESTAMP_NTZ event-time
+    # columns; with the session pinned to UTC (prepare_session) the values
+    # are identical to the batch loader's NTZ reading.
+    return raw.select(
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window counts per event type with a watermark —
+    the streaming twin of plans/events.events_tumbling_hourly. In append
+    mode a window is emitted once the watermark passes its end; later
+    events are dropped (late-data handling)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows (inactivity gap) per user on a stream — the
+    streaming twin of plans/events.events_session_gap30m; sessions close
+    when the watermark passes session_end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-id event stream: dropDuplicatesWithinWatermark on
+    event_id — duplicates arriving within the watermark interval are
+    dropped; state for old ids is reclaimed as the watermark advances
+    (bounded state — the property that makes this runnable forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a streaming DataFrame into an in-memory table with
+    availableNow (process everything, then stop) and return the sink as a
+    batch DataFrame. Test/demo helper — a production sink would be a
+    parquet/Delta path with a checkpoint location."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,145 @@
+"""Structured Streaming semantics pinned with deterministic micro-batches.
+
+Strategy: stage events.parquet (or synthetic rows) into a temp dir, drain
+with trigger(availableNow=True), and compare against the equivalent batch
+computation. Late-data/watermark behavior is asserted through the append-
+mode contract: a window is emitted iff the final watermark passed its end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.sources.tables import load_table
+from connected_data_lake_spark.streaming import events as SE
+from connected_data_lake_spark.streaming import stateful as ST
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    d = str(tmp_path / "events_in")
+    os.makedirs(d)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+def _drain(stream_df, mode="append"):
+    name = "t_" + uuid.uuid4().hex[:12]
+    return SE.run_to_memory(stream_df, name, output_mode=mode)
+
+
+def test_tumbling_append_emits_only_watermark_closed_windows(spark, sf_dir, events_dir):
+    out = _drain(SE.tumbling_counts(SE.read_events_stream(spark, events_dir))).collect()
+    assert out, "expected closed windows to be emitted"
+
+    # batch side: same ts values as TIMESTAMP (UTC session) to compare
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    streamed = {(r.win_start, r.event_type): (r.n_events, r.sum_value) for r in out}
+    # every emitted window matches the batch result exactly
+    for key, vals in streamed.items():
+        assert batch[key] == vals
+    # and emitted == windows whose end the final watermark passed
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    for r in out:
+        assert r.win_end <= wm
+    n_expected = sum(
+        1
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count().select("w.end")
+        ).collect()
+        if r.end <= wm
+    )
+    assert len(out) == n_expected
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    d = str(tmp_path / "dup_in")
+    rows = [
+        (1, 1_700_000_000_000_000_000, 10, "click", 1.0, "{}"),
+        (1, 1_700_000_001_000_000_000, 10, "click", 1.0, "{}"),  # dup id
+        (2, 1_700_000_002_000_000_000, 11, "view", 2.0, "{}"),
+        (2, 1_700_000_002_000_000_000, 11, "view", 2.0, "{}"),  # dup id
+        (3, 1_700_000_003_000_000_000, 12, "click", 3.0, "{}"),
+    ]
+    spark.createDataFrame(rows, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(d)
+    out = _drain(SE.dedup_within_watermark(SE.read_events_stream(spark, d))).collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
+
+
+def test_stateful_running_profile_across_batches(spark, tmp_path):
+    d = str(tmp_path / "state_in")
+    os.makedirs(d)
+    batch1 = [
+        (1, 1_700_000_000_000_000_000, 10, "click", 1.5, "{}"),
+        (2, 1_700_000_001_000_000_000, 10, "click", 2.5, "{}"),
+        (3, 1_700_000_002_000_000_000, 11, "view", 10.0, "{}"),
+    ]
+    batch2 = [
+        (4, 1_700_000_003_000_000_000, 10, "click", 4.0, "{}"),
+        (5, 1_700_000_004_000_000_000, 12, "view", 7.0, "{}"),
+    ]
+    # two files with strictly increasing mtimes -> two micro-batches
+    spark.createDataFrame(batch1, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/b1")
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/b2")
+
+    stream = SE.read_events_stream(spark, f"{d}/*", max_files_per_trigger=1)
+    out = _drain(ST.running_user_profile(stream), mode="update").collect()
+
+    # last emitted row per user carries the final accumulated state
+    final = {}
+    for r in out:
+        final[r.user_id] = (r.n_events, r.total_value, r.last_ts_us)
+    assert final[10] == (3, 8.0, 1_700_000_003_000_000)
+    assert final[11] == (1, 10.0, 1_700_000_002_000_000)
+    assert final[12] == (1, 7.0, 1_700_000_004_000_000)
+    # user 10 was touched by both batches -> at least 2 emissions
+    assert sum(1 for r in out if r.user_id == 10) >= 2
+
+
+def test_sessionized_stream_matches_batch_closed_sessions(spark, sf_dir, events_dir):
+    out = _drain(SE.sessionized(SE.read_events_stream(spark, events_dir))).collect()
+    assert out
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    for r in out:
+        assert batch[(r.user_id, r.session_start)] == (r.session_end, r.n_events, r.sum_value)
