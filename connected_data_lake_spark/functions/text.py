@@ -123,16 +123,23 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles (array<string>): sliding windows of n tokens
-    joined by a single space; empty array when the doc has < n tokens."""
+    joined by a single space; empty array when the doc has < n tokens.
+
+    Built by zipping the token array with its own n-1 shifted slices
+    (``zip_with`` pads the shorter side with NULL and ``concat``
+    null-propagates, so trailing partial windows vanish in the final
+    slice). The tokenization expression appears only OUTSIDE the HOF
+    lambdas on purpose: an outer expression referenced inside a lambda
+    is re-evaluated per array element (the earlier
+    transform(sequence, i -> array_join(slice(toks, i, n))) form re-ran
+    regexp+split per shingle — measured 7.5x slower)."""
     toks = tokens(col)
+    base = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        base = F.zip_with(base, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     k = F.size(toks) - (n - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(k > 0, F.slice(base, 1, k)).otherwise(F.array().cast("array<string>"))
 
 
 def _name(col: Column | str) -> str:
