@@ -153,6 +153,35 @@ class CdlFS:
         never string-concatenated into a larger statement."""
         return self.table().filter(F.expr(condition))
 
+    def take(
+        self,
+        indices: list[int],
+        columns: tuple[str, ...] = ("parent", "name", "data"),
+    ) -> DataFrame:
+        """Random row access by ordinal (reference S12: Lance
+        ``ds.take(indices, columns)``, python/examples/cdlake_lance_dataset.py:26-36).
+
+        Spark has no native row-ordinal point read, so ordinals are defined
+        over the table's canonical order (parent, name, chunk_id) and
+        assigned with ``zipWithIndex`` — the sorted DataFrame is
+        range-partitioned, and zipWithIndex numbers rows contiguously
+        across partitions WITHOUT funneling data to one task (a global
+        row_number() window would). The IN-list filter then prunes.
+        Repeated point reads should persist the indexed table once
+        (``fs.take`` re-derives it per call — the Lance analogue keeps a
+        persistent index too)."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        df = self.table().orderBy("parent", "name", "chunk_id")
+        schema = StructType(
+            [StructField("_rowid", LongType(), False), *df.schema.fields]
+        )
+        indexed = df.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
+        out = self.spark.createDataFrame(indexed, schema=schema).filter(
+            F.col("_rowid").isin([int(i) for i in indices])
+        )
+        return out.select("_rowid", *columns).orderBy("_rowid")
+
     # -- copy pipeline (S5/S6) ----------------------------------------------
 
     def copy_to(self, dst_url: str) -> "CdlFS":

@@ -694,6 +694,47 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_d,
+           TRUE                      AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch cardinality (A7, approx_distinct). Approx outputs are
+    never hash-compared (FIXTURES.md rule); instead the query itself
+    asserts an error contract — |approx - exact| ≤ 5% with a 1% rsd
+    sketch (5 standard deviations of headroom; the default 5% rsd sketch
+    itself exceeded 5% on one group) — and ships the boolean next to the
+    exact count, which the oracle states as TRUE. HLL++ is deterministic
+    for a given input, so the check is stable run-to-run. At scale the
+    sketch is the point: it shuffles O(sketch) per group where
+    COUNT(DISTINCT) shuffles every distinct key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_d"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_d",
+            (
+                F.abs(F.col("_approx") - F.col("exact_d"))
+                <= 0.05 * F.col("exact_d")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
