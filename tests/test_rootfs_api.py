@@ -1,0 +1,76 @@
+"""CdlFS public API round-trip: ingestion (S3), chunking (§1.1), canned
+queries (P1-P5/O1), len UDF (U1), copy_to (S5/S6) byte-fidelity."""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import pytest
+
+from connected_data_lake_spark import Cdl
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    pathlib.Path(src, "empty.txt").write_bytes(b"")
+    pathlib.Path(src, "small.txt").write_bytes(b"hello world")
+    pathlib.Path(src, "sub", "big.bin").write_bytes(os.urandom(10_000))
+    return src
+
+
+def test_ingest_lists_all_files(spark, tree):
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load()
+    names = {r["name"] for r in fs.read_dir_all().collect()}
+    assert names == {"empty.txt", "small.txt", "big.bin"}
+
+
+def test_chunking_one_row_per_chunk_metadata_on_head(spark, tree):
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load(max_chunk_size=4096)
+    rows = fs.sql(
+        "SELECT name, size, chunk_id, chunk_size FROM rootfs "
+        "WHERE name = 'big.bin' ORDER BY chunk_id"
+    ).collect()
+    # 10000 bytes / 4096 → 3 chunks; size only on the head chunk (§1.1)
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["size"] == 10_000
+    assert [r["size"] for r in rows[1:]] == [None, None]
+    assert sum(r["chunk_size"] for r in rows) == 10_000
+
+
+def test_read_dir_drops_payload_and_non_head_chunks(spark, tree):
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load(max_chunk_size=4096)
+    rows = fs.read_dir("sub").collect()
+    assert [r["name"] for r in rows] == ["big.bin"]  # one row per FILE
+    assert bytes(rows[0]["data"]) == b""  # P1 zero-byte literal
+
+
+def test_len_udf_and_condition_splice(spark, tree):
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load()
+    rows = fs.sql(
+        "SELECT name, len(data) AS n FROM rootfs WHERE size IS NOT NULL ORDER BY name"
+    ).collect()
+    assert {(r["name"], r["n"]) for r in rows} == {
+        ("empty.txt", 0),
+        ("small.txt", 11),
+        ("big.bin", 10_000),
+    }
+    assert fs.read_files("name LIKE '%.txt' AND size IS NOT NULL").count() == 2
+
+
+@pytest.mark.parametrize("chunk", [0, 4096])
+def test_copy_to_restores_bytes(spark, tree, tmp_path, chunk):
+    dst = tmp_path / f"dst{chunk}"
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load(max_chunk_size=chunk)
+    fs.copy_to(f"local://{dst}")
+    for rel in ["empty.txt", "small.txt", "sub/big.bin"]:
+        assert (
+            pathlib.Path(dst, rel).read_bytes() == pathlib.Path(tree, rel).read_bytes()
+        ), rel
