@@ -1,0 +1,65 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the right ROWS come back; these prove the right
+PLAN produces them — the properties that decide whether a query survives a
+100x scale-up: filters reaching the parquet scan, column pruning, broadcast
+joins for small dimensions, fused top-k, map-side partial aggregation, no
+accidental nested-loop/cartesian explosions, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from connected_data_lake_spark.plans import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # non-empty pushdown: at least one concrete predicate made it down
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the scan"
+    # column pruning: the scan must not read every lineitem column (16 cols)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(",") < 10
+
+
+def test_small_dimensions_broadcast_in_multiway_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_multiway_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_fuses_sort_and_limit(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "topk_orders")
+
+
+def test_flagship_agg_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # two HashAggregate levels = map-side partial combine before the shuffle
+    # (WholeStageCodegen spans only materialize in the final adaptive plan,
+    # so codegen coverage is not assertable pre-execution)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"]
+)
+def test_dedup_joins_are_hash_equality_not_nested_loop(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "Semi" in plan_of(spark, sf_dir, "join_semi")
+    assert "Anti" in plan_of(spark, sf_dir, "join_anti")
