@@ -208,6 +208,96 @@ def knn_sketch(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 64,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means cells over the corpus.
+
+    Returns (indexed_df, centroids) where ``indexed_df`` carries a
+    ``cell`` column (nearest-centroid id) and ``centroids`` is the small
+    (n_cells × dim) list kept driver-side — the only state that ever
+    leaves the executors; the corpus itself is partitioned by cell and
+    should be persisted/written bucketed-by-cell as the on-disk index.
+    Training uses Spark ML's distributed k-means (one pass per iteration,
+    no driver materialization of vectors).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    assigned = (
+        model.transform(feat)
+        .select(F.col("_id"), F.col("prediction").alias("cell"))
+    )
+    indexed = df.join(assigned, df[id_col] == assigned["_id"]).drop("_id")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def knn_ivf(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF probing: each query ranks the (tiny)
+    centroid table by distance, keeps its ``nprobe`` nearest cells, and
+    runs exact cosine only against those cells' rows.
+
+    The centroid table is a literal-free broadcast DataFrame (n_cells
+    rows); the corpus side joins on ``cell`` — a plain equi-join that
+    co-partitions with a cell-bucketed index table, so at scale each probe
+    touches only the probed buckets' files. Work ≈ (nprobe / n_cells) of
+    brute force. Same output shape as knn_brute_force for recall joins.
+    """
+    spark = indexed_df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            VX.l2_distance(F.col("q_emb").cast("array<double>"), "c_emb").alias("dist"),
+        )
+        .withColumn("crank", F.row_number().over(w_cell))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        indexed_df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb"), "cell"
+        )
+        .join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(VX.cosine("emb", "q_emb"), 6).alias("cos"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_cos).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
     """Fraction of exact top-k pairs recovered by the approximate result."""
     e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")

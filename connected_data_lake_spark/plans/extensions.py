@@ -324,6 +324,25 @@ def knn_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_topk",
+    oracle=None,  # approximate; recall vs exact asserted in tests
+    tags=("similarity",),
+)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the same three queries — the trained
+    scale path: 32-cell k-means coarse quantizer, 8 cells probed per query
+    (≈ 1/4 of the corpus scanned), exact cosine re-rank within probed
+    cells. At cluster scale the index table is written bucketed by cell so
+    a probe touches only its buckets' files."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    indexed, centroids = SIM.ivf_index(emb, n_cells=32)
+    return SIM.knn_ivf(indexed, centroids, queries, k=10, nprobe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "embedding_stats",
     oracle="""
     SELECT vec_id,

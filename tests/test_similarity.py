@@ -63,3 +63,33 @@ def test_sketch_hamming_zero_for_identical(spark):
     sk = df.select(SIM.hyperplane_sketch("embedding", planes).alias("s"))
     row = sk.select(SIM.sketch_hamming("s", "s").alias("h")).first()
     assert row.h == 0
+
+
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 5)
+    idx, cents = SIM.ivf_index(emb, n_cells=16)
+    idx = idx.cache()
+    exact = SIM.knn_brute_force(emb, q, k=10).cache()
+    r4 = SIM.recall_at_k(exact, SIM.knn_ivf(idx, cents, q, k=10, nprobe=4), 10)
+    r8 = SIM.recall_at_k(exact, SIM.knn_ivf(idx, cents, q, k=10, nprobe=8), 10)
+    assert r4 >= 0.3  # quarter of the cells probed
+    assert r8 >= r4 - 0.05  # monotone-ish (ties aside)
+    assert r8 >= 0.6
+
+
+def test_ivf_probing_all_cells_equals_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 3)
+    idx, cents = SIM.ivf_index(emb, n_cells=8)
+    exact = SIM.knn_brute_force(emb, q, k=10)
+    full = SIM.knn_ivf(idx, cents, q, k=10, nprobe=8)
+    assert SIM.recall_at_k(exact, full, 10) == 1.0
+
+
+def test_ivf_index_partitions_whole_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx, cents = SIM.ivf_index(emb, n_cells=8)
+    assert idx.count() == emb.count()  # every row lands in exactly one cell
+    assert idx.select("cell").distinct().count() <= 8
+    assert len(cents) == 8
