@@ -214,6 +214,7 @@ def ivf_index(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """IVF coarse quantizer: k-means cells over the corpus.
 
@@ -228,11 +229,13 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # cache: k-means re-scans its input every iteration; without this each
+    # pass re-reads parquet and re-builds the vectors
     feat = df.select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feat)
+    ).cache()
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feat)
     assigned = (
         model.transform(feat)
         .select(F.col("_id"), F.col("prediction").alias("cell"))

@@ -336,7 +336,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probe touches only its buckets' files."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    indexed, centroids = SIM.ivf_index(emb, n_cells=32)
+    indexed, centroids = SIM.ivf_index(emb, n_cells=32, max_iter=5)
     return SIM.knn_ivf(indexed, centroids, queries, k=10, nprobe=8).orderBy(
         "query_id", "rank"
     )
