@@ -330,6 +330,38 @@ def simhash(text_col: str, shingle_n: int = 3) -> Column:
     )
 
 
+def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
+    """Vectorized SimHash — same bit-vote semantics as :func:`simhash`
+    (identical output for identical feature hashes) but the 64 per-bit
+    votes run as one numpy unpack + sum per Arrow batch instead of a
+    64-wide interpreted HOF per feature. Feature extraction and xxhash64
+    stay JVM-side; only int64 arrays cross to Python."""
+
+    @F.pandas_udf("long")
+    def _sh(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            # (n_feats, 64) bit matrix, little-endian bit order per word
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (
+                np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                .reshape(-1, 64)
+                .astype(np.int32)
+            )
+            votes = (2 * bits - 1).sum(axis=0)  # ±1 vote per bit
+            word = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(i)
+            out.append(int(word.astype(np.int64)))
+        return pd.Series(out)
+
+    feats = F.array_distinct(TX.shingles(text_col, shingle_n))
+    return _sh(F.transform(feats, lambda t: F.xxhash64(t)))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -348,7 +380,12 @@ def simhash_candidates(
     assert 64 % n_chunks == 0, "n_chunks must divide 64"
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    sig = df.select(F.col(id_col).alias("id"), simhash(text_col, shingle_n).alias("sh"))
+    # persist: both sides of the self-join and the exact-Hamming projection
+    # reference the signature; without this the UDF runs once per reference
+    # (same index-build-once rationale as minhash_lsh_candidates)
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_vectorized(text_col, shingle_n).alias("sh")
+    ).persist()
     chunked = sig.select(
         "id",
         "sh",
