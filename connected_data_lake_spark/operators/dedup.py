@@ -259,9 +259,11 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # persist: both sides of the postings self-join would otherwise re-run
+    # shingling + explode (same index-build-once pattern as the LSH ops)
     postings = sh.select(
         "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
-    )
+    ).persist()
     a, b = postings.alias("a"), postings.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:

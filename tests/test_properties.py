@@ -1,0 +1,127 @@
+"""Randomized property tests: invariants over seeded random corpora,
+batched as single Spark jobs (one DataFrame per property, not one per
+example).
+
+These complement the DuckDB-oracle suite: the oracle pins agreement with
+another engine on fixed data; these pin semantic invariants that must hold
+on ANY data."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.functions import text as TX
+from connected_data_lake_spark.functions import vectors as VX
+
+RNG = random.Random(20260813)
+
+
+def _random_text(n_tokens: int) -> str:
+    return " ".join(
+        "".join(RNG.choice(string.ascii_lowercase) for _ in range(RNG.randint(1, 8)))
+        for _ in range(n_tokens)
+    )
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    """Pure-Python reference for the zip_with shingle construction."""
+    toks = " ".join(text.lower().split()).split(" ")
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def test_shingles_match_python_reference(spark):
+    rows = [(i, _random_text(RNG.randint(0, 12))) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", TX.shingles("text", 3).alias("sh")).collect()
+    }
+    for i, text in rows:
+        assert got[i] == _py_shingles(text, 3), (i, text)
+
+
+def test_fingerprint_invariant_under_case_and_whitespace(spark):
+    base = [(i, _random_text(RNG.randint(1, 20))) for i in range(200)]
+
+    def perturb(t: str) -> str:
+        out = []
+        for ch in t:
+            if ch == " ":
+                out.append(" " * RNG.randint(1, 3) + ("\t" if RNG.random() < 0.3 else ""))
+            else:
+                out.append(ch.upper() if RNG.random() < 0.5 else ch)
+        return "  " + "".join(out) + "\n"
+
+    rows = [(i, t, perturb(t)) for i, t in base]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    bad = df.filter(TX.fingerprint("a") != TX.fingerprint("b")).count()
+    assert bad == 0
+
+
+def test_cosine_bounds_and_symmetry(spark):
+    rows = [
+        (i, [RNG.gauss(0, 1) for _ in range(16)], [RNG.gauss(0, 1) for _ in range(16)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        VX.cosine("a", "b").alias("ab"),
+        VX.cosine("b", "a").alias("ba"),
+        VX.cosine("a", "a").alias("aa"),
+    )
+    assert out.filter(~F.col("ab").between(-1.0 - 1e-9, 1.0 + 1e-9)).count() == 0
+    assert out.filter(F.abs(F.col("ab") - F.col("ba")) > 1e-12).count() == 0
+    assert out.filter(F.abs(F.col("aa") - 1.0) > 1e-9).count() == 0
+
+
+def test_exact_dedup_idempotent_and_complete(spark):
+    # corpus with planted exact duplicates under normalization
+    uniq = [_random_text(RNG.randint(1, 10)) for _ in range(100)]
+    rows, rid = [], 0
+    for t in uniq:
+        for _ in range(RNG.randint(1, 3)):
+            rows.append((rid, t.upper() if RNG.random() < 0.5 else t))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from connected_data_lake_spark.operators.dedup import exact_dedup
+
+    once = exact_dedup(df).cache()
+    # complete: one survivor per normalized fingerprint
+    assert once.count() == df.select(TX.fingerprint("text")).distinct().count()
+    # idempotent: deduping the survivors changes nothing
+    assert exact_dedup(once).count() == once.count()
+    # survivor is the minimum doc_id of its group (deterministic policy)
+    joined = (
+        df.withColumn("fp", TX.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep"))
+        .join(once.withColumn("fp", TX.fingerprint("text")), "fp")
+    )
+    assert joined.filter(F.col("keep") != F.col("doc_id")).count() == 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # pairs with controlled overlap: share a prefix of tokens
+    rows = []
+    for i in range(40):
+        shared = _random_text(30)
+        own_a, own_b = _random_text(RNG.randint(0, 20)), _random_text(RNG.randint(0, 20))
+        rows.append((2 * i, f"{shared} {own_a}"))
+        rows.append((2 * i + 1, f"{shared} {own_b}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from connected_data_lake_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    cand = minhash_lsh_candidates(df, num_hashes=128, bands=32)
+    exact = jaccard_verify(cand, df, threshold=0.0)
+    # every surviving estimate is within 0.25 of the exact jaccard
+    # (128 hashes → se ≈ sqrt(j(1-j)/128) ≤ 0.045; 0.25 = >5 se slack)
+    bad = exact.join(cand, ["id_a", "id_b"]).filter(
+        F.abs(F.col("jaccard") - F.col("est_jaccard")) > 0.25
+    )
+    assert bad.count() == 0
