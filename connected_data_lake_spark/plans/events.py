@@ -201,3 +201,63 @@ def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           v.ts AS view_ts, ROUND(v.value, 6) AS view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+    ORDER BY purchase_id
+    """,
+    tags=("events", "asof"),
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 J8 — beyond both the reference and
+    DataFusion 41): each purchase picks up the user's most recent 'view'
+    event at-or-before purchase time — the point-in-time-correct feature
+    lookup shape. Spark side is the union-marker emulation
+    (operators/temporal.py::asof_join, one shuffle + sorted window, no
+    range-join explosion); the oracle is DuckDB's native ASOF LEFT JOIN.
+    Equal-timestamp right rows resolve to the greatest event_id on both
+    sides (window tiebreak here, ROW_NUMBER pre-dedup there)."""
+    from connected_data_lake_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        p,
+        v,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_cols=["value"],
+        tiebreak="event_id",
+        prefix="view_",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("view_ts"),
+        F.round("view_value", 6).alias("view_value"),
+    ).orderBy("purchase_id")

@@ -1,0 +1,71 @@
+"""As-of join operator (point-in-time lookup, SURVEY §2.3 J8 extension)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.operators.temporal import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_hand_case(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(20)), (3, "b", _ts(5))],
+        "id long, k string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(8), 100, 1.0), ("a", _ts(15), 101, 2.0), ("b", _ts(9), 102, 3.0)],
+        "k string, ts timestamp_ntz, event_id long, value double",
+    )
+    out = {
+        r["id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["value"]).collect()
+    }
+    assert out[1] == (_ts(8), 1.0)  # only the earlier right row qualifies
+    assert out[2] == (_ts(15), 2.0)  # latest at-or-before wins
+    assert out[3] == (None, None)  # right row is in the future → no match
+
+
+def test_asof_inclusive_and_tiebreak(spark):
+    left = spark.createDataFrame([(1, "a", _ts(10))], "id long, k string, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [("a", _ts(10), 7, 7.0), ("a", _ts(10), 9, 9.0), ("a", _ts(3), 1, 1.0)],
+        "k string, ts timestamp_ntz, event_id long, value double",
+    )
+    r = asof_join(
+        left, right, ["k"], "ts", "ts", ["value"], tiebreak="event_id"
+    ).first()
+    # equal timestamp matches (inclusive); greatest tiebreak wins
+    assert r["asof_ts"] == _ts(10) and r["asof_value"] == 9.0
+
+
+def test_asof_struct_keeps_matched_row_consistent(spark):
+    # right value NULL on the latest row: per-column last() would mix rows;
+    # the struct must carry (ts, value) from the SAME matched row
+    left = spark.createDataFrame([(1, "a", _ts(20))], "id long, k string, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 1, 5.0), ("a", _ts(10), 2, None)],
+        "k string, ts timestamp_ntz, event_id long, value double",
+    )
+    r = asof_join(left, right, ["k"], "ts", "ts", ["value"]).first()
+    assert r["asof_ts"] == _ts(10) and r["asof_value"] is None
+
+
+def test_asof_preserves_left_rows_and_columns(spark, sf_dir):
+    from connected_data_lake_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(p, v, ["user_id"], "purchase_ts", "ts", ["value"])
+    assert out.count() == p.count()  # left join: every purchase survives
+    assert set(p.columns) <= set(out.columns)
+    # no matched view timestamp may exceed its purchase timestamp
+    assert out.filter(F.col("asof_ts") > F.col("purchase_ts")).count() == 0
