@@ -1674,17 +1674,23 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(FLOOR(o_totalprice) AS BIGINT)       AS price_int,
            CAST(o_orderkey AS VARCHAR)               AS key_str,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio_int,
            TRY_CAST(o_orderstatus AS INT)            AS bad_int,
-           TRY_CAST('123' AS INT)                    AS ok_int,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
     FROM orders
+    WHERE o_orderkey <= 5000
     ORDER BY o_orderkey
     """,
     tags=("scalar", "cast"),
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAST / TRY_CAST (P8). double→int goes through FLOOR because the
-    engines disagree on bare cast (Spark truncates, DuckDB rounds)."""
+    engines disagree on bare cast (Spark truncates, DuckDB rounds).
+    TRY_CAST is shown succeeding (priority digit) AND returning NULL per
+    row (status letter); the failing branch runs on a bounded key range —
+    Spark's string→int try-cast failure path raises and catches a JVM
+    exception PER ROW (~13 µs/row measured), an anti-pattern to keep off
+    full-table hot paths."""
     return _sql(
         spark,
         sf_dir,
@@ -1692,10 +1698,11 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CAST(FLOOR(o_totalprice) AS BIGINT)      AS price_int,
                CAST(o_orderkey AS STRING)               AS key_str,
+               TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS prio_int,
                TRY_CAST(o_orderstatus AS INT)           AS bad_int,
-               TRY_CAST('123' AS INT)                   AS ok_int,
                CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str
         FROM orders
+        WHERE o_orderkey <= 5000
         ORDER BY o_orderkey
         """,
         ("orders",),
