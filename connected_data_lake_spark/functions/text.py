@@ -85,7 +85,10 @@ def quality_score(col: Column | str) -> Column:
     length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
     sw = stopword_ratio(col)
     sw_ok = F.when((sw >= 0.01) & (sw <= 0.9), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct = punctuation_ratio(col)
+    # punctuation measured on the NORMALIZED text so this agrees with the
+    # declared contract (text_quality_score oracle): raw tabs/newlines/space
+    # runs count as whitespace, not punctuation, on both sides
+    punct = punctuation_ratio(normalize_text(col))
     punct_ok = F.when(punct <= 0.3, F.lit(1.0)).otherwise(F.lit(0.0))
     return F.round((length_ok + sw_ok + punct_ok) / 3.0, 6)
 

@@ -28,6 +28,23 @@ from pyspark.sql.window import Window
 from connected_data_lake_spark.functions import text as TX
 from connected_data_lake_spark.functions import vectors as VX
 
+
+def _with_persisted(out: DataFrame, *persisted: DataFrame) -> DataFrame:
+    """Attach the persisted index relations backing ``out`` so callers can
+    release them: ``release_index(df)`` unpersists after materialization.
+    Long-lived sessions that re-run an index build without releasing the
+    previous one would otherwise accumulate cached blocks until eviction."""
+    out._cdl_persisted = list(persisted)  # type: ignore[attr-defined]
+    return out
+
+
+def release_index(df: DataFrame) -> None:
+    """Unpersist the cached index relations attached by the dedup/ANN
+    operators (no-op for DataFrames without one)."""
+    for p in getattr(df, "_cdl_persisted", ()):  # pragma: no branch
+        p.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -191,12 +208,13 @@ def minhash_lsh_candidates(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
-    ).cast("double") / F.lit(float(1))
-    return pairs.select(
+    ).cast("double")
+    out = pairs.select(
         "id_a",
         "id_b",
         F.round(est / F.size("sig_a"), 6).alias("est_jaccard"),
     )
+    return _with_persisted(out, sig)
 
 
 def jaccard_verify(
@@ -227,7 +245,10 @@ def jaccard_verify(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select("id_a", "id_b", "jaccard")
+    return _with_persisted(
+        out.select("id_a", "id_b", "jaccard"),
+        *getattr(candidates, "_cdl_persisted", ()),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -277,7 +298,7 @@ def ngram_jaccard_pairs(
             F.first("b.sz").alias("sz_b"),
         )
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.round(
@@ -288,6 +309,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _with_persisted(out, postings)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +342,7 @@ def simhash(text_col: str, shingle_n: int = 3) -> Column:
             ).otherwise(F.lit(-1).cast("long")),
         ),
     )
-    return F.aggregate(
+    word = F.aggregate(
         F.transform(
             votes,
             lambda v, i: F.when(
@@ -330,6 +352,9 @@ def simhash(text_col: str, shingle_n: int = 3) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+    # NULL (not 0) for docs with < shingle_n tokens: an all-zero signature
+    # would make every short doc collide with every other at hamming 0
+    return F.when(F.size(feats) > 0, word)
 
 
 def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
@@ -344,7 +369,9 @@ def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
         out = []
         for h in hashes:
             if h is None or len(h) == 0:
-                out.append(0)
+                # NULL signature for empty feature sets (see simhash():
+                # a 0 signature makes all short docs mutual "duplicates")
+                out.append(None)
                 continue
             # (n_feats, 64) bit matrix, little-endian bit order per word
             a = np.asarray(h, dtype=np.int64).view(np.uint64)
@@ -385,9 +412,13 @@ def simhash_candidates(
     # persist: both sides of the self-join and the exact-Hamming projection
     # reference the signature; without this the UDF runs once per reference
     # (same index-build-once rationale as minhash_lsh_candidates)
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash_vectorized(text_col, shingle_n).alias("sh")
-    ).persist()
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"), simhash_vectorized(text_col, shingle_n).alias("sh")
+        )
+        .filter(F.col("sh").isNotNull())
+        .persist()
+    )
     chunked = sig.select(
         "id",
         "sh",
@@ -401,7 +432,7 @@ def simhash_candidates(
         ).alias("chunk_idx", "chunk"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -416,6 +447,7 @@ def simhash_candidates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _with_persisted(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -428,27 +460,57 @@ def embedding_near_duplicates(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    planes: list[list[float]] | None = None,
+    n_bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs via random-hyperplane LSH buckets:
-    equality-join on the sign signature, exact cosine within buckets.
-    Near-identical vectors share all signs with high probability."""
+    """Cosine near-duplicate pairs via BANDED random-hyperplane LSH:
+    ``n_bands`` independent sign signatures of ``planes_per_band`` planes
+    each; a pair is a candidate if ANY band's signature matches exactly;
+    exact cosine verifies candidates against ``threshold``.
+
+    Banding is what makes hyperplane LSH usable for near-dup recall: a
+    single 16-plane signature misses a θ-angle pair with prob
+    1-(1-θ/π)^16 (≈ 20% even at cos 0.999), while 8 bands of 8 planes
+    miss with prob (1-(1-θ/π)^8)^8 (< 1e-7 at cos 0.999). False-positive
+    band collisions between random isotropic vectors occur at ~2^-8 per
+    band and are removed by the exact cosine verify, so cost stays
+    O(collisions) — the same banded shape as MinHash-LSH above."""
     from connected_data_lake_spark.operators.similarity import hyperplane_signature, make_planes
 
-    if planes is None:
-        planes = make_planes(dim=_dim_of(df, emb_col), n_planes=16, seed=42)
+    planes = make_planes(dim=_dim_of(df, emb_col), n_planes=n_bands * planes_per_band, seed=seed)
+    band_sigs = F.array(
+        *[
+            hyperplane_signature(emb_col, planes[b * planes_per_band : (b + 1) * planes_per_band])
+            for b in range(n_bands)
+        ]
+    )
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
-        hyperplane_signature(emb_col, planes).alias("bucket"),
+        F.posexplode(band_sigs).alias("band", "bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(VX.cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
+        # dedup multi-band collisions BEFORE the 64-dim cosine so the exact
+        # verify runs once per candidate pair, not once per colliding band
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(VX.cosine("emb_a", "emb_b"), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connected_data_lake_spark.functions import vectors as VX
+from connected_data_lake_spark.operators.dedup import _with_persisted
 
 
 def make_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
@@ -197,7 +198,7 @@ def knn_sketch(
         .filter(F.col("hrank") <= candidates_per_query)
     )
     w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         cand.select(
             "query_id",
             "neighbor_id",
@@ -206,6 +207,7 @@ def knn_sketch(
         .withColumn("rank", F.row_number().over(w_cos).cast("int"))
         .filter(F.col("rank") <= k)
     )
+    return _with_persisted(out, sk, qk)
 
 
 def ivf_index(
@@ -240,7 +242,7 @@ def ivf_index(
         model.transform(feat)
         .select(F.col("_id"), F.col("prediction").alias("cell"))
     )
-    indexed = df.join(assigned, df[id_col] == assigned["_id"]).drop("_id")
+    indexed = _with_persisted(df.join(assigned, df[id_col] == assigned["_id"]).drop("_id"), feat)
     centroids = [c.tolist() for c in model.clusterCenters()]
     return indexed, centroids
 

@@ -861,7 +861,7 @@ def agg_filter_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_array_sorted",
     oracle="""
-    SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names
+    SELECT n_regionkey, ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS names
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
@@ -870,11 +870,14 @@ def agg_filter_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY_AGG with order pinned via array_sort (A6 — collect order is
-    nondeterministic in every engine, so it's always sorted before compare)."""
+    nondeterministic in every engine, so it's always sorted before compare).
+    The result array is projected through array_join so the boundary type is
+    a hashable scalar (the driver's pandas canonicalizer can't sort
+    ndarray-typed cells); array semantics stay fully exercised upstream."""
     nation = _t(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"))
         .orderBy("n_regionkey")
     )
 
@@ -1547,15 +1550,15 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     oracle="""
     SELECT p_partkey,
-           [p_size, p_size * 2, 1]                                    AS arr,
+           ARRAY_TO_STRING([p_size, p_size * 2, 1], ',')               AS arr,
            LIST_CONTAINS([1, 5, 10], p_size % 11)                     AS has_sz,
            CAST(LEN(GENERATE_SERIES(1, 1 + p_size % 5)) AS INT)       AS seq_len,
            GENERATE_SERIES(1, 1 + p_size % 5)[2]                      AS second,
-           LIST_SORT([p_size % 7, p_size % 3, p_size % 5])            AS sorted3,
+           ARRAY_TO_STRING(LIST_SORT([p_size % 7, p_size % 3, p_size % 5]), ',') AS sorted3,
            ARRAY_TO_STRING([p_brand, p_type], '/')                    AS joined,
-           GENERATE_SERIES(1, 1 + p_size % 5)[1:2]                    AS first2,
-           LIST_SORT(LIST_DISTINCT([1, p_size % 3, 1, p_size % 3]))   AS dedup,
-           FLATTEN([[1, 2], [p_size % 4]])                            AS flat
+           ARRAY_TO_STRING(GENERATE_SERIES(1, 1 + p_size % 5)[1:2], ',') AS first2,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT([1, p_size % 3, 1, p_size % 3])), ',') AS dedup,
+           ARRAY_TO_STRING(FLATTEN([[1, 2], [p_size % 4]]), ',')       AS flat
     FROM part
     ORDER BY p_partkey
     """,
@@ -1565,21 +1568,24 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/nested family (§2.8): construct/contains/length/index/sort/
     join/slice/distinct/flatten. Spark sequence() args cast to BIGINT so the
     element type matches DuckDB's generate_series (BIGINT list); distinct
-    results are order-pinned with array_sort."""
+    results are order-pinned with array_sort. Array-typed outputs are
+    projected through ARRAY_JOIN(TRANSFORM(.., cast to string)) so the
+    driver's pandas canonicalizer receives hashable scalars — the array ops
+    themselves still run; only the boundary type is a string."""
     return _sql(
         spark,
         sf_dir,
         """
         SELECT p_partkey,
-               ARRAY(p_size, p_size * 2, 1)                              AS arr,
+               ARRAY_JOIN(TRANSFORM(ARRAY(p_size, p_size * 2, 1), x -> CAST(x AS STRING)), ',') AS arr,
                ARRAY_CONTAINS(ARRAY(1, 5, 10), p_size % 11)              AS has_sz,
                SIZE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT))) AS seq_len,
                ELEMENT_AT(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT)), 2) AS second,
-               ARRAY_SORT(ARRAY(p_size % 7, p_size % 3, p_size % 5))     AS sorted3,
+               ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY(p_size % 7, p_size % 3, p_size % 5)), x -> CAST(x AS STRING)), ',') AS sorted3,
                ARRAY_JOIN(ARRAY(p_brand, p_type), '/')                   AS joined,
-               SLICE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT)), 1, 2) AS first2,
-               ARRAY_SORT(ARRAY_DISTINCT(ARRAY(1, p_size % 3, 1, p_size % 3))) AS dedup,
-               FLATTEN(ARRAY(ARRAY(1, 2), ARRAY(p_size % 4)))            AS flat
+               ARRAY_JOIN(TRANSFORM(SLICE(SEQUENCE(CAST(1 AS BIGINT), CAST(1 + p_size % 5 AS BIGINT)), 1, 2), x -> CAST(x AS STRING)), ',') AS first2,
+               ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY_DISTINCT(ARRAY(1, p_size % 3, 1, p_size % 3))), x -> CAST(x AS STRING)), ',') AS dedup,
+               ARRAY_JOIN(TRANSFORM(FLATTEN(ARRAY(ARRAY(1, 2), ARRAY(p_size % 4))), x -> CAST(x AS STRING)), ',') AS flat
         FROM part
         ORDER BY p_partkey
         """,
