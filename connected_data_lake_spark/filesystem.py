@@ -57,6 +57,7 @@ class CdlFS:
         self.cdl = cdl
         self.path = path
         self._registered = False
+        self._ordinal_cache: DataFrame | None = None
 
     @property
     def spark(self) -> SparkSession:
@@ -71,6 +72,9 @@ class CdlFS:
         chunk = self.cdl.catalog.max_chunk_size if max_chunk_size is None else max_chunk_size
         df = rootfs_source.ingest_dir(self.spark, self.path.uri, max_chunk_size=chunk)
         rootfs_source.write_table(df, self.path.table_uri, mode="overwrite")
+        if self._ordinal_cache is not None:  # table changed: drop stale index
+            self._ordinal_cache.unpersist()
+            self._ordinal_cache = None
         self._register()
         return self
 
@@ -99,6 +103,19 @@ class CdlFS:
         """Materialized variant (reference sql_as_pandas,
         python/cdlake/filesystem.py:44-50); Arrow-backed collect."""
         return self.sql(stmt).toPandas()
+
+    def sql_as_polars(self, stmt: str):
+        """Materialized polars variant (reference sql_as_polars,
+        python/cdlake/filesystem.py:51-55): Arrow table → polars.from_arrow.
+        polars isn't baked into this environment — the import is gated; the
+        Arrow path underneath is the tested surface."""
+        try:
+            import polars
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "polars is not available in this environment; use to_arrow()"
+            ) from exc
+        return polars.from_arrow(self.sql(stmt).toArrow())
 
     def read_dir(self, path: str) -> DataFrame:
         """List one directory, one row per file: the reference's canned
@@ -163,24 +180,57 @@ class CdlFS:
 
         Spark has no native row-ordinal point read, so ordinals are defined
         over the table's canonical order (parent, name, chunk_id) and
-        assigned with ``zipWithIndex`` — the sorted DataFrame is
-        range-partitioned, and zipWithIndex numbers rows contiguously
-        across partitions WITHOUT funneling data to one task (a global
-        row_number() window would). The IN-list filter then prunes.
-        Repeated point reads should persist the indexed table once
-        (``fs.take`` re-derives it per call — the Lance analogue keeps a
-        persistent index too)."""
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        df = self.table().orderBy("parent", "name", "chunk_id")
-        schema = StructType(
-            [StructField("_rowid", LongType(), False), *df.schema.fields]
-        )
-        indexed = df.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
-        out = self.spark.createDataFrame(indexed, schema=schema).filter(
-            F.col("_rowid").isin([int(i) for i in indices])
-        )
+        materialized once as a persisted ordinal index (see
+        :meth:`_ordinal_table`); each ``take`` is then a filter over the
+        cached index — the Lance analogue of a persistent row-id index with
+        point reads against it. Entirely JVM-side: no RDD round-trip, no
+        Python serialization of payload bytes."""
+        idx = [int(i) for i in indices]
+        out = self._ordinal_table().filter(F.col("_rowid").isin(idx))
         return out.select("_rowid", *columns).orderBy("_rowid")
+
+    def _ordinal_table(self) -> DataFrame:
+        """Build (once) and cache the ordinal-indexed table: contiguous
+        ``_rowid`` over the canonical (parent, name, chunk_id) order.
+
+        Global ordinals without a single-task global window: range-partition
+        on the sort key, number rows per partition with a window, then add
+        per-partition offsets (a partition-count-sized cumulative sum — the
+        only thing that ever reaches the driver is one count per partition).
+        Range repartitioning is deterministic for a given input, so the
+        count pass and the numbering pass see identical partition layouts.
+        At warehouse scale this index is a written table (bucketed by
+        ``_rowid`` range) rather than a session cache; persist() here plays
+        that role for the session-scoped API."""
+        if getattr(self, "_ordinal_cache", None) is not None:
+            return self._ordinal_cache
+
+        from pyspark.sql.window import Window
+
+        key = [F.col("parent"), F.col("name"), F.col("chunk_id")]
+        with_pid = (
+            self.table()
+            .repartitionByRange(*key)
+            .sortWithinPartitions(*key)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        # metadata-only collect: one (pid, count) row per partition
+        counts = with_pid.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+        offsets, acc = [], 0
+        for r in sorted(counts, key=lambda r: r["_pid"]):
+            offsets.append((r["_pid"], acc))
+            acc += r["_n"]
+        off_df = self.spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        w = Window.partitionBy("_pid").orderBy(*key)
+        indexed = (
+            with_pid.withColumn("_lrn", F.row_number().over(w))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn("_rowid", (F.col("_off") + F.col("_lrn") - 1).cast("long"))
+            .drop("_pid", "_lrn", "_off")
+            .persist()
+        )
+        self._ordinal_cache = indexed
+        return indexed
 
     # -- copy pipeline (S5/S6) ----------------------------------------------
 

@@ -184,10 +184,14 @@ def from_json_schema(name: str, schema: dict) -> Model:
     arrays of strings supported, other primitive arrays unsupported (the
     reference warns and skips, :267)."""
 
-    def conv(fname: str, node: dict) -> ModelField | None:
+    def conv(fname: str, node: dict, required_names: tuple = ()) -> ModelField | None:
+        # required-ness resolves against the ENCLOSING object's `required`
+        # list, not the root schema's: JSON Schema scopes `required` per
+        # object node, so a nested child sharing a root-required name must
+        # stay nullable and a nested object's own required list must bind.
         t = node.get("type")
         fmt = node.get("format", "")
-        required = fname in schema.get("required", ())
+        required = fname in required_names
         common = dict(nullable=not required, default=node.get("default"))
         if t == "boolean":
             return ModelField(fname, "boolean", **common)
@@ -219,15 +223,19 @@ def from_json_schema(name: str, schema: dict) -> Model:
             props = node.get("properties")
             if not props:
                 return ModelField(fname, "object", dynamic=True, **common)
-            children = tuple(c for k, v in props.items() if (c := conv(k, v)) is not None)
+            sub_req = tuple(node.get("required", ()))
+            children = tuple(
+                c for k, v in props.items() if (c := conv(k, v, sub_req)) is not None
+            )
             return ModelField(fname, "object", children=children, **common)
         if t == "array":
             items = node.get("items", {})
             if items.get("type") == "object":
+                item_req = tuple(items.get("required", ()))
                 children = tuple(
                     c
                     for k, v in items.get("properties", {}).items()
-                    if (c := conv(k, v)) is not None
+                    if (c := conv(k, v, item_req)) is not None
                 )
                 return ModelField(fname, "object_array", children=children, **common)
             if items.get("type") == "string":
@@ -235,7 +243,8 @@ def from_json_schema(name: str, schema: dict) -> Model:
             return None  # primitive non-string arrays unsupported (warned)
         return None
 
+    root_req = tuple(schema.get("required", ()))
     fields = tuple(
-        c for k, v in schema.get("properties", {}).items() if (c := conv(k, v)) is not None
+        c for k, v in schema.get("properties", {}).items() if (c := conv(k, v, root_req)) is not None
     )
     return Model(name, fields)

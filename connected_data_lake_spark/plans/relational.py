@@ -1313,14 +1313,18 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEVENSHTEIN(p_brand, 'Brand#13') AS INT) AS lev,
            CAST(ASCII(p_name) AS INT)                    AS first_cp,
            CHR(65 + p_size % 26)                         AS ch,
-           CAST(LENGTH(p_name) AS INT)                   AS clen
+           CAST(LENGTH(p_name) AS INT)                   AS clen,
+           CAST(COALESCE(LIST_POSITION(
+             STRING_SPLIT('Brand#11,Brand#13,Brand#22', ','), p_brand), 0) AS INT) AS fis
     FROM part
     ORDER BY p_partkey
     """,
     tags=("scalar", "string"),
 )
 def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unicode family: levenshtein / ascii / chr / char_length (§2.8)."""
+    """Unicode family: levenshtein / ascii / chr / char_length / find_in_set
+    (§2.8 — DuckDB lacks find_in_set, so the oracle states it as
+    list_position over the split set-string, 0 when absent)."""
     return _sql(
         spark,
         sf_dir,
@@ -1329,7 +1333,8 @@ def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEVENSHTEIN(p_brand, 'Brand#13')  AS lev,
                ASCII(p_name)                     AS first_cp,
                CHAR(65 + p_size % 26)            AS ch,
-               CHAR_LENGTH(p_name)               AS clen
+               CHAR_LENGTH(p_name)               AS clen,
+               FIND_IN_SET(p_brand, 'Brand#11,Brand#13,Brand#22') AS fis
         FROM part
         ORDER BY p_partkey
         """,

@@ -27,7 +27,10 @@ Spark has no unsigned types — LongType covers every real file, sizes beyond
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,19 +219,181 @@ def _chunk(df: DataFrame, max_chunk_size: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# transactional table commits
+#
+# The reference appends through a Lance commit handler with an etag
+# conditional put (crates/cdl-fs/src/lib.rs:822-853, crates/cdl-catalog/src/
+# lib.rs:241-243, :291): a write is a new set of immutable data files plus
+# one atomically-published manifest, and two racing writers can never
+# corrupt the table — one of them loses the conditional put and retries on
+# the refreshed state. The Spark-side equivalent below:
+#
+#   <table>/txn-<uuid>/part-*.parquet   immutable data files, one dir/commit
+#   <table>/_cdl_log/<N>.json           manifest: ordered file list of
+#                                       snapshot N (JSON, versions dense)
+#
+# Commit = write data files to a fresh txn dir (invisible until published),
+# then publish manifest N+1 via link(2) — creation fails with EEXIST when a
+# concurrent writer took N+1 first, which IS the conditional put; the loser
+# re-reads the latest snapshot and retries. Readers resolve the highest
+# manifest and read exactly its file list, so they never observe a partial
+# write. On S3 the same protocol runs on If-None-Match conditional puts
+# (what the reference configures); the local implementation is the one the
+# sandbox can exercise.
+# ---------------------------------------------------------------------------
+
+_LOG_DIR = "_cdl_log"
+_SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
+
+
+def _local_root(table_uri: str) -> str | None:
+    """Local filesystem path for ``table_uri``, or None for object stores."""
+    if table_uri.startswith("file:"):
+        return "/" + table_uri.split(":", 1)[1].lstrip("/")
+    if _SCHEME_RE.match(table_uri):
+        return None
+    return table_uri
+
+
+def _latest_manifest(log_dir: str) -> tuple[int, list[str]]:
+    """(version, relative file list) of the newest manifest; (-1, []) if none."""
+    try:
+        versions = sorted(
+            int(f[: -len(".json")]) for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+    except FileNotFoundError:
+        return -1, []
+    if not versions:
+        return -1, []
+    v = versions[-1]
+    with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+        return v, json.load(f)["files"]
+
+
+def _publish_manifest(root: str, new_files: list[str], replace: bool) -> int:
+    """Optimistic-concurrency commit: retry the conditional put until this
+    writer wins a version slot. Returns the committed version."""
+    log_dir = os.path.join(root, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    for _ in range(1000):
+        version, files = _latest_manifest(log_dir)
+        snapshot = list(new_files) if replace else files + list(new_files)
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version + 1, "files": snapshot}, f)
+        target = os.path.join(log_dir, f"{version + 1:020d}.json")
+        try:
+            os.link(tmp, target)  # conditional put: EEXIST = lost the race
+            os.unlink(tmp)
+            return version + 1
+        except FileExistsError:
+            os.unlink(tmp)  # re-read the new latest snapshot and retry
+    raise RuntimeError(f"commit contention on {root}: gave up after 1000 attempts")
+
+
+def _data_files(data_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _migrate_legacy(root: str) -> None:
+    """Snapshot pre-manifest parquet files (a table written by an older
+    write_table) as version 0 so transactional appends layer on top."""
+    legacy = [f for f in _data_files(root)]
+    if legacy and not os.path.isdir(os.path.join(root, _LOG_DIR)):
+        _publish_manifest(root, legacy, replace=True)
+
+
 def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
-    """Append sink (reference S4: Lance WriteMode::Append, lib.rs:822-853).
+    """Transactional append/overwrite sink (reference S4: Lance
+    WriteMode::Append behind a commit handler, lib.rs:822-853).
 
-    Parquet with bounded file sizes — the reference caps ``max_bytes_per
-    file``; Spark's writer splits by task + maxRecordsPerFile. Payload-heavy
-    rows stay scannable because metadata columns prune independently.
+    Data files are parquet with bounded file sizes — the reference caps
+    ``max_bytes_per_file``; Spark's writer splits by task +
+    maxRecordsPerFile — written to an invisible txn directory and published
+    atomically via the manifest protocol above. Concurrent appends both
+    land (serialized by the conditional put); a crashed writer leaves only
+    an unreferenced txn dir that :func:`vacuum_table` removes. Object-store
+    URIs fall back to the plain parquet writer (S3 conditional-put wiring
+    is environment-limited here; see README)."""
+    root = _local_root(table_uri)
+    if root is None:  # s3a://… — no local conditional put available
+        df.write.format("parquet").mode(mode).save(table_uri)
+        return
+    os.makedirs(root, exist_ok=True)
+    _migrate_legacy(root)
+    txn = f"txn-{uuid.uuid4().hex}"
+    data_dir = os.path.join(root, txn)
+    df.write.format("parquet").mode("overwrite").save(data_dir)
+    new_files = [f"{txn}/{f}" for f in _data_files(data_dir)]
+    _publish_manifest(root, new_files, replace=(mode == "overwrite"))
+
+
+def read_table(spark: SparkSession, table_uri: str, version: int | None = None) -> DataFrame:
+    """Table scan (reference S1), parquet-backed.
+
+    Resolves the manifest snapshot (optionally a historical ``version`` —
+    the Lance/Delta time-travel analogue) and reads exactly its file list;
+    tables without a manifest (legacy or object-store) scan the directory.
     """
-    df.write.format("parquet").mode(mode).save(table_uri)
-
-
-def read_table(spark: SparkSession, table_uri: str) -> DataFrame:
-    """Table scan (reference S1), parquet-backed."""
+    root = _local_root(table_uri)
+    if root is not None:
+        log_dir = os.path.join(root, _LOG_DIR)
+        if os.path.isdir(log_dir):
+            if version is None:
+                _, files = _latest_manifest(log_dir)
+            else:
+                with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+                    files = json.load(f)["files"]
+            if not files:
+                return spark.createDataFrame([], ROOTFS_SCHEMA)
+            return spark.read.schema(ROOTFS_SCHEMA).parquet(
+                *[os.path.join(root, f) for f in files]
+            )
     return spark.read.schema(ROOTFS_SCHEMA).parquet(table_uri)
+
+
+def table_version(table_uri: str) -> int:
+    """Current committed snapshot version (-1 when no manifest exists)."""
+    root = _local_root(table_uri)
+    if root is None:
+        return -1
+    v, _ = _latest_manifest(os.path.join(root, _LOG_DIR))
+    return v
+
+
+def vacuum_table(table_uri: str) -> int:
+    """Delete data files not referenced by the CURRENT snapshot (crashed or
+    superseded txn dirs). Returns the number of files removed. Distinct
+    from the reference's cache eviction — this is MVCC garbage collection,
+    which Lance gets from ``cleanup_old_versions``."""
+    root = _local_root(table_uri)
+    if root is None:
+        return 0
+    log_dir = os.path.join(root, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return 0
+    _, live = _latest_manifest(log_dir)
+    live_set = set(live)
+    removed = 0
+    for entry in os.listdir(root):
+        tdir = os.path.join(root, entry)
+        if entry.startswith("txn-") and os.path.isdir(tdir):
+            for f in _data_files(tdir):
+                if f"{entry}/{f}" not in live_set:
+                    os.unlink(os.path.join(tdir, f))
+                    removed += 1
+            if not _data_files(tdir):
+                # only writer markers (_SUCCESS, .crc) left — drop the dir
+                import shutil
+
+                shutil.rmtree(tdir)
+        elif entry.endswith(".parquet") and entry not in live_set and not entry.startswith((".", "_")):
+            os.unlink(tdir)  # legacy root-level file no longer referenced
+            removed += 1
+    return removed
 
 
 def dump_to_dir(df: DataFrame, out_root: str) -> int:

@@ -134,6 +134,44 @@ def test_from_json_schema_crd_import():
     assert isinstance(st, T.StructType)
 
 
+def test_from_json_schema_nested_required_scoping():
+    """`required` binds per object node: a nested child named like a
+    root-required property stays nullable, and a nested object's own
+    required list makes its child non-nullable."""
+    schema = {
+        "type": "object",
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string"},
+            "nested": {
+                "type": "object",
+                "required": ["inner"],
+                "properties": {
+                    # same name as a ROOT-required property: must stay nullable
+                    "name": {"type": "string"},
+                    "inner": {"type": "integer"},
+                },
+            },
+            "arr": {
+                "type": "array",
+                "items": {
+                    "type": "object",
+                    "required": ["v"],
+                    "properties": {"v": {"type": "number"}, "w": {"type": "number"}},
+                },
+            },
+        },
+    }
+    m = from_json_schema("crd", schema)
+    fields = {f.name: f for f in m.fields}
+    assert not fields["name"].nullable  # root required
+    nested = {c.name: c for c in fields["nested"].children}
+    assert nested["name"].nullable  # NOT root-required here
+    assert not nested["inner"].nullable  # nested object's own required
+    arr = {c.name: c for c in fields["arr"].children}
+    assert not arr["v"].nullable and arr["w"].nullable
+
+
 def test_salted_join_matches_plain_join(spark):
     # hot key: 90% of the large side is key 1
     large = spark.range(0, 10_000).select(
