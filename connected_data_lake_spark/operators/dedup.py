@@ -107,20 +107,15 @@ def minhash_signature(
     return F.when(F.size(sh) > 0, sig)
 
 
-def minhash_signature_vectorized(
-    text_col: str, num_hashes: int = 128, shingle_n: int = 3, seed: int = 42
-) -> Column:
-    """Vectorized minhash signature — same contract as
-    :func:`minhash_signature` but the k permutations run as one numpy
-    broadcast per Arrow batch instead of k·|shingles| interpreted
-    higher-order-function evaluations (which never reach whole-stage
-    codegen; measured ~4x on the signature stage). Shingling and the
-    per-shingle xxhash64 stay JVM-side; only int64→int64 mixing crosses to
-    Python, so batch transfer is tiny. Permutation i = splitmix64 finalizer
-    over (shingle_hash + (seed + i) · golden_gamma) — a bijective mix, so
-    unlike a monotone linear map each permutation ranks shingles
-    independently. Hash family differs from minhash_signature's
-    xxhash64(h, i); pick one per index build."""
+def minhash_from_hashes(hashes_col: Column, num_hashes: int = 128, seed: int = 42) -> Column:
+    """k-minhash signature from a precomputed per-shingle hash array: the k
+    permutations run as one numpy broadcast per Arrow batch instead of
+    k·|shingles| interpreted higher-order-function evaluations (which never
+    reach whole-stage codegen; measured ~4x on the signature stage). Only
+    int64→int64 mixing crosses to Python, so batch transfer is tiny.
+    Permutation i = splitmix64 finalizer over
+    (shingle_hash + (seed + i) · golden_gamma) — a bijective mix, so unlike
+    a monotone linear map each permutation ranks shingles independently."""
     gamma = np.uint64(0x9E3779B97F4A7C15)
     seeds = (np.arange(num_hashes, dtype=np.uint64) + np.uint64(seed)) * gamma
 
@@ -141,8 +136,43 @@ def minhash_signature_vectorized(
                 out.append(x.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
+    return _mh(hashes_col)
+
+
+def minhash_signature_vectorized(
+    text_col: str, num_hashes: int = 128, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """Vectorized minhash signature — same contract as
+    :func:`minhash_signature`; shingling and the per-shingle xxhash64 stay
+    JVM-side, the k-permutation mixing runs via :func:`minhash_from_hashes`.
+    Hash family differs from minhash_signature's xxhash64(h, i); pick one
+    per index build."""
     sh = F.array_distinct(TX.shingles(text_col, shingle_n))
-    return _mh(F.transform(sh, lambda s: F.xxhash64(s)))
+    return minhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), num_hashes, seed)
+
+
+def shingle_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) — distinct token n-gram shingle sets, persisted.
+
+    The shared index-build step for every shingle-based dedup operator:
+    signature generation AND exact-Jaccard verification both consume it, so
+    computing it once per job halves the shingling+tokenization passes (the
+    single most expensive expression in the dedup family). At cluster scale
+    this relation is a written table; persist() plays that role here.
+    Release with :func:`release_index` on the operator output."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
 
 
 def minhash_lsh_candidates(
@@ -152,16 +182,21 @@ def minhash_lsh_candidates(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH:
     (id_a, id_b, est_jaccard) with id_a < id_b.
 
     bands×rows = num_hashes; a pair collides if any band's row-slice hashes
-    equal. est_jaccard = fraction of equal signature positions.
+    equal. est_jaccard = fraction of equal signature positions. Pass a
+    prebuilt ``shingles`` relation (:func:`shingle_relation`) to share the
+    shingling pass with the verify step.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
 
+    if shingles is None:
+        shingles = shingle_relation(df, text_col, id_col, shingle_n)
     # Persist the signature relation: it is referenced by both sides of the
     # self-join AND by every band slice, and Catalyst's projection collapse
     # would otherwise inline (= recompute) the 128-hash expression per
@@ -169,9 +204,11 @@ def minhash_lsh_candidates(
     # is the "build the MinHash index once" step; swap persist() for a
     # checkpoint/table write when signatures should survive the job.
     sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature_vectorized(text_col, num_hashes, shingle_n).alias("sig"),
+        shingles.select(
+            "id",
+            minhash_from_hashes(
+                F.transform("sh", lambda s: F.xxhash64(s)), num_hashes
+            ).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
         .persist()
@@ -214,7 +251,7 @@ def minhash_lsh_candidates(
         "id_b",
         F.round(est / F.size("sig_a"), 6).alias("est_jaccard"),
     )
-    return _with_persisted(out, sig)
+    return _with_persisted(out, sig, shingles)
 
 
 def jaccard_verify(
@@ -224,14 +261,15 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (the verify step after
     LSH): joins shingle sets back by id — two broadcast-able hash joins —
-    and filters by threshold."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("_sh"),
-    )
+    and filters by threshold. Pass the candidate generator's ``shingles``
+    relation to reuse its shingling pass."""
+    if shingles is None:
+        shingles = shingle_relation(df, text_col, id_col, shingle_n)
+    sh = shingles.select(F.col("id").alias("_id"), F.col("sh").alias("_sh"))
     out = (
         candidates.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
@@ -248,6 +286,7 @@ def jaccard_verify(
     return _with_persisted(
         out.select("id_a", "id_b", "jaccard"),
         *getattr(candidates, "_cdl_persisted", ()),
+        shingles,
     )
 
 
@@ -357,12 +396,11 @@ def simhash(text_col: str, shingle_n: int = 3) -> Column:
     return F.when(F.size(feats) > 0, word)
 
 
-def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
-    """Vectorized SimHash — same bit-vote semantics as :func:`simhash`
-    (identical output for identical feature hashes) but the 64 per-bit
-    votes run as one numpy unpack + sum per Arrow batch instead of a
-    64-wide interpreted HOF per feature. Feature extraction and xxhash64
-    stay JVM-side; only int64 arrays cross to Python."""
+def simhash_from_hashes(hashes_col: Column) -> Column:
+    """64-bit SimHash from a precomputed per-feature hash array — the 64
+    per-bit votes run as one numpy unpack + sum per Arrow batch instead of
+    a 64-wide interpreted HOF per feature. Only int64 arrays cross to
+    Python. NULL for empty feature sets."""
 
     @F.pandas_udf("long")
     def _sh(hashes: pd.Series) -> pd.Series:
@@ -387,8 +425,15 @@ def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
             out.append(int(word.astype(np.int64)))
         return pd.Series(out)
 
+    return _sh(hashes_col)
+
+
+def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
+    """Vectorized SimHash — same bit-vote semantics as :func:`simhash`
+    (identical output for identical feature hashes); feature extraction and
+    xxhash64 stay JVM-side, bit votes via :func:`simhash_from_hashes`."""
     feats = F.array_distinct(TX.shingles(text_col, shingle_n))
-    return _sh(F.transform(feats, lambda t: F.xxhash64(t)))
+    return simhash_from_hashes(F.transform(feats, lambda t: F.xxhash64(t)))
 
 
 def simhash_candidates(
@@ -398,6 +443,7 @@ def simhash_candidates(
     max_hamming: int = 7,
     n_chunks: int = 8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: band the 64-bit signature into
     ``n_chunks`` equal bit chunks (pigeonhole: any pair within Hamming ≤
@@ -412,9 +458,12 @@ def simhash_candidates(
     # persist: both sides of the self-join and the exact-Hamming projection
     # reference the signature; without this the UDF runs once per reference
     # (same index-build-once rationale as minhash_lsh_candidates)
+    if shingles is None:
+        shingles = shingle_relation(df, text_col, id_col, shingle_n)
     sig = (
-        df.select(
-            F.col(id_col).alias("id"), simhash_vectorized(text_col, shingle_n).alias("sh")
+        shingles.select(
+            "id",
+            simhash_from_hashes(F.transform("sh", lambda s: F.xxhash64(s))).alias("sh"),
         )
         .filter(F.col("sh").isNotNull())
         .persist()
@@ -437,7 +486,15 @@ def simhash_candidates(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            # exact-Hamming test INSIDE the join condition: evaluated at
+            # hash-join probe time (whole-stage codegen), so the narrow
+            # chunk buckets' false collisions die before the dropDuplicates
+            # shuffle — with 4-bit chunks that shuffle was ~16x the corpus
+            # (measured 20s -> 2s at sf0.1)
+            & (
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))) <= max_hamming
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -445,9 +502,8 @@ def simhash_candidates(
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
-    return _with_persisted(out, sig)
+    return _with_persisted(out, sig, shingles)
 
 
 # ---------------------------------------------------------------------------
@@ -460,8 +516,8 @@ def embedding_near_duplicates(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_bands: int = 8,
-    planes_per_band: int = 8,
+    n_bands: int = 12,
+    planes_per_band: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via BANDED random-hyperplane LSH:
@@ -471,11 +527,13 @@ def embedding_near_duplicates(
 
     Banding is what makes hyperplane LSH usable for near-dup recall: a
     single 16-plane signature misses a θ-angle pair with prob
-    1-(1-θ/π)^16 (≈ 20% even at cos 0.999), while 8 bands of 8 planes
-    miss with prob (1-(1-θ/π)^8)^8 (< 1e-7 at cos 0.999). False-positive
-    band collisions between random isotropic vectors occur at ~2^-8 per
-    band and are removed by the exact cosine verify, so cost stays
-    O(collisions) — the same banded shape as MinHash-LSH above.
+    1-(1-θ/π)^16 (≈ 20% even at cos 0.999), while n_bands independent
+    bands miss with prob (1-(1-θ/π)^ppb)^n_bands (≈ 2e-9 at the defaults
+    for θ ≈ 0.04 rad). Band width controls the candidate rate: random
+    isotropic pairs collide on a 16-plane band at ~2^-16, so the exact
+    cosine verify touches ~n²·n_bands/65536 pairs instead of the ~n²/32
+    an 8-plane band admits (measured 5.3s → <1s at 5k vectors). Cost
+    stays O(collisions) — the same banded shape as MinHash-LSH above.
 
     The n_bands·planes_per_band plane dots are computed by the packed
     hyperplane sketch (one BLAS matmul per Arrow batch — the measured-fast
