@@ -143,12 +143,13 @@ def minhash_signature_vectorized(
     text_col: str, num_hashes: int = 128, shingle_n: int = 3, seed: int = 42
 ) -> Column:
     """Vectorized minhash signature — same contract as
-    :func:`minhash_signature`; shingling and the per-shingle xxhash64 stay
-    JVM-side, the k-permutation mixing runs via :func:`minhash_from_hashes`.
-    Hash family differs from minhash_signature's xxhash64(h, i); pick one
-    per index build."""
-    sh = F.array_distinct(TX.shingles(text_col, shingle_n))
-    return minhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), num_hashes, seed)
+    :func:`minhash_signature`; shingle hashing stays JVM-side
+    (:func:`~connected_data_lake_spark.functions.text.shingle_hashes` —
+    no shingle strings are built), the k-permutation mixing runs via
+    :func:`minhash_from_hashes`. Hash family differs from
+    minhash_signature's xxhash64(h, i); pick one per index build."""
+    sh = F.array_distinct(TX.shingle_hashes(text_col, shingle_n))
+    return minhash_from_hashes(sh, num_hashes, seed)
 
 
 def shingle_relation(
@@ -157,18 +158,25 @@ def shingle_relation(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sh) — distinct token n-gram shingle sets, persisted.
+    """(id, sh) — distinct HASHED token n-gram shingle sets (array<bigint>,
+    :func:`~connected_data_lake_spark.functions.text.shingle_hashes`),
+    persisted.
 
     The shared index-build step for every shingle-based dedup operator:
     signature generation AND exact-Jaccard verification both consume it, so
     computing it once per job halves the shingling+tokenization passes (the
-    single most expensive expression in the dedup family). At cluster scale
-    this relation is a written table; persist() plays that role here.
-    Release with :func:`release_index` on the operator output."""
+    single most expensive expression in the dedup family). Hashing to longs
+    BEFORE distinct/caching is the scale choice: distinct compares 8-byte
+    words instead of strings, the cached relation is ~10x smaller, and
+    signatures consume the hashes with no re-hash pass. Set arithmetic
+    (distinct, intersect, Jaccard) over the hashes equals the string-set
+    semantics up to negligible, corpus-deterministic 64-bit collisions.
+    At cluster scale this relation is a written table; persist() plays that
+    role here. Release with :func:`release_index` on the operator output."""
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+            F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
         .persist()
@@ -206,9 +214,7 @@ def minhash_lsh_candidates(
     sig = (
         shingles.select(
             "id",
-            minhash_from_hashes(
-                F.transform("sh", lambda s: F.xxhash64(s)), num_hashes
-            ).alias("sig"),
+            minhash_from_hashes(F.col("sh"), num_hashes).alias("sig"),
         )
         .filter(F.col("sig").isNotNull())
         .persist()
@@ -225,7 +231,16 @@ def minhash_lsh_candidates(
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = (
+    # est_jaccard is computed BEFORE the pair-dedup shuffle so only
+    # (id_a, id_b, est) crosses the wire — shuffling both 128-long
+    # signature arrays per colliding band was ~50x the bytes
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ).cast("double")
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -235,21 +250,9 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(est / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ).cast("double")
-    out = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(est / F.size("sig_a"), 6).alias("est_jaccard"),
     )
     return _with_persisted(out, sig, shingles)
 
@@ -317,7 +320,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+        F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)
     # persist: both sides of the postings self-join would otherwise re-run
     # shingling + explode (same index-build-once pattern as the LSH ops)
@@ -430,10 +433,12 @@ def simhash_from_hashes(hashes_col: Column) -> Column:
 
 def simhash_vectorized(text_col: str, shingle_n: int = 3) -> Column:
     """Vectorized SimHash — same bit-vote semantics as :func:`simhash`
-    (identical output for identical feature hashes); feature extraction and
-    xxhash64 stay JVM-side, bit votes via :func:`simhash_from_hashes`."""
-    feats = F.array_distinct(TX.shingles(text_col, shingle_n))
-    return simhash_from_hashes(F.transform(feats, lambda t: F.xxhash64(t)))
+    (identical output for identical feature hashes); feature hashing stays
+    JVM-side (shingle_hashes — no feature strings are built), bit votes via
+    :func:`simhash_from_hashes`. Hash family differs from :func:`simhash`'s
+    string xxhash64; pick one per index build."""
+    feats = F.array_distinct(TX.shingle_hashes(text_col, shingle_n))
+    return simhash_from_hashes(feats)
 
 
 def simhash_candidates(
@@ -446,15 +451,18 @@ def simhash_candidates(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: band the 64-bit signature into
-    ``n_chunks`` equal bit chunks (pigeonhole: any pair within Hamming ≤
+    ``n_chunks`` bit chunks (pigeonhole: any pair within Hamming ≤
     n_chunks-1 must agree on ≥1 chunk), equality-join per chunk, then
-    exact Hamming filter. Default 8×8-bit chunks guarantees recall for
-    Hamming ≤ 7; smaller chunks trade bigger candidate buckets for more
-    recall — at cluster scale prefer 4×16 (Hamming ≤ 3 guaranteed) to
-    keep bucket collision rates down."""
-    assert 64 % n_chunks == 0, "n_chunks must divide 64"
-    chunk_bits = 64 // n_chunks
-    mask = (1 << chunk_bits) - 1
+    exact Hamming filter. Chunk widths are as equal as possible
+    (``64 % n_chunks`` chunks get one extra bit), so n_chunks need not
+    divide 64. Wider chunks = exponentially fewer bucket collisions:
+    at cluster scale prefer few wide chunks (4×16 → Hamming ≤ 3
+    guaranteed) — recall beyond the pigeonhole bound costs bucket load.
+    """
+    assert 1 <= n_chunks <= 64
+    base_w, extra = divmod(64, n_chunks)
+    widths = [base_w + 1] * extra + [base_w] * (n_chunks - extra)
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
     # persist: both sides of the self-join and the exact-Hamming projection
     # reference the signature; without this the UDF runs once per reference
     # (same index-build-once rationale as minhash_lsh_candidates)
@@ -463,7 +471,7 @@ def simhash_candidates(
     sig = (
         shingles.select(
             "id",
-            simhash_from_hashes(F.transform("sh", lambda s: F.xxhash64(s))).alias("sh"),
+            simhash_from_hashes(F.col("sh")).alias("sh"),
         )
         .filter(F.col("sh").isNotNull())
         .persist()
@@ -472,11 +480,11 @@ def simhash_candidates(
         "id",
         "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda j: F.call_function("shiftright", F.col("sh"), j * chunk_bits).bitwiseAND(
-                    F.lit(mask)
-                ),
+            F.array(
+                *[
+                    F.shiftright("sh", off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in zip(offsets, widths)
+                ]
             )
         ).alias("chunk_idx", "chunk"),
     )

@@ -223,11 +223,41 @@ _LANG_GUESS_ORACLE = f"""
 )
 def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-overlap argmax, ties resolved in
-    LANG_STOPWORDS order, 'und' when nothing matches) — the CASE cascade is
-    mirrored verbatim in the DuckDB oracle, so values hash-match."""
+    LANG_STOPWORDS order, 'und' when nothing matches), in relational form:
+    explode tokens → broadcast-join the 50-row (token, lang, priority)
+    stopword table → per-doc hit counts → min_by argmax with the priority
+    tie-break → count per language. Same semantics as the per-row
+    functions.text.language_guess CASE cascade (occurrence counts, not
+    distinct tokens), but every step is whole-stage-codegen'd and shuffles
+    on doc_id — the scan-heavy HOF form re-evaluated tokenize+filter per
+    language per reference (~10 passes/row; measured 3.6s -> 0.9s at
+    sf0.1). The DuckDB oracle states the same argmax cascade."""
     docs = load_table(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(
+        [
+            (tok, lang, pri)
+            for pri, (lang, words) in enumerate(TXL.items())
+            for tok in words
+        ],
+        "tok string, lang string, pri int",
+    )
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    best = (
+        toks.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "lang", "pri")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.col("lang"), F.struct((-F.col("n")).alias("neg_n"), F.col("pri"))
+            ).alias("lang_guess")
+        )
+    )
     return (
-        docs.groupBy(TX.language_guess("text").alias("lang_guess"))
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(F.coalesce("lang_guess", F.lit("und")).alias("lang_guess"))
+        .groupBy("lang_guess")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang_guess")
     )
@@ -334,16 +364,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 candidates (16×4-bit chunk bands, Hamming ≤ 15) → exact
-    Jaccard ≥ 0.5 verify.
+    """SimHash-64 candidates (16×4-bit chunk bands, Hamming ≤ 15) →
+    exact Jaccard ≥ 0.5 verify.
 
     Oracle contract (exact-value): pigeonhole GUARANTEES a candidate for
-    any pair within Hamming ≤ n_chunks-1 = 15, and every true-Jaccard pair
-    in this corpus sits at SimHash Hamming ≤ 10 (measured; J ≥ 0.87 pairs
-    flip few bit-votes), so recall is certain, and the exact-Jaccard verify
-    pins precision — the output is exactly the all-pairs oracle set. The
-    hamming column is dropped in favor of the engine-independent exact
-    jaccard so the boundary is oracle-computable."""
+    any pair within Hamming ≤ n_chunks-1 = 15, and the max SimHash Hamming
+    over true J ≥ 0.5 pairs is 13/9/15 at sf0.001/0.01/0.1 (measured on
+    the frozen fixtures under the shingle_hashes family — Hamming is
+    integer-deterministic per corpus), so recall is certain; the
+    exact-Jaccard verify pins precision — the output is exactly the
+    all-pairs oracle set. The hamming column is dropped in favor of the
+    engine-independent exact jaccard so the boundary is oracle-computable.
+    Guaranteed-recall SimHash at J ≈ 0.5 is inherently narrow-bucketed
+    (J = 0.5 pairs flip ~15/64 bits, forcing ≥16 bands of ≤4 bits), which
+    is why production SimHash targets Hamming ≤ 3-6 where 4×16-bit bands
+    suffice — see operators/dedup.py::simhash_candidates scale note."""
     docs = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_relation(docs)  # one shingling pass: signatures + verify
     cand = DD.simhash_candidates(docs, max_hamming=15, n_chunks=16, shingles=sh).select(
@@ -526,7 +561,13 @@ def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
             f"cdl_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
         )
         if not os.path.isdir(path):  # offline build step, once per corpus
-            indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+            # repartition by cell first: without it every shuffle partition
+            # writes a file into every cell directory (32 tasks x 32 cells
+            # ≈ 1000 tiny files), and the probe-side read pays file listing
+            # + footer decode per file (measured ~9s first touch -> <1s)
+            indexed.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(path)
         from connected_data_lake_spark.operators.dedup import release_index
 
         release_index(indexed)  # training cache no longer needed
