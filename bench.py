@@ -74,9 +74,6 @@ def main() -> None:
         # GC churn that randomly doubled later queries' times (measured
         # ±50% swings). The on-disk IVF index is unaffected (parquet).
         spark.catalog.clearCache()
-        # settle the heap between queries (also untimed): freshly-dropped
-        # cache blocks otherwise get collected DURING the next query
-        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

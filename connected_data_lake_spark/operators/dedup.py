@@ -45,6 +45,24 @@ def release_index(df: DataFrame) -> None:
         p.unpersist()
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition an index-build input across the full cluster
+    parallelism when it arrives under-partitioned.
+
+    Signature generation (pandas-UDF batches) and bucket-join probes
+    parallelize per partition, so a corpus that arrives in a handful of
+    input splits — one small parquet file locally, a skewed ingest layout
+    on a cluster — serializes the whole dedup/ANN family onto those few
+    cores. One cheap row-sized shuffle before the expensive per-row work
+    is the scale-correct trade at every size (measured: the sf0.1
+    documents table reads as ONE split and single-cores a ~25M-probe
+    SimHash chunk join). Already-wide inputs pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -174,7 +192,8 @@ def shingle_relation(
     At cluster scale this relation is a written table; persist() plays that
     role here. Release with :func:`release_index` on the operator output."""
     return (
-        df.select(
+        spread(df, id_col)
+        .select(
             F.col(id_col).alias("id"),
             F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
         )
@@ -317,7 +336,7 @@ def ngram_jaccard_pairs(
     df-skew here is mild (max df 14 at sf0.1) so the plain index wins.
     """
     assert threshold > 0, "inverted-index path requires a positive threshold"
-    sh = df.select(
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
@@ -555,7 +574,7 @@ def embedding_near_duplicates(
     planes = make_planes(dim=_dim_of(df, emb_col), n_planes=n_words * 64, seed=seed)
     # persist: both sides of the self-join reference the sketch — without
     # this the pandas-UDF matmul runs twice (index-build-once pattern)
-    sketch = df.select(
+    sketch = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         hyperplane_sketch(emb_col, planes).alias("_sk"),

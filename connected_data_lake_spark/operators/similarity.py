@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connected_data_lake_spark.functions import vectors as VX
-from connected_data_lake_spark.operators.dedup import _with_persisted
+from connected_data_lake_spark.operators.dedup import _with_persisted, spread
 
 
 def make_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
@@ -77,7 +77,8 @@ def knn_brute_force(
         F.col(q_id_col).alias("query_id"), F.col(q_emb_col).alias("q_emb")
     )
     scored = (
-        df.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb"))
+        spread(df, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb"))
         .crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -171,7 +172,7 @@ def knn_sketch(
     # Persist both sketch relations: the 256-dot expression would otherwise
     # be inlined (= recomputed) into every downstream reference by projection
     # collapse. Corpus-side persist is the "build the ANN index once" step.
-    sk = df.select(
+    sk = spread(df, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("emb"),
         hyperplane_sketch(emb_col, planes).alias("sig"),
@@ -233,6 +234,12 @@ def ivf_index(
 
     # cache: k-means re-scans its input every iteration; without this each
     # pass re-reads parquet and re-builds the vectors
+    # NOTE: the k-means input is deliberately NOT spread(): k-means||
+    # init samples per partition, so repartitioning changes the trained
+    # centroids. At cluster scale the corpus already arrives wide (spread
+    # would be a no-op); locally the 1-split layout keeps the centroids —
+    # and the measured per-corpus recall the oracle contract states —
+    # stable across sessions.
     feat = df.select(
         F.col(id_col).alias("_id"),
         array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),

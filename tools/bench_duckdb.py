@@ -32,14 +32,16 @@ def main() -> None:
 
     con = duck_connection(args.sf)
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in sorted(all_specs()):
         spec = all_specs()[name]
         if spec.oracle is None:
             continue
         start = time.perf_counter()
         try:
-            con.sql(spec.oracle).fetchall()
+            out = con.sql(spec.oracle).fetchall()
             timings[name] = round(time.perf_counter() - start, 4)
+            rows[name] = len(out)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# duckdb error {name}: {exc}", file=sys.stderr)
@@ -52,6 +54,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rows": rows,
                 "sf": args.sf,
             }
         )
