@@ -262,6 +262,7 @@ def knn_ivf(
     nprobe: int = 8,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    static_prune: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: each query ranks the (tiny)
     centroid table by distance, keeps its ``nprobe`` nearest cells, and
@@ -269,10 +270,20 @@ def knn_ivf(
 
     The centroid table is a literal-free broadcast DataFrame (n_cells
     rows); the corpus side joins on ``cell`` — a plain equi-join that
-    co-partitions with a cell-bucketed index table, so at scale each probe
-    touches only the probed buckets' files. Work ≈ (nprobe / n_cells) of
-    brute force. Same output shape as knn_brute_force for recall joins.
-    """
+    co-partitions with a cell-bucketed index table. Work ≈
+    (nprobe / n_cells) of brute force.
+
+    ``static_prune`` (default) materializes the query→cell routing
+    driver-side — n_queries × nprobe narrow rows, the standard IVF
+    query-planning step — and pushes the probed-cell set into the scan as
+    a literal ``cell IN (...)`` predicate. Against a cell-partitioned
+    index table that is STATIC partition pruning: unprobed cell
+    directories are never listed or read (dynamic partition pruning over
+    a broadcast join is plan-dependent; the literal predicate always
+    prunes). Disable for huge query batches where the routing rows
+    shouldn't visit the driver — the probe then falls back to the pure
+    broadcast-join plan. Same output shape as knn_brute_force for recall
+    joins."""
     spark = indexed_df.sparkSession
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
@@ -291,8 +302,15 @@ def knn_ivf(
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "q_emb", "cell")
     )
+    corpus = indexed_df
+    if static_prune:
+        routing = probed.collect()  # n_queries × nprobe rows: query planning
+        probed = spark.createDataFrame(routing, probed.schema)
+        corpus = corpus.filter(
+            F.col("cell").isin(sorted({r["cell"] for r in routing}))
+        )
     scored = (
-        indexed_df.select(
+        corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb"), "cell"
         )
         .join(F.broadcast(probed), "cell")

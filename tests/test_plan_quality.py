@@ -66,3 +66,19 @@ def test_dedup_joins_are_hash_equality_not_nested_loop(spark, sf_dir, name):
 def test_semi_anti_join_operators(spark, sf_dir):
     assert "Semi" in plan_of(spark, sf_dir, "join_semi")
     assert "Anti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_ivf_probe_statically_prunes_cell_partitions(spark, sf_dir):
+    """The IVF probe must read ONLY the probed cells' directories of the
+    cell-partitioned index table: query routing pushes a literal
+    ``cell IN (...)`` predicate, which shows up as a PartitionFilters INSET
+    on the index scan — the property that keeps probe cost at
+    nprobe/n_cells of the corpus at any scale."""
+    plan = plan_of(spark, sf_dir, "knn_ivf_topk")
+    scan = [
+        line
+        for line in plan.splitlines()
+        if "cdl_ivf_" in line and "PartitionFilters" in line
+    ]
+    assert scan, "no partition-filtered scan over the IVF index table"
+    assert "INSET" in scan[0].split("PartitionFilters", 1)[1]
