@@ -68,6 +68,18 @@ def test_semi_anti_join_operators(spark, sf_dir):
     assert "Anti" in plan_of(spark, sf_dir, "join_anti")
 
 
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
+    """The pre-bucketed fact-fact join must co-locate via layout: both
+    scans read bucketed tables and the SortMergeJoin consumes them with NO
+    Exchange in between — the shuffle was paid once at write time. The
+    only exchanges allowed are the downstream aggregation/sort ones."""
+    plan = plan_of(spark, sf_dir, "zz_join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, "join input was re-shuffled"
+
+
 def test_ivf_probe_statically_prunes_cell_partitions(spark, sf_dir):
     """The IVF probe must read ONLY the probed cells' directories of the
     cell-partitioned index table: query routing pushes a literal
