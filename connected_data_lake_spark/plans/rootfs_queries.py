@@ -64,7 +64,7 @@ def _rootfs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH rootfs AS ({_ORACLE_BASE})
     SELECT name, parent, mtime, mode, size,
-           encode('') AS data
+           hex(encode('')) AS data_hex
     FROM rootfs
     WHERE parent LIKE '/src1' AND size IS NOT NULL
     ORDER BY name ASC
@@ -73,11 +73,21 @@ def _rootfs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rootfs_read_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_dir: directory listing with payload dropped via zero-byte
-    binary literal (P1+P3+P4+O1 in the reference's one canned query)."""
+    binary literal (P1+P3+P4+O1 in the reference's one canned query).
+    The declared output hex-encodes the binary column (like rootfs_chunked)
+    because raw BINARY cannot be canonical-sorted by the comparison harness;
+    the zero-byte literal semantics are unchanged — hex('') = ''."""
     fs = _rootfs_from_documents(spark, sf_dir)
     return (
         fs.filter(F.col("parent").like("/src1") & F.col("size").isNotNull())
-        .select("name", "parent", "mtime", "mode", "size", F.lit(b"").alias("data"))
+        .select(
+            "name",
+            "parent",
+            "mtime",
+            "mode",
+            "size",
+            F.hex(F.lit(b"")).alias("data_hex"),
+        )
         .orderBy(F.col("name").asc())
     )
 

@@ -19,16 +19,19 @@ Semantics-critical confs (the DuckDB oracle depends on these):
 - ``spark.sql.session.timeZone=UTC`` — the test tables store naive (ntz)
   timestamps; with a UTC session, TIMESTAMP and TIMESTAMP_NTZ arithmetic
   agree and DuckDB's naive TIMESTAMP matches.
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
-  TIMESTAMP(NANOS) which Spark has no native type for; we read the raw int64
-  nanoseconds and convert to microsecond TIMESTAMP_NTZ ourselves
-  (sources/tables.py).
+
+Note: ``spark.sql.legacy.parquet.nanosAsLong`` was removed in Spark 4.x;
+events-timestamp normalization now branches on the column's actual dtype in
+``sources/tables.py`` instead of depending on a conf. prepare_session warns
+ONCE per process if a semantics conf cannot be set — silently swallowing the
+failure hid a loader break for two rounds.
 """
 
 from __future__ import annotations
 
 import multiprocessing
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -36,7 +39,6 @@ from pyspark.sql import SparkSession
 #: query semantics rely on. Applied by prepare_session().
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # AQE: runtime re-planning (partition coalescing, skew-join splitting,
     # dynamic broadcast). On by default in Spark 3.2+, pinned here anyway.
     "spark.sql.adaptive.enabled": "true",
@@ -59,14 +61,28 @@ def default_parallelism() -> int:
     return multiprocessing.cpu_count()
 
 
+_WARNED_CONFS: set[str] = set()
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    A conf may be static or removed on some Spark builds; never fail a query
+    on it — but warn once per process so a semantics conf silently not
+    applying can't masquerade as a correct setup.
+    """
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # A conf may be static on some builds; never fail a query on it.
-            pass
+        except Exception as exc:  # noqa: BLE001
+            if key not in _WARNED_CONFS:
+                _WARNED_CONFS.add(key)
+                warnings.warn(
+                    f"could not set {key}={value!r} ({exc}); "
+                    "query semantics may differ from the oracle",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

@@ -1,24 +1,27 @@
 """Parquet loaders for the driver's synthetic tables.
 
 All declared queries read through :func:`load_table` so semantics fixes live
-in exactly one place. The one real fix: ``events.ts`` is parquet
-TIMESTAMP(NANOS, isAdjustedToUTC=false), a type Spark has no native support
-for (PARQUET_TYPE_ILLEGAL on read). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as raw int64
-nanoseconds; we expose:
+in exactly one place. The one real normalization: ``events.ts`` must surface
+as a canonical pair regardless of how the parquet writer encoded it —
 
-- ``ts``     TIMESTAMP_NTZ — microsecond truncation of the raw value
+- ``ts``     TIMESTAMP_NTZ — naive microsecond event time
 - ``ts_us``  LONG          — epoch microseconds (exact, for bucket math that
                              must hash-match DuckDB's ``epoch_us``)
 
-Everything is integer arithmetic (``DIV``) — int64 nanoseconds do not fit a
-double's 53-bit mantissa, so float division would silently corrupt values.
+The physical column has shipped as both TIMESTAMP(NANOS) (readable only as
+raw int64 via the since-removed ``legacy.parquet.nanosAsLong`` conf) and, on
+Spark 4.x with NTZ inference, plain ``timestamp[us]`` → TIMESTAMP_NTZ.
+:func:`_load_events` branches on the ACTUAL dtype instead of assuming one
+writer, so a schema drift fails loudly at load rather than deep in a query.
+Integer arithmetic only (``DIV`` / ``unix_micros``) — int64 nanoseconds do
+not fit a double's 53-bit mantissa, so float division would corrupt values.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from connected_data_lake_spark.session import prepare_session
 
@@ -38,11 +41,23 @@ TABLE_NAMES = (
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts arrives as int64 nanoseconds (legacy.parquet.nanosAsLong)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # raw int64 nanoseconds (legacy.parquet.nanosAsLong read path)
+        ts_us = F.expr("ts DIV 1000")
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Spark 4.x NTZ inference on timestamp[us] parquet; session TZ is
+        # pinned UTC (prepare_session) so the NTZ→TIMESTAMP cast is identity
+        # and unix_micros yields the naive microsecond value exactly.
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    elif isinstance(ts_type, T.TimestampType):
+        ts_us = F.unix_micros(F.col("ts"))
+    else:  # fail loudly at load, not deep inside a query plan
+        raise TypeError(f"events.ts: unsupported parquet dtype {ts_type}")
     return raw.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)").alias("ts"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).cast("timestamp_ntz").alias("ts"),
         "user_id",
         "event_type",
         "value",

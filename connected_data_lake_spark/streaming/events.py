@@ -22,41 +22,60 @@ from pyspark.sql import types as T
 
 from connected_data_lake_spark.session import prepare_session
 
-#: on-disk schema of events.parquet as Spark sees it with
-#: legacy.parquet.nanosAsLong (ts is raw int64 nanoseconds)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    """events.parquet schema with the given physical dtype for ``ts``."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+#: legacy on-disk schema (ts = raw int64 nanoseconds under the removed
+#: nanosAsLong conf). Kept public: tests use it to write synthetic
+#: long-ts inputs, exercising the LongType normalization branch.
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of events with the same column normalization as
-    the batch loader (sources/tables.py): ts_us LONG + ts TIMESTAMP_NTZ.
+    the batch loader (sources/tables.py): ts_us LONG + ts TIMESTAMP.
 
     A file source needs an explicit schema; new files appearing under
     ``path`` become micro-batches — the Auto-Loader-style ingestion shape
-    (reference T1 is a tokio channel pipeline, not a query stream)."""
+    (reference T1 is a tokio channel pipeline, not a query stream). The
+    ``ts`` physical dtype is sniffed from the files already at ``path``
+    (one footer read at planning time, not per batch) and normalized with
+    the same dtype branch as the batch loader, so long-nanos and
+    timestamp[us] inputs stream identically."""
     prepare_session(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:  # empty dir at start-up: assume current writer layout
+        ts_type = T.TimestampNTZType()
+    reader = spark.readStream.schema(_events_raw_schema(ts_type))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
+    if isinstance(ts_type, T.LongType):
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        # NTZ/TIMESTAMP: UTC session (prepare_session) makes the cast exact
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     # ts is TIMESTAMP (not NTZ): watermarks reject TIMESTAMP_NTZ event-time
-    # columns; with the session pinned to UTC (prepare_session) the values
-    # are identical to the batch loader's NTZ reading.
+    # columns; with the session pinned to UTC the values are identical to
+    # the batch loader's NTZ reading.
     return raw.select(
         "event_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("ts"),
         "user_id",
         "event_type",
         "value",
