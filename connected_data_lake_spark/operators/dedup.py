@@ -45,7 +45,7 @@ def release_index(df: DataFrame) -> None:
         p.unpersist()
 
 
-def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+def spread(df: DataFrame, *key_cols: str, width: int | None = None) -> DataFrame:
     """Hash-repartition an index-build input across the full cluster
     parallelism when it arrives under-partitioned.
 
@@ -56,9 +56,22 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     cores. One cheap row-sized shuffle before the expensive per-row work
     is the scale-correct trade at every size (measured: the sf0.1
     documents table reads as ONE split and single-cores a ~25M-probe
-    SimHash chunk join). Already-wide inputs pass through untouched."""
+    SimHash chunk join). Already-wide inputs pass through untouched.
+
+    Width is estimated from ``df.inputFiles()`` (a catalog/listing lookup —
+    no job, no RDD lineage materialization; ``df.rdd.getNumPartitions()``
+    forced a full physical-planning pass per operator call). The file count
+    under-estimates splits of files larger than maxPartitionBytes, so the
+    worst case is one redundant narrow shuffle — the cheap side of the
+    trade. Callers that know better pass ``width=`` explicitly; non-file
+    inputs (memory relations) estimate 0 and get spread, which is safe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if width is None:
+        try:
+            width = len(df.inputFiles())
+        except Exception:  # non-file-backed plan: assume narrow
+            width = 0
+    if width >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 

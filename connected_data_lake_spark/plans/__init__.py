@@ -106,12 +106,48 @@ ROTATED_GREEN_R01 = frozenset(
 )
 
 
+#: Window rotation (round 5): these three window queries were verified green
+#: in CORRECTNESS_r04.json; they cede their slots (→ ``z_`` prefix) so the
+#: two flagship compositions — which sorted last as ``zz_*`` and never
+#: received a driver correctness row — plus the new probe-only IVF query fit
+#: inside the 50-query alphabetical window. Bodies and oracles unchanged.
+ROTATED_GREEN_R04 = frozenset(
+    {
+        "window_row_number",
+        "window_running_sum",
+        "window_sliding_avg",
+    }
+)
+
+#: Round-5 promotions: drop the ``zz_`` window-deferral prefix (see the
+#: r2-r4 rotation history above) so the flagship compositions finally enter
+#: the driver's correctness window. Registry-level rename only — the query
+#: bodies, oracles and tags are untouched; bench history for the old names
+#: lives in BENCH_r0{2,4}.json.
+PROMOTED_R05 = {
+    "zz_pipeline_training_data": "pipeline_training_data",
+    "zz_join_bucketed_colocated": "join_bucketed_colocated",
+}
+
+
+def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
+    return QuerySpec(
+        name=new_name,
+        spark=spec.spark,
+        oracle=spec.oracle,
+        tags=spec.tags,
+        doc=spec.doc,
+    )
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Name → spec for every declared query (imports all plan modules).
 
-    Keys for r01-verified queries carry the ``z_`` rotation prefix (see
-    ROTATED_GREEN_R01) so the driver's alphabetical 50-query window reaches
-    the previously-unchecked tail this round."""
+    Keys for queries already driver-verified in earlier rounds carry the
+    ``z_`` rotation prefix (ROTATED_GREEN_R01 ∪ ROTATED_GREEN_R04) so the
+    driver's alphabetical 50-query window reaches the unchecked tail;
+    PROMOTED_R05 drops the ``zz_`` deferral prefix from the flagship
+    compositions."""
     # import for side effect of registration
     from connected_data_lake_spark.plans import (  # noqa: F401
         events,
@@ -122,14 +158,10 @@ def all_specs() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for name, spec in _REGISTRY.items():
-        if name in ROTATED_GREEN_R01:
-            out[f"z_{name}"] = QuerySpec(
-                name=f"z_{name}",
-                spark=spec.spark,
-                oracle=spec.oracle,
-                tags=spec.tags,
-                doc=spec.doc,
-            )
+        if name in ROTATED_GREEN_R01 or name in ROTATED_GREEN_R04:
+            out[f"z_{name}"] = _renamed(spec, f"z_{name}")
+        elif name in PROMOTED_R05:
+            out[PROMOTED_R05[name]] = _renamed(spec, PROMOTED_R05[name])
         else:
             out[name] = spec
     return out

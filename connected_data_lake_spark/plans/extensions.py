@@ -602,6 +602,31 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_probe",
+    oracle=None,  # approximate result: no exact-SQL twin, rows-only check
+    tags=("similarity",),
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe ALONE — the production ANN query surface, split from
+    the recall contract so the timed cost is the cost a user pays.
+
+    ``knn_ivf_topk`` (the contract query) times brute-force exact top-k +
+    probe + contract join — the exact side exists only to verify recall, so
+    its cost dominated the measurement (VERDICT r4). This companion runs
+    just: route each query to its 8 nearest cells (driver-side planning on
+    n_queries × nprobe rows), statically prune the cell-partitioned index
+    to those cells' directories, exact cosine re-rank within them. Quality
+    remains pinned by knn_ivf_topk's recall_ok contract; this query's
+    rows-only check pins shape and liveness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    indexed, centroids = _ivf_indexed(spark, sf_dir)
+    return SIM.knn_ivf(indexed, centroids, queries, k=10, nprobe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "embedding_stats",
     oracle="""
     SELECT vec_id,
@@ -902,9 +927,10 @@ def zz_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not a broadcast) is what the plan proves; asserted in
     tests/test_plan_quality.py. Values equal the plain-join oracle.
 
-    The ``zz_`` prefix keeps this round's driver correctness window
-    (first 50 names alphabetically) on the previously-unchecked families;
-    it rotates to a plain name once the window reaches the tail."""
+    Registered as ``join_bucketed_colocated`` since round 5
+    (plans/__init__.py::PROMOTED_R05) so it enters the driver's 50-query
+    correctness window; the ``zz_`` declaration name is kept for bench
+    history continuity."""
     o, li = _bucketed_order_tables(spark, sf_dir)
     j = li.hint("merge").join(
         o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]

@@ -73,7 +73,7 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
     scans read bucketed tables and the SortMergeJoin consumes them with NO
     Exchange in between — the shuffle was paid once at write time. The
     only exchanges allowed are the downstream aggregation/sort ones."""
-    plan = plan_of(spark, sf_dir, "zz_join_bucketed_colocated")
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     join_part = plan.split("SortMergeJoin", 1)[1]
