@@ -27,7 +27,6 @@ Spark has no unsigned types — LongType covers every real file, sizes beyond
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import uuid
@@ -234,14 +233,19 @@ def _chunk(df: DataFrame, max_chunk_size: int) -> DataFrame:
 #                                       snapshot N (JSON, versions dense)
 #
 # Commit = write data files to a fresh txn dir (invisible until published),
-# then publish manifest N+1 via link(2) — creation fails with EEXIST when a
-# concurrent writer took N+1 first, which IS the conditional put; the loser
-# re-reads the latest snapshot and retries. Readers resolve the highest
-# manifest and read exactly its file list, so they never observe a partial
-# write. On S3 the same protocol runs on If-None-Match conditional puts
-# (what the reference configures); the local implementation is the one the
-# sandbox can exercise.
+# then publish manifest N+1 via a put-if-absent — the protocol and both
+# store implementations (link(2) local FS; S3-style If-None-Match, tested
+# against an in-memory fake) live in sources/manifest.py. Readers resolve
+# the highest manifest and read exactly its file list, so they never
+# observe a partial write.
 # ---------------------------------------------------------------------------
+
+from connected_data_lake_spark.sources.manifest import (  # noqa: E402
+    LocalFsStore,
+    latest_manifest,
+    manifest_files,
+    publish_manifest,
+)
 
 _LOG_DIR = "_cdl_log"
 _SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.IGNORECASE)
@@ -258,38 +262,12 @@ def _local_root(table_uri: str) -> str | None:
 
 def _latest_manifest(log_dir: str) -> tuple[int, list[str]]:
     """(version, relative file list) of the newest manifest; (-1, []) if none."""
-    try:
-        versions = sorted(
-            int(f[: -len(".json")]) for f in os.listdir(log_dir) if f.endswith(".json")
-        )
-    except FileNotFoundError:
-        return -1, []
-    if not versions:
-        return -1, []
-    v = versions[-1]
-    with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
-        return v, json.load(f)["files"]
+    return latest_manifest(LocalFsStore(log_dir))
 
 
 def _publish_manifest(root: str, new_files: list[str], replace: bool) -> int:
-    """Optimistic-concurrency commit: retry the conditional put until this
-    writer wins a version slot. Returns the committed version."""
-    log_dir = os.path.join(root, _LOG_DIR)
-    os.makedirs(log_dir, exist_ok=True)
-    for _ in range(1000):
-        version, files = _latest_manifest(log_dir)
-        snapshot = list(new_files) if replace else files + list(new_files)
-        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump({"version": version + 1, "files": snapshot}, f)
-        target = os.path.join(log_dir, f"{version + 1:020d}.json")
-        try:
-            os.link(tmp, target)  # conditional put: EEXIST = lost the race
-            os.unlink(tmp)
-            return version + 1
-        except FileExistsError:
-            os.unlink(tmp)  # re-read the new latest snapshot and retry
-    raise RuntimeError(f"commit contention on {root}: gave up after 1000 attempts")
+    """Optimistic-concurrency commit against the table's local log dir."""
+    return publish_manifest(LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace)
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -345,8 +323,7 @@ def read_table(spark: SparkSession, table_uri: str, version: int | None = None) 
             if version is None:
                 _, files = _latest_manifest(log_dir)
             else:
-                with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
-                    files = json.load(f)["files"]
+                files = manifest_files(LocalFsStore(log_dir), version)
             if not files:
                 return spark.createDataFrame([], ROOTFS_SCHEMA)
             return spark.read.schema(ROOTFS_SCHEMA).parquet(

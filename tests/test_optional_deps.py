@@ -1,0 +1,54 @@
+"""Optional-dependency exports (S10 polars / S11 torch, reference
+python/cdlake/filesystem.py:51-74): real smoke when the library is
+installed, and — in environments without it — proof that the import gate
+fails with the documented, actionable error instead of an obscure crash.
+Either way every environment executes a meaningful assertion."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+import pytest
+
+from connected_data_lake_spark import Cdl
+
+HAS_POLARS = importlib.util.find_spec("polars") is not None
+HAS_TORCH = importlib.util.find_spec("torch") is not None
+
+
+@pytest.fixture()
+def fs(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    pathlib.Path(src, "a.txt").write_bytes(b"alpha")
+    pathlib.Path(src, "b.txt").write_bytes(b"beta")
+    handle = Cdl(spark=spark).open(f"local://{src}")
+    handle.load()
+    return handle
+
+
+@pytest.mark.skipif(not HAS_POLARS, reason="polars not installed")
+def test_sql_as_polars_smoke(fs):
+    out = fs.sql_as_polars("SELECT name, size FROM rootfs ORDER BY name")
+    assert out.columns == ["name", "size"]
+    assert out["name"].to_list() == ["a.txt", "b.txt"]
+
+
+@pytest.mark.skipif(HAS_POLARS, reason="polars installed: gate not reachable")
+def test_sql_as_polars_gate_error(fs):
+    with pytest.raises(NotImplementedError, match="to_arrow"):
+        fs.sql_as_polars("SELECT name FROM rootfs")
+
+
+@pytest.mark.skipif(not HAS_TORCH, reason="torch not installed")
+def test_to_torch_dataset_smoke(fs):
+    ds = fs.to_torch_dataset(batch_size=1, columns=("name", "data"))
+    items = [ds[i] for i in range(len(ds))]
+    assert {bytes(it["data"][0]) for it in items} == {b"alpha", b"beta"}
+
+
+@pytest.mark.skipif(HAS_TORCH, reason="torch installed: gate not reachable")
+def test_to_torch_dataset_gate_error(fs):
+    with pytest.raises(NotImplementedError, match="to_arrow"):
+        fs.to_torch_dataset()
