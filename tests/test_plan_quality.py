@@ -80,6 +80,23 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
     assert "Exchange" not in join_part, "join input was re-shuffled"
 
 
+def test_contamination_scan_broadcasts_eval_dictionary(spark, sf_dir):
+    """The eval-set shingle dictionary must broadcast — the corpus side is
+    the 100 TB scan and must never shuffle its text for this join."""
+    plan = plan_of(spark, sf_dir, "zz_contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assignment_is_scan_local(spark, sf_dir):
+    """Hash-split assignment may not shuffle before the final tiny
+    aggregate: exactly one pair of HashAggregates (partial + final), no
+    joins, no window exchanges."""
+    plan = plan_of(spark, sf_dir, "zz_split_train_test")
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
+
+
 def test_ivf_probe_statically_prunes_cell_partitions(spark, sf_dir):
     """The IVF probe must read ONLY the probed cells' directories of the
     cell-partitioned index table: query routing pushes a literal
