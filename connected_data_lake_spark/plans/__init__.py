@@ -127,6 +127,16 @@ ROTATED_GREEN_R04 = frozenset(
 PROMOTED_R05 = {
     "zz_pipeline_training_data": "pipeline_training_data",
     "zz_join_bucketed_colocated": "join_bucketed_colocated",
+    # The four round-5 curation queries enter the window immediately rather
+    # than waiting a round: the four tail queries they displace
+    # (window_lag_lead / window_ntile_pct / window_range_frame /
+    # window_rank_dense) were all driver-verified green in
+    # CORRECTNESS_r04.json, so union coverage loses nothing while the new
+    # work gains a driver correctness row in its first round.
+    "zz_split_train_test": "split_train_test",
+    "zz_sample_stratified": "sample_stratified",
+    "zz_text_repetition": "text_repetition",
+    "zz_contamination_overlap": "contamination_overlap",
 }
 
 

@@ -952,11 +952,11 @@ def zz_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # training-data curation: splits / sampling / contamination / repetition
 #
-# Round-5 additions to the LLM-pipeline family. The ``zz_`` prefix defers
-# them past this round's driver correctness window (already exactly 50
-# queries after the r5 rotation — plans/__init__.py); they are fully
-# oracle-verified by the local gate (tools/oracle_check.py,
-# tests/test_oracle_suite.py) and rotate into the window next round.
+# Round-5 additions to the LLM-pipeline family. Declared under ``zz_`` names
+# and promoted into the driver's 50-query correctness window via
+# PROMOTED_R05 (plans/__init__.py), displacing four window_* queries that
+# already hold green CORRECTNESS_r04 rows; also oracle-verified by the local
+# gate (tools/oracle_check.py, tests/test_oracle_suite.py).
 # ---------------------------------------------------------------------------
 
 

@@ -83,7 +83,7 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
 def test_contamination_scan_broadcasts_eval_dictionary(spark, sf_dir):
     """The eval-set shingle dictionary must broadcast — the corpus side is
     the 100 TB scan and must never shuffle its text for this join."""
-    plan = plan_of(spark, sf_dir, "zz_contamination_overlap")
+    plan = plan_of(spark, sf_dir, "contamination_overlap")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -92,7 +92,7 @@ def test_split_assignment_is_scan_local(spark, sf_dir):
     """Hash-split assignment may not shuffle before the final tiny
     aggregate: exactly one pair of HashAggregates (partial + final), no
     joins, no window exchanges."""
-    plan = plan_of(spark, sf_dir, "zz_split_train_test")
+    plan = plan_of(spark, sf_dir, "split_train_test")
     assert plan.count("HashAggregate") == 2
     assert "Join" not in plan
 
