@@ -167,6 +167,40 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     return F.when(k > 0, F.slice(base, 1, k)).otherwise(F.array().cast("array<bigint>"))
 
 
+#: PII patterns restricted to the regex subset with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+#: repetition, \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{4}\b",
+}
+
+#: redaction token per PII kind; scrubbing MUST apply in this dict order
+#: (emails first: their local parts contain digits that the phone pattern
+#: could otherwise clip once the '@…' suffix is replaced).
+PII_REDACTIONS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern (int)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Text with every PII match replaced by its redaction token, applied
+    in the fixed PII_REDACTIONS order (scan-local, codegen'd — the 100 TB
+    shape is a pure map over the corpus scan, zero shuffle)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind, token in PII_REDACTIONS.items():
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
 def _name(col: Column | str) -> str:
     """Column name for embedding in expr() strings (string inputs only)."""
     if isinstance(col, str):

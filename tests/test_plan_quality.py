@@ -111,3 +111,27 @@ def test_ivf_probe_statically_prunes_cell_partitions(spark, sf_dir):
     ]
     assert scan, "no partition-filtered scan over the IVF index table"
     assert "INSET" in scan[0].split("PartitionFilters", 1)[1]
+
+
+def test_pii_scrub_is_scan_local(spark, sf_dir):
+    """PII plant+count+scrub is a pure projection over the corpus scan —
+    no joins, no aggregates; the only exchange is the declared-output
+    ORDER BY."""
+    plan = plan_of(spark, sf_dir, "text_pii_scrub")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_quantize_is_scan_local(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_unigram_logprob_head_joins_broadcast(spark, sf_dir):
+    """The Zipf-head vocabulary must join via broadcast so the exploded
+    corpus is not shuffled for head-token rows (the overwhelming majority
+    of occurrences)."""
+    plan = plan_of(spark, sf_dir, "text_logprob_unigram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

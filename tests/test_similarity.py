@@ -93,3 +93,20 @@ def test_ivf_index_partitions_whole_corpus(spark, sf_dir):
     assert idx.count() == emb.count()  # every row lands in exactly one cell
     assert idx.select("cell").distinct().count() <= 8
     assert len(cents) == 8
+
+
+def test_quantize_int8_codes_and_error_bounds(spark, sf_dir):
+    from connected_data_lake_spark.plans import all_specs
+
+    df = all_specs()["embedding_quantize_int8"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r["scale"] > 0
+        # mean residual per code is <= 0.5^2 per dim; 128 dims -> <= 32,
+        # and in practice ~dims/12. q_sum bounded by 127*dims.
+        assert 0 <= r["sq_err_codes"] <= 32.0
+        assert abs(r["q_sum"]) <= 127 * 128
+        assert not math.isnan(r["sq_err_codes"])

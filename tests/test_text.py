@@ -71,3 +71,38 @@ def test_rolling_hash_fingerprint_stable_under_tail_edit(spark):
     b = _one(spark, edited, TX.rolling_hash_fingerprint("text", window=8))
     # winnowing min-hash usually survives a tail append (same min window)
     assert a == b
+
+
+def test_pii_count_and_scrub(spark):
+    s = "mail a.b+c@x-y.org or 10.1.2.3 tel 555-0142 not 1234-5 nor 1.2.3"
+    assert _one(spark, s, TX.pii_count("text", "email")) == 1
+    assert _one(spark, s, TX.pii_count("text", "ipv4")) == 1
+    assert _one(spark, s, TX.pii_count("text", "phone")) == 1
+    got = _one(spark, s, TX.pii_scrub("text"))
+    assert got == "mail <EMAIL> or <IP> tel <PHONE> not 1234-5 nor 1.2.3"
+
+
+def test_pii_scrub_order_email_before_phone(spark):
+    # the email local part contains digits that the phone pattern would
+    # clip if phones were scrubbed first
+    s = "x 555-0100@example.com y"
+    assert _one(spark, s, TX.pii_scrub("text")) == "x <EMAIL> y"
+    assert _one(spark, s, TX.pii_count("text", "email")) == 1
+
+
+def test_unigram_logprob_flags_rare_tokens(spark, sf_dir):
+    from connected_data_lake_spark.operators.dedup import release_index
+    from connected_data_lake_spark.plans import all_specs
+
+    df = all_specs()["text_logprob_unigram"].spark(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    release_index(df)
+    assert rows, "documents fixture is non-empty"
+    # every score is a mean of log2(count/total) over the doc's tokens:
+    # strictly negative (no token covers the whole corpus) and bounded
+    # below by log2(1/total)
+    import math
+
+    total = sum(r["n_tokens"] for r in rows.values())
+    lo = -math.log2(total) - 1e-6
+    assert all(lo <= r["avg_logprob"] < 0 for r in rows.values())
