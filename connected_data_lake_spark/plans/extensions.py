@@ -1460,3 +1460,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sq_err_codes"),
     ).orderBy("vec_id")
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all({_NORM.format(c='text')},
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), f AS (
+      SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS start_bin,
+           CAST((cum - 1) // 2048 AS BIGINT) AS end_bin,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_bin
+    FROM c ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are concatenated in
+    doc_id order and chunked into fixed 2048-token context windows (the
+    concat-and-chunk packing real LLM pipelines use — docs may span bins);
+    each doc reports its start/end bin and offset — pure integer outputs.
+
+    The global running token count is a DISTRIBUTED two-phase prefix sum,
+    not a single-partition global window (Window.orderBy without
+    partitionBy collapses 100 TB onto one task): range-repartition by
+    doc_id, per-partition token totals (a tiny N_partitions-row aggregate
+    collected as planning metadata, same class as the IVF routing table),
+    exclusive base offsets broadcast back, then a per-partition cumulative
+    window. Output is invariant to the partition boundaries, so the
+    range-partitioner's sampling cannot affect values."""
+    bin_tokens = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    nrm = TX.normalize_text(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(nrm, F.lit(TX.BPE_ISH_PATTERN), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = t.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sums = sorted(
+        parts.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect(),
+        key=lambda r: r["pid"],
+    )
+    bases, running = [], 0
+    for r in sums:
+        bases.append((r["pid"], running))
+        running += r["s"]
+    base_df = spark.createDataFrame(bases, "pid int, base bigint")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        parts.join(F.broadcast(base_df), "pid")
+        .withColumn("cum", F.col("base") + F.sum("n_tokens").over(w))
+    )
+    # integer DIV, not double-divide-then-cast: cum is exact int64 (a 100 TB
+    # corpus overflows double's 53-bit mantissa long before int64)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {bin_tokens}").alias("start_bin"),
+        F.expr(f"(cum - 1) div {bin_tokens}").alias("end_bin"),
+        F.expr(f"(cum - n_tokens) % {bin_tokens}").alias("offset_in_bin"),
+    ).orderBy("doc_id")

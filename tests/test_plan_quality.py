@@ -135,3 +135,13 @@ def test_unigram_logprob_head_joins_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_logprob_unigram")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_single_partition_window(spark, sf_dir):
+    """The global prefix sum must be the two-phase form (per-partition
+    cumulative window + broadcast base offsets) — a Window.orderBy without
+    partitionBy would funnel the whole corpus through one task, which shows
+    up as an Exchange SinglePartition in the plan."""
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan

@@ -106,3 +106,16 @@ def test_unigram_logprob_flags_rare_tokens(spark, sf_dir):
     total = sum(r["n_tokens"] for r in rows.values())
     lo = -math.log2(total) - 1e-6
     assert all(lo <= r["avg_logprob"] < 0 for r in rows.values())
+
+
+def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
+    from connected_data_lake_spark.plans import all_specs
+
+    rows = all_specs()["pack_sequences"].spark(spark, sf_dir).collect()
+    assert rows
+    cum = 0
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        assert r["start_bin"] == cum // 2048
+        assert r["offset_in_bin"] == cum % 2048
+        cum += r["n_tokens"]
+        assert r["end_bin"] == (cum - 1) // 2048
