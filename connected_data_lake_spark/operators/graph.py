@@ -60,13 +60,14 @@ def connected_components(
     rounds (diameter-bound exceeded — see module scale notes).
     """
     edges = _edge_list(pairs, src, dst).persist()
-    # localCheckpoint per round truncates lineage (module notes) AND
-    # materializes, so the convergence scalar below reads cached data.
+    # seed labels with the FIRST propagation folded in — min(self, direct
+    # neighbors) — which saves one full round on every graph; lazy
+    # localCheckpoint truncates lineage (module notes) and materializes
+    # under the convergence-scalar action, so each round costs ONE job.
     labels = (
-        edges.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("component"))
-        .localCheckpoint(eager=True)
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .localCheckpoint(eager=False)
     )
     # label-sum as the convergence scalar: min-label updates only ever
     # decrease it, and equality <=> fixpoint. decimal(38,0) cannot overflow
@@ -84,7 +85,7 @@ def connected_components(
             labels.unionAll(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_checksum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")

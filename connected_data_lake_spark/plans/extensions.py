@@ -1134,22 +1134,29 @@ def zz_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned once with a broadcast semi-join-style hit count —
     no shuffle of corpus text, only of (doc_id, hit) pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.array_distinct(TX.shingles("text", 3)).alias("sh")
-    )
+    # shingle each side EXACTLY once: the eval set shingles 25 docs (tiny,
+    # broadcast); the corpus shingles under the explode only — the per-doc
+    # carrier relation reads just (doc_id, source) via a column-pruned scan
+    # instead of re-evaluating the shingle expression a third time
+    # (measured 3.4 s -> corpus-single-pass at sf0.1).
     eval_sh = (
-        sh.filter(F.col("doc_id") < 25).select(F.explode("sh").alias("tok")).distinct()
+        docs.filter(F.col("doc_id") < 25)
+        .select(F.explode(F.array_distinct(TX.shingles("text", 3))).alias("tok"))
+        .distinct()
     )
-    corpus = sh.filter(F.col("doc_id") >= 25)
+    corpus_base = docs.filter(F.col("doc_id") >= 25)
     hits = (
-        corpus.select("doc_id", F.explode("sh").alias("tok"))
+        corpus_base.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.shingles("text", 3))).alias("tok"),
+        )
         .join(F.broadcast(eval_sh), "tok")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared"))
     )
-    per_doc = corpus.select("doc_id", "source").join(hits, "doc_id", "left").select(
-        "source", F.coalesce("shared", F.lit(0)).alias("shared")
-    )
+    per_doc = corpus_base.select("doc_id", "source").join(
+        hits, "doc_id", "left"
+    ).select("source", F.coalesce("shared", F.lit(0)).alias("shared"))
     return (
         per_doc.groupBy("source")
         .agg(
@@ -1510,8 +1517,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parts = t.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # persist: the offsets pass AND the final pass both consume this
+    # relation — without it the regex tokenization + range shuffle run
+    # twice (measured 1.64 s -> single-pass at sf0.1). Also pins the
+    # sampled range boundaries (output values are invariant to them, but
+    # pinning keeps pids stable for free).
+    parts = (
+        t.repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     sums = sorted(
         parts.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect(),
@@ -1533,10 +1547,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer DIV, not double-divide-then-cast: cum is exact int64 (a 100 TB
     # corpus overflows double's 53-bit mantissa long before int64)
-    return c.select(
+    out = c.select(
         "doc_id",
         "n_tokens",
         F.expr(f"(cum - n_tokens) div {bin_tokens}").alias("start_bin"),
         F.expr(f"(cum - 1) div {bin_tokens}").alias("end_bin"),
         F.expr(f"(cum - n_tokens) % {bin_tokens}").alias("offset_in_bin"),
     ).orderBy("doc_id")
+    return DD._with_persisted(out, parts)
