@@ -110,14 +110,18 @@ ROTATED_GREEN_R01 = frozenset(
 #: CORRECTNESS_r04.json; they cede their slots (→ ``z_`` prefix) so the
 #: flagship compositions — which sorted last as ``zz_*`` and never received
 #: a driver correctness row — plus the new probe-only IVF query and the
-#: round-5 ``pack_sequences`` addition fit inside the 50-query alphabetical
-#: window. Bodies and oracles unchanged.
+#: round-5 additions (pack_sequences, chunking, tf-idf, and the rest of the
+#: curation family) fit inside the 50-query alphabetical window. Bodies and
+#: oracles unchanged.
 ROTATED_GREEN_R04 = frozenset(
     {
         "window_row_number",
         "window_running_sum",
         "window_sliding_avg",
         "agg_approx_distinct",
+        "setop_union_all",
+        "setop_union_distinct",
+        "setop_intersect",
     }
 )
 

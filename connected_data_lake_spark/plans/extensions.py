@@ -1555,3 +1555,127 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - n_tokens) % {bin_tokens}").alias("offset_in_bin"),
     ).orderBy("doc_id")
     return DD._with_persisted(out, parts)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             UNNEST([ {{'i': i, 'chunk': array_to_string(toks[i:i+63], ' ')}}
+                      for i in generate_series(1, len(toks), 48)
+                      if len(toks) - i >= 8 or i = 1 ]) AS u
+      FROM t
+    )
+    SELECT doc_id, CAST((u.i - 1) // 48 AS INT) AS chunk_id,
+           CAST(len(string_split(u.chunk, ' ')) AS INT) AS chunk_tokens,
+           md5(u.chunk) AS chunk_fp
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (the RAG/embedding-prep step):
+    64-token windows at stride 48 (16-token overlap), chunks shorter than
+    8 tokens merged away unless they are the doc's only chunk. Scan-local:
+    sequence + transform + posexplode — the chunk table is produced in one
+    pass over the corpus scan with zero shuffle; md5 chunk fingerprints
+    give downstream dedup/indexing a stable key."""
+    window, stride, min_tail = 64, 48, 8
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n"), F.lit(stride)),
+        lambda i: (F.col("n") - i >= min_tail) | (i == 1),
+    )
+    chunks = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice("toks", i, window), " "),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(F.split("chunk", " ")).cast("int").alias("chunk_tokens"),
+        F.md5("chunk").alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term
+    ), n_docs AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM t
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.c, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.c DESC, df.df ASC, tf.term ASC)
+               AS rank
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank,
+           ROUND(c * (ln(((SELECT n FROM n_docs) + 1.0) / (df + 1.0)) + 1.0), 6)
+             AS tfidf
+    FROM scored WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "pipeline"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1). The RANKING runs entirely on exact
+    integers — (term count DESC, document frequency ASC, term ASC) orders
+    identically to tf*idf for fixed tf because idf is monotone-decreasing
+    in df, and integer ordering cannot be flipped by cross-engine libm
+    last-ulp differences the way a float ORDER BY could; the float tfidf
+    score is output-only, rounded on both sides. Shape: two shuffles
+    (doc-term count, term df), then the df join splits Zipf-aware exactly
+    like text_logprob_unigram — top-1024 head terms (most of the (doc,term)
+    rows) via broadcast, rare tail via shuffle join — and a per-doc top-k
+    window; AQE turns rank<=5 into a partial top-k per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("c")).persist()
+    n_docs = tf.select("doc_id").distinct().count()
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
+    head = df_rel.orderBy(F.desc("df"), "term").limit(1024)
+    with_df = (
+        tf.join(F.broadcast(head), "term")
+        .unionAll(
+            tf.join(F.broadcast(head.select("term")), "term", "left_anti").join(
+                df_rel, "term"
+            )
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("df"), F.asc("term")
+    )
+    scored = with_df.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    out = scored.select(
+        "doc_id",
+        "term",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(
+            F.col("c")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    ).orderBy("doc_id", "rank")
+    return DD._with_persisted(out, tf, df_rel)

@@ -119,3 +119,37 @@ def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
         assert r["offset_in_bin"] == cum % 2048
         cum += r["n_tokens"]
         assert r["end_bin"] == (cum - 1) // 2048
+
+
+def test_chunk_overlap_reconstructs_token_stream(spark, sf_dir):
+    from connected_data_lake_spark.plans import all_specs
+
+    rows = all_specs()["text_chunk_overlap"].spark(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # contiguous ids from 0; chunk i covers tokens [48i+1, min(48i+64, n)]
+        # where n is recoverable from the final chunk
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        n = 48 * chunks[-1]["chunk_id"] + chunks[-1]["chunk_tokens"]
+        for c in chunks:
+            assert c["chunk_tokens"] == min(64, n - 48 * c["chunk_id"])
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
+    from connected_data_lake_spark.operators.dedup import release_index
+    from connected_data_lake_spark.plans import all_specs
+
+    df = all_specs()["text_tfidf_keywords"].spark(spark, sf_dir)
+    rows = df.collect()
+    release_index(df)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, terms in by_doc.items():
+        assert 1 <= len(terms) <= 5
+        assert sorted(t["rank"] for t in terms) == list(range(1, len(terms) + 1))
+        assert all(t["tfidf"] > 0 for t in terms)
