@@ -143,3 +143,36 @@ def test_sessionized_stream_matches_batch_closed_sessions(spark, sf_dir, events_
     }
     for r in out:
         assert batch[(r.user_id, r.session_start)] == (r.session_end, r.n_events, r.sum_value)
+
+
+def test_sessionize_with_alerts_emits_early_and_on_gap(spark, tmp_path):
+    d = str(tmp_path / "alert_in")
+    t0 = 1_700_000_000
+    rows = []
+    # session 1: six events a minute apart -> alert at the 5th, then the
+    # session closes when the same batch crosses the 30-min gap
+    for i in range(6):
+        rows.append((i, (t0 + 60 * i) * 10**9, 10, "click", 1.0, "{}"))
+    # session 2: two events 55 min after session 1 -> stays OPEN (the final
+    # watermark = max_ts - 1h never passes last_ts + gap), so no emission
+    for j in range(2):
+        rows.append((10 + j, (t0 + 3300 + 60 * j) * 10**9, 10, "click", 1.0, "{}"))
+    spark.createDataFrame(rows, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(d)
+
+    out = _drain(
+        ST.sessionize_with_alerts(
+            SE.read_events_stream(spark, d), gap_minutes=30, alert_after=5
+        )
+    ).collect()
+
+    alerts = [r for r in out if r.kind == "alert"]
+    sessions = [r for r in out if r.kind == "session"]
+    assert len(alerts) == 1 and len(sessions) == 1
+    a, s = alerts[0], sessions[0]
+    # the alert fired EARLY: at the threshold count, before the session end
+    assert (a.user_id, a.n_events, a.sum_value) == (10, 5, 5.0)
+    assert a.last_ts_us == (t0 + 60 * 4) * 10**6
+    # the closed session carries the full six events
+    assert (s.user_id, s.n_events, s.sum_value) == (10, 6, 6.0)
+    assert s.session_start_us == t0 * 10**6
+    assert s.last_ts_us == (t0 + 60 * 5) * 10**6
