@@ -122,6 +122,7 @@ ROTATED_GREEN_R04 = frozenset(
         "setop_union_all",
         "setop_union_distinct",
         "setop_intersect",
+        "setop_except",
     }
 )
 

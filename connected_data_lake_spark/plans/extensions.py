@@ -1679,3 +1679,62 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tfidf"),
     ).orderBy("doc_id", "rank")
     return DD._with_persisted(out, tf, df_rel)
+
+
+@query(
+    "sample_mixture_rebalance",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(substr(source, 4) AS INT) AS idx, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), k AS (
+      SELECT MIN(n * (idx + 1)) AS kk FROM c
+    ), quota AS (
+      SELECT source,
+             LEAST(n, CAST((SELECT kk FROM k) // (idx + 1) AS BIGINT))
+               AS n_keep
+      FROM c
+    ), r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5({_NORM.format(c='text')}), doc_id) AS rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, CAST(r.rank AS INT) AS rank
+    FROM r JOIN quota USING (source)
+    WHERE r.rank <= quota.n_keep
+    ORDER BY r.source, r.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsampling to a target source mixture — the corpus
+    mixing step of a training pipeline. Target weight for source ``srcI``
+    is ∝ 1/(I+1); the binding source sets the global scale
+    K = min_s(count_s · (idx_s+1)) and each source keeps
+    quota_s = K div (idx_s+1) docs — ALL integer arithmetic, so quotas are
+    engine-exact (no float mixture math to drift). Selection within a
+    source is content-hash order (the same reproducible-sample device as
+    sample_stratified): stable across runs, partitionings and cluster
+    sizes, and new corpus files cannot displace previously kept docs
+    except through the quota itself. One shuffle on the stratum key for
+    the rank window; the tiny per-source quota relation broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        "source", F.substring("source", 4, 10).cast("int").alias("idx")
+    ).agg(F.count("*").alias("n"))
+    k = c.agg(F.min(F.col("n") * (F.col("idx") + 1)).alias("kk"))
+    quota = c.crossJoin(F.broadcast(k)).select(
+        "source",
+        F.least(
+            F.col("n"), F.expr("kk div (idx + 1)").cast("bigint")
+        ).alias("n_keep"),
+    )
+    w = Window.partitionBy("source").orderBy(TX.fingerprint("text"), F.col("doc_id"))
+    r = docs.select("source", "doc_id", F.row_number().over(w).alias("rank"))
+    return (
+        r.join(F.broadcast(quota), "source")
+        .filter(F.col("rank") <= F.col("n_keep"))
+        .select("source", "doc_id", F.col("rank").cast("int").alias("rank"))
+        .orderBy("source", "doc_id")
+    )

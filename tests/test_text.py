@@ -153,3 +153,25 @@ def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
         assert 1 <= len(terms) <= 5
         assert sorted(t["rank"] for t in terms) == list(range(1, len(terms) + 1))
         assert all(t["tfidf"] > 0 for t in terms)
+
+
+def test_mixture_rebalance_quotas_are_exact(spark, sf_dir):
+    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.sources.tables import load_table
+
+    rows = all_specs()["sample_mixture_rebalance"].spark(spark, sf_dir).collect()
+    assert rows
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    k = min(n * (int(src[3:]) + 1) for src, n in counts.items())
+    kept: dict[str, int] = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    for src, n in counts.items():
+        expected = min(n, k // (int(src[3:]) + 1))
+        assert kept.get(src, 0) == expected, src
