@@ -145,3 +145,17 @@ def test_pack_sequences_has_no_single_partition_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_sequences")
     assert "SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_mixture_rebalance_broadcasts_quota(spark, sf_dir):
+    """The per-source quota relation is tiny and must broadcast; the
+    corpus-side rank join may not cartesian."""
+    plan = plan_of(spark, sf_dir, "sample_mixture_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_head_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
