@@ -55,3 +55,54 @@ def test_cluster_assign_query_sizes_are_consistent(spark, sf_dir):
         assert all(
             r["cluster_size"] == len(members) for r in rows if r["cluster_id"] == cid
         )
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property: on arbitrary small graphs the distributed min-label
+    fixpoint equals a sequential union-find (hypothesis-driven)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent.setdefault(u, u), parent.setdefault(v, v)
+            parent[find(u)] = find(v)
+        expected = {}
+        roots: dict[int, int] = {}
+        for n in parent:
+            r = find(n)
+            roots.setdefault(r, n)
+            roots[r] = min(roots[r], n)
+        for n in parent:
+            expected[n] = roots[find(n)]
+
+        cc = connected_components(_pairs(spark, edges))
+        got = {r["node"]: r["component"] for r in cc.collect()}
+        cc.unpersist()
+        assert got == expected
+
+    check()
