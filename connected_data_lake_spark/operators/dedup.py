@@ -152,19 +152,30 @@ def minhash_from_hashes(hashes_col: Column, num_hashes: int = 128, seed: int = 4
 
     @F.pandas_udf("array<bigint>")
     def _mh(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for h in hashes:
-                if h is None or len(h) == 0:
-                    out.append(None)
-                    continue
-                x = np.asarray(h, dtype=np.uint64)[:, None] + seeds[None, :]
+        # One flattened (total_shingles, k) mix + segment-min per Arrow batch:
+        # a per-row Python loop pays interpreter + small-matrix dispatch
+        # overhead ~n_rows times per batch (measured ~1.7x slower at ~200
+        # shingles/doc). np.minimum.reduceat needs non-empty segments, so
+        # empty/None rows are masked out and scattered back as NULL.
+        vals = hashes.to_numpy()
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in vals), dtype=np.int64, count=len(vals)
+        )
+        out: list = [None] * len(vals)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.uint64) for i in nz])
+            with np.errstate(over="ignore"):
+                x = flat[:, None] + seeds[None, :]
                 x ^= x >> np.uint64(30)
                 x *= np.uint64(0xBF58476D1CE4E5B9)
                 x ^= x >> np.uint64(27)
                 x *= np.uint64(0x94D049BB133111EB)
                 x ^= x >> np.uint64(31)
-                out.append(x.min(axis=0).astype(np.int64).tolist())
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            mins = np.minimum.reduceat(x, offsets, axis=0).astype(np.int64)
+            for j, i in enumerate(nz):
+                out[i] = mins[j].tolist()
         return pd.Series(out)
 
     return _mh(hashes_col)
@@ -439,25 +450,37 @@ def simhash_from_hashes(hashes_col: Column) -> Column:
 
     @F.pandas_udf("long")
     def _sh(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                # NULL signature for empty feature sets (see simhash():
-                # a 0 signature makes all short docs mutual "duplicates")
-                out.append(None)
-                continue
-            # (n_feats, 64) bit matrix, little-endian bit order per word
-            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+        # Batched like minhash_from_hashes: one flattened unpackbits +
+        # np.add.reduceat segment-sum per Arrow batch replaces the per-row
+        # loop; bit votes / word packing are identical. Empty/None rows stay
+        # NULL (see simhash(): a 0 signature makes all short docs mutual
+        # "duplicates").
+        vals = hashes.to_numpy()
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in vals), dtype=np.int64, count=len(vals)
+        )
+        out: list = [None] * len(vals)
+        nz = np.nonzero(lens > 0)[0]
+        if len(nz):
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.int64) for i in nz])
+            # (total_feats, 64) bit matrix, little-endian bit order per word
             bits = (
-                np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+                np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
                 .reshape(-1, 64)
-                .astype(np.int32)
+                .astype(np.int64)
             )
-            votes = (2 * bits - 1).sum(axis=0)  # ±1 vote per bit
-            word = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(i)
-            out.append(int(word.astype(np.int64)))
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            ones = np.add.reduceat(bits, offsets, axis=0)  # per-doc 1-bit counts
+            votes = 2 * ones - lens[nz][:, None]  # ±1 vote per bit
+            words = (
+                np.packbits(votes > 0, axis=1, bitorder="little")
+                .view(np.int64)
+                .ravel()
+            )
+            for j, i in enumerate(nz):
+                out[i] = int(words[j])
         return pd.Series(out)
 
     return _sh(hashes_col)
