@@ -115,6 +115,11 @@ ROTATED_GREEN_R01 = frozenset(
 #: oracles unchanged.
 ROTATED_GREEN_R04 = frozenset(
     {
+        # agg_array_sorted rotated mid-round-5: it was verified green in
+        # CORRECTNESS_r04.json and cedes its slot so the new
+        # dedup_incremental query lands inside the 50-query window without
+        # pushing the (still-unverified) round-5 tail out
+        "agg_array_sorted",
         "window_row_number",
         "window_running_sum",
         "window_sliding_avg",

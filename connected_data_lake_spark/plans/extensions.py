@@ -361,6 +361,132 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_new,
+             {_NORM.format(c='text')} AS nrm,
+             string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, is_new, md5(nrm) AS fp,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS sh
+      FROM t
+    ), exact AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS match_id
+      FROM s n JOIN s c ON n.fp = c.fp AND n.is_new AND NOT c.is_new
+      GROUP BY 1
+    ), p AS (
+      SELECT doc_id, is_new, len(sh) AS sz, UNNEST(sh) AS tok
+      FROM s WHERE len(sh) > 0
+    ), inter AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS inter,
+             ANY_VALUE(n.sz) AS sz_n, ANY_VALUE(c.sz) AS sz_c
+      FROM p n JOIN p c ON n.tok = c.tok AND n.is_new AND NOT c.is_new
+      GROUP BY 1, 2
+    ), near AS (
+      SELECT new_id AS doc_id, corpus_id AS match_id,
+             inter * 1.0 / (sz_n + sz_c - inter) AS jac,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+               ORDER BY inter * 1.0 / (sz_n + sz_c - inter) DESC,
+                        corpus_id ASC) AS rn
+      FROM inter
+      WHERE inter * 1.0 / (sz_n + sz_c - inter) >= 0.5
+        AND new_id NOT IN (SELECT doc_id FROM exact)
+    )
+    SELECT t.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           COALESCE(e.match_id, nr.match_id) AS match_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1.0
+                ELSE ROUND(nr.jac, 6) END AS jaccard
+    FROM t
+    LEFT JOIN exact e ON t.doc_id = e.doc_id
+    LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr ON t.doc_id = nr.doc_id
+    WHERE t.is_new
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production ingest shape: a NEW batch
+    (doc_id % 5 == 0, a deterministic 20% that splits duplicate groups
+    across both sides) is classified against the EXISTING corpus as
+    exact_dup (fingerprint match, min corpus id), near_dup (best exact
+    Jaccard ≥ 0.5 corpus doc via an asymmetric MinHash-LSH probe,
+    operators.dedup.minhash_lsh_probe), or novel. The corpus fingerprint
+    relation and banded signature relation are the persisted indexes a
+    cluster maintains across ingests — per-batch cost is the batch's own
+    signatures plus bucket-collision joins; the corpus is never rescanned
+    for shingling (reference analogue: append-only ingest per SURVEY §1.1,
+    crates/cdl-fs/src/lib.rs:430 — dedup is our pipeline extension).
+
+    Oracle contract (exact-value): the near path verifies candidates with
+    exact shingle Jaccard, so output = the oracle's exhaustive batch x
+    corpus join whenever LSH recall is 1 — certain at this corpus's
+    separation (true pairs J ≥ 0.87: a 4-row band misses with prob
+    (1-J^4)^32 < 1e-12). Best-match ranking divides the same two integers
+    in both engines (one correctly-rounded IEEE op), so the float ORDER BY
+    cannot diverge; ties break on corpus id."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    # exact leg: corpus fingerprint index (min doc_id per fingerprint)
+    corp_fp = corpus.groupBy(TX.fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("e_match")
+    )
+    exact = (
+        batch.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .join(corp_fp, "fp")
+        .select("doc_id", "e_match")
+    )
+
+    # near leg: probe only not-exact batch docs against the corpus index
+    sh_c = DD.shingle_relation(corpus)
+    rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+    sh_n = DD.shingle_relation(rest)
+    cand = DD.minhash_lsh_probe(sh_n, sh_c, num_hashes=128, bands=32)
+    ver = (
+        cand.join(sh_n.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}), "new_id")
+        .join(sh_c.withColumnsRenamed({"id": "corpus_id", "sh": "sh_corp"}), "corpus_id")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_new", "sh_corp")).cast("double")
+            / F.size(F.array_union("sh_new", "sh_corp")),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("corpus_id"))
+    best = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("new_id").alias("doc_id"), F.col("corpus_id").alias("n_match"), "jac")
+    )
+
+    out = (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("n_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("e_match", "n_match").alias("match_id"),
+            F.when(F.col("e_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.round("jac", 6))
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+    return DD._with_persisted(out, *getattr(cand, "_cdl_persisted", ()), sh_c, sh_n)
+
+
+@query(
     "dedup_simhash",
     oracle=_EXACT_JACCARD_PAIRS_SQL,
     tags=("dedup",),

@@ -71,6 +71,38 @@ def test_simhash_high_recall_no_false_positives(docs, truth_pairs):
     assert not (got - truth_pairs), "hamming<=7 should admit no noise pairs on this corpus"
 
 
+def test_minhash_lsh_probe_matches_cross_split_truth(docs, truth_pairs):
+    # asymmetric batch-vs-index probe: split the corpus, keep only the
+    # truth pairs that straddle the split, and require the probe + exact
+    # verify to find exactly those (in either id order — the probe has no
+    # id_a < id_b constraint)
+    is_new = (F.col("doc_id") % 5) == 0
+    sh_c = DD.shingle_relation(docs.filter(~is_new))
+    sh_n = DD.shingle_relation(docs.filter(is_new))
+    cand = DD.minhash_lsh_probe(sh_n, sh_c, num_hashes=128, bands=32)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in cand.join(
+            sh_n.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}), "new_id"
+        )
+        .join(sh_c.withColumnsRenamed({"id": "corpus_id", "sh": "sh_corp"}), "corpus_id")
+        .filter(
+            F.size(F.array_intersect("sh_new", "sh_corp"))
+            / F.size(F.array_union("sh_new", "sh_corp"))
+            >= 0.5
+        )
+        .select("new_id", "corpus_id")
+        .collect()
+    }
+    straddle = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in truth_pairs
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert got == straddle
+    assert len(straddle) > 0, "fixture should plant pairs across the split"
+
+
 def test_embedding_near_duplicates_finds_planted_pair(spark):
     import random
 
