@@ -55,7 +55,7 @@ def test_flagship_agg_is_partial_then_final(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"]
+    "name", ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental"]
 )
 def test_dedup_joins_are_hash_equality_not_nested_loop(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
@@ -158,4 +158,14 @@ def test_mixture_rebalance_broadcasts_quota(spark, sf_dir):
 def test_tfidf_head_join_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_tfidf_keywords")
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_probes_persisted_index(spark, sf_dir):
+    """The corpus's banded signature relation is the persisted index — the
+    probe join must read it from cache (InMemoryTableScan), not recompute
+    the signature UDF per reference; the exact leg is an anti-join gate."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "InMemoryTableScan" in plan
+    assert "Anti" in plan
     assert "CartesianProduct" not in plan

@@ -125,3 +125,47 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
         F.abs(F.col("jaccard") - F.col("est_jaccard")) > 0.25
     )
     assert bad.count() == 0
+
+
+def test_incremental_probe_matches_bruteforce_cross_jaccard(spark):
+    # random corpus + planted one-token-edit copies as the "new batch":
+    # the asymmetric LSH probe + exact verify must equal the brute-force
+    # batch x corpus Jaccard join (planted J >= 0.7 at >= 20 tokens, where
+    # a 4-row/32-band miss has prob (1-J^4)^32 < 1e-4; the seeded corpus
+    # makes the test deterministic)
+    corpus_rows = [(i, _random_text(RNG.randint(20, 30))) for i in range(60)]
+    batch_rows = []
+    for i in range(0, 60, 3):
+        toks = corpus_rows[i][1].split(" ")
+        toks[RNG.randrange(2, len(toks) - 2)] = "zzzedit"
+        batch_rows.append((1000 + i, " ".join(toks)))
+    batch_rows += [(2000 + i, _random_text(RNG.randint(20, 30))) for i in range(10)]
+
+    from connected_data_lake_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    sh_c, sh_n = DD.shingle_relation(corpus), DD.shingle_relation(batch)
+    cand = DD.minhash_lsh_probe(sh_n, sh_c, num_hashes=128, bands=32)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in cand.join(
+            sh_n.withColumnsRenamed({"id": "new_id", "sh": "a"}), "new_id"
+        )
+        .join(sh_c.withColumnsRenamed({"id": "corpus_id", "sh": "b"}), "corpus_id")
+        .filter(
+            F.size(F.array_intersect("a", "b")) / F.size(F.array_union("a", "b"))
+            >= 0.5
+        )
+        .select("new_id", "corpus_id")
+        .collect()
+    }
+    sh = {i: set(_py_shingles(t)) for i, t in corpus_rows + batch_rows}
+    want = {
+        (n, c)
+        for n, _ in batch_rows
+        for c, _ in corpus_rows
+        if len(sh[n] & sh[c]) / len(sh[n] | sh[c]) >= 0.5
+    }
+    assert got == want
+    assert len(want) >= 15, "planted edits should survive the threshold"
