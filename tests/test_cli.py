@@ -1,0 +1,73 @@
+"""cdl-spark CLI parity (reference crates/cdl/src/command/{query,copy}.rs):
+`query <target> <sql>` prints rows, `cp <from> <to>` restores byte-identical
+files; auto-load ingests a fresh tree, `--load never` fails fast."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from connected_data_lake_spark.cli import main
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    pathlib.Path(src, "empty.txt").write_bytes(b"")
+    pathlib.Path(src, "a.txt").write_bytes(b"alpha")
+    pathlib.Path(src, "sub", "b.bin").write_bytes(bytes(range(256)) * 8)
+    return src
+
+
+def test_query_auto_loads_and_prints(spark, tree, capsys):
+    rc = main(
+        [
+            "query",
+            f"local://{tree}",
+            "SELECT name, size FROM rootfs WHERE size IS NOT NULL ORDER BY name",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "a.txt" in out and "b.bin" in out and "empty.txt" in out
+
+
+def test_query_respects_limit(spark, tree, capsys):
+    main(["query", f"local://{tree}", "SELECT name FROM rootfs ORDER BY name", "--limit", "1"])
+    out = capsys.readouterr().out
+    assert "a.txt" in out
+    assert "b.bin" not in out
+
+
+def test_cp_round_trips_bytes(spark, tree, tmp_path, capsys):
+    dst = tmp_path / "dst"
+    rc = main(["cp", f"local://{tree}", f"local://{dst}"])
+    assert rc == 0
+    assert "copied" in capsys.readouterr().out
+    for rel in ("empty.txt", "a.txt", "sub/b.bin"):
+        assert (dst / rel).read_bytes() == (tree / rel).read_bytes()
+
+
+def test_load_never_fails_on_missing_table(spark, tmp_path):
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no rootfs table"):
+        main(["query", f"local://{empty}", "SELECT 1", "--load", "never"])
+
+
+def test_set_merges_catalog_knobs(spark, tree):
+    # max_chunk_size via --set: the 2 KiB chunking splits b.bin (2048 bytes)
+    from connected_data_lake_spark import Cdl
+    from connected_data_lake_spark.cli import _parse_sets
+
+    sets = _parse_sets(["max_chunk_size=1024", "fs.custom.knob=v"])
+    cdl = Cdl(spark=spark, **sets)
+    assert cdl.catalog.max_chunk_size == 1024
+    assert cdl.catalog.extra["fs.custom.knob"] == "v"
+    fs = cdl.open(f"local://{tree}").load()
+    chunks = fs.sql(
+        "SELECT count(*) AS n FROM rootfs WHERE name = 'b.bin'"
+    ).collect()[0]["n"]
+    assert chunks == 2
