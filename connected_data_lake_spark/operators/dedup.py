@@ -300,58 +300,69 @@ def minhash_lsh_candidates(
     return _with_persisted(out, sig, shingles)
 
 
+def minhash_bands(
+    shingles: DataFrame, num_hashes: int = 128, bands: int = 32
+) -> DataFrame:
+    """(id, band, band_hash) banded MinHash signatures of a
+    :func:`shingle_relation` — the storable LSH index relation: each band's
+    row-slice of the k-minhash signature collapses to one xxhash64 bucket
+    key, so a written copy of this relation IS the corpus dedup index
+    (write partitioned/bucketed by (band, band_hash) at cluster scale)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig = shingles.select(
+        "id", minhash_from_hashes(F.col("sh"), num_hashes).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_probe(
     probe_shingles: DataFrame,
-    index_shingles: DataFrame,
+    index_shingles: DataFrame | None = None,
     num_hashes: int = 128,
     bands: int = 32,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH probe of a NEW batch against a corpus signature
     index: (new_id, corpus_id) candidate pairs — the incremental-ingest
     shape (daily batch vs existing crawl), vs the self-join backfill shape
     of :func:`minhash_lsh_candidates`.
 
-    Both inputs are :func:`shingle_relation` outputs. The corpus side is
-    the persisted index — at cluster scale a table written once, bucketed
-    by (band, band_hash), so per-ingest cost is the batch's signatures plus
-    an equality join that touches only colliding buckets: O(batch
-    collisions), independent of corpus size beyond the bucket lookups, and
-    the corpus is never re-shingled or re-hashed. No id-ordering constraint
-    applies (the sides are distinct relations), and candidates carry no
-    signature payload — the exact-Jaccard verify is the precision step."""
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
-
-    def banded(sh: DataFrame) -> DataFrame:
-        sig = (
-            sh.select("id", minhash_from_hashes(F.col("sh"), num_hashes).alias("sig"))
-            .filter(F.col("sig").isNotNull())
-        )
-        return sig.select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
-                )
-            ).alias("band", "band_hash"),
-        )
-
-    # persist the index's banded signatures (the "written index table");
-    # the probe side is one straight-through pass, no second reference
-    idx = banded(index_shingles).persist()
-    probe = banded(probe_shingles)
+    The corpus side is either ``index_shingles`` (a :func:`shingle_relation`,
+    banded here and session-persisted) or a prebuilt ``index_bands``
+    relation (:func:`minhash_bands` read back from its written table — the
+    production path: the index is built once per corpus by an offline job).
+    Per-ingest cost is the batch's signatures plus an equality join that
+    touches only colliding buckets: O(batch collisions), independent of
+    corpus size beyond the bucket lookups — the corpus is never re-shingled
+    or re-hashed. No id-ordering constraint applies (the sides are distinct
+    relations), and candidates carry no signature payload — the
+    exact-Jaccard verify is the precision step."""
+    persisted: list[DataFrame] = []
+    if index_bands is None:
+        assert index_shingles is not None, "need index_shingles or index_bands"
+        index_bands = minhash_bands(index_shingles, num_hashes, bands).persist()
+        persisted.append(index_bands)
+    probe = minhash_bands(probe_shingles, num_hashes, bands)
     out = (
         probe.alias("n")
         .join(
-            idx.alias("c"),
+            index_bands.alias("c"),
             (F.col("n.band") == F.col("c.band"))
             & (F.col("n.band_hash") == F.col("c.band_hash")),
         )
         .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    return _with_persisted(out, idx)
+    return _with_persisted(out, *persisted)
 
 
 def jaccard_verify(
