@@ -1820,7 +1820,9 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("c")).persist()
-    n_docs = tf.select("doc_id").distinct().count()
+    # N as a broadcast one-row relation, not a driver count(): keeps the
+    # whole query one lazy job (no eager action materializing tf early)
+    n_rel = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
     df_rel = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
     head = df_rel.orderBy(F.desc("df"), "term").limit(1024)
     with_df = (
@@ -1837,16 +1839,25 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_df.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
     )
-    out = scored.select(
-        "doc_id",
-        "term",
-        F.col("rank").cast("int").alias("rank"),
-        F.round(
-            F.col("c")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
-        ).alias("tfidf"),
-    ).orderBy("doc_id", "rank")
+    out = (
+        scored.crossJoin(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(
+                F.col("c")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
     return DD._with_persisted(out, tf, df_rel)
 
 
