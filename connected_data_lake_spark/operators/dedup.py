@@ -365,6 +365,78 @@ def minhash_lsh_probe(
     return _with_persisted(out, *persisted)
 
 
+def incremental_classify(
+    batch: DataFrame,
+    fp_index: DataFrame,
+    band_index: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Classify a NEW batch of documents against a prebuilt corpus index:
+    (id, status ∈ exact_dup|near_dup|novel, match_id, jaccard).
+
+    Index relations (built offline, once per corpus — typically written
+    tables): ``fp_index`` = (fp, e_match) min corpus id per normalized-text
+    fingerprint; ``band_index`` = :func:`minhash_bands` of the corpus
+    shingle relation; ``corpus_shingles`` = the :func:`shingle_relation`
+    itself (for the exact-Jaccard verify). Per-batch cost is the batch's
+    own fingerprints + signatures plus bucket-collision joins — the corpus
+    is never re-shingled. Used by both the declared ``dedup_incremental``
+    query and the streaming ingest wrapper
+    (:mod:`connected_data_lake_spark.streaming.dedup`)."""
+    from connected_data_lake_spark.functions import text as _TX
+
+    exact = (
+        batch.select(F.col(id_col), _TX.fingerprint(text_col).alias("fp"))
+        .join(fp_index, "fp")
+        .select(id_col, "e_match")
+    )
+    rest = batch.join(exact.select(id_col), id_col, "left_anti")
+    sh_n = shingle_relation(rest, text_col, id_col, shingle_n)
+    cand = minhash_lsh_probe(sh_n, index_bands=band_index, num_hashes=num_hashes, bands=bands)
+    ver = (
+        cand.join(sh_n.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}), "new_id")
+        .join(
+            corpus_shingles.withColumnsRenamed({"id": "corpus_id", "sh": "sh_corp"}),
+            "corpus_id",
+        )
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_new", "sh_corp")).cast("double")
+            / F.size(F.array_union("sh_new", "sh_corp")),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("corpus_id"))
+    best = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("new_id").alias(id_col), F.col("corpus_id").alias("n_match"), "jac")
+    )
+    out = (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("e_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("n_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("e_match", "n_match").alias("match_id"),
+            F.when(F.col("e_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.round("jac", 6))
+            .alias("jaccard"),
+        )
+    )
+    return _with_persisted(out, *getattr(cand, "_cdl_persisted", ()), sh_n)
+
+
 def jaccard_verify(
     candidates: DataFrame,
     df: DataFrame,

@@ -479,54 +479,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter((F.col("doc_id") % 5) == 0)
     corp_fp, band_idx, sh_c = _dedup_corpus_index(spark, sf_dir)
-
-    # exact leg: fingerprint lookup against the index
-    exact = (
-        batch.select("doc_id", TX.fingerprint("text").alias("fp"))
-        .join(corp_fp, "fp")
-        .select("doc_id", "e_match")
+    out = DD.incremental_classify(batch, corp_fp, band_idx, sh_c, threshold=0.5)
+    return DD._with_persisted(
+        out.orderBy("doc_id"), *getattr(out, "_cdl_persisted", ())
     )
-
-    # near leg: probe only not-exact batch docs against the banded index
-    rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
-    sh_n = DD.shingle_relation(rest)
-    cand = DD.minhash_lsh_probe(sh_n, index_bands=band_idx, num_hashes=128, bands=32)
-    ver = (
-        cand.join(sh_n.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}), "new_id")
-        .join(sh_c.withColumnsRenamed({"id": "corpus_id", "sh": "sh_corp"}), "corpus_id")
-        .withColumn(
-            "jac",
-            F.size(F.array_intersect("sh_new", "sh_corp")).cast("double")
-            / F.size(F.array_union("sh_new", "sh_corp")),
-        )
-        .filter(F.col("jac") >= 0.5)
-    )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("corpus_id"))
-    best = (
-        ver.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("new_id").alias("doc_id"), F.col("corpus_id").alias("n_match"), "jac")
-    )
-
-    out = (
-        batch.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("e_match").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("n_match").isNotNull(), F.lit("near_dup"))
-            .otherwise(F.lit("novel"))
-            .alias("status"),
-            F.coalesce("e_match", "n_match").alias("match_id"),
-            F.when(F.col("e_match").isNotNull(), F.lit(1.0))
-            .otherwise(F.round("jac", 6))
-            .alias("jaccard"),
-        )
-        .orderBy("doc_id")
-    )
-    # sh_c/band_idx/corp_fp are parquet-backed index reads, nothing to release
-    return DD._with_persisted(out, *getattr(cand, "_cdl_persisted", ()), sh_n)
 
 
 @query(
