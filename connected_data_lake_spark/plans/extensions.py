@@ -360,6 +360,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_verify(cand, docs, threshold=0.5, shingles=sh).orderBy("id_a", "id_b")
 
 
+def _artifact_token(sf_dir: str, *tables: str) -> str:
+    """Content-versioned key for on-disk index/layout artifacts (IVF cells,
+    dedup index, bucketed layouts): hashes the source parquet files'
+    identity (path + size + mtime), so a regenerated corpus can never
+    silently reuse a stale artifact built from the old data — a plain
+    md5(sf_dir) key survived data refreshes and would have served wrong
+    results with no error."""
+    import hashlib
+    import os
+
+    parts = []
+    for table in tables:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(p)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 #: session-scoped handles to the on-disk incremental-dedup corpus index
 _DEDUP_IDX_CACHE: dict[str, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
@@ -374,7 +395,6 @@ def _dedup_corpus_index(
     parquet, and returns read-back handles. At cluster scale these are the
     maintained index tables an ingest pipeline appends to; per-batch query
     cost then excludes every corpus-side pass."""
-    import hashlib
     import os
     import tempfile
 
@@ -382,7 +402,7 @@ def _dedup_corpus_index(
     if key not in _DEDUP_IDX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
-            f"cdl_dedupidx_v1_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+            f"cdl_dedupidx_v1_{_artifact_token(sf_dir, 'documents')}",
         )
         if not os.path.isdir(path):  # offline build step, once per corpus
             docs = load_table(spark, sf_dir, "documents")
@@ -677,7 +697,6 @@ _IVF_CACHE: dict[str, tuple[DataFrame, list]] = {}
 
 
 def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
-    import hashlib
     import os
     import tempfile
 
@@ -687,7 +706,7 @@ def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
         indexed, centroids = SIM.ivf_index(emb, n_cells=32, max_iter=5)
         path = os.path.join(
             tempfile.gettempdir(),
-            f"cdl_ivf_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+            f"cdl_ivf_{_artifact_token(sf_dir, 'embeddings')}",
         )
         if not os.path.isdir(path):  # offline build step, once per corpus
             # repartition by cell first: without it every shuffle partition
@@ -1004,7 +1023,6 @@ _BUCKETED_CACHE: dict[str, tuple[str, str]] = {}
 def _bucketed_order_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
-    import hashlib
     import os
     import tempfile
 
@@ -1012,7 +1030,7 @@ def _bucketed_order_tables(
 
     key = f"{id(spark)}:{sf_dir}"
     if key not in _BUCKETED_CACHE:
-        h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        h = _artifact_token(sf_dir, "orders", "lineitem")
         names = (f"cdl_bkt_orders_{h}", f"cdl_bkt_lineitem_{h}")
         for table, name, k in (
             ("orders", names[0], "o_orderkey"),
