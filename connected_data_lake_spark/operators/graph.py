@@ -90,6 +90,13 @@ def connected_components(
         new_checksum = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        # the collect above materialized new_labels' own checkpoint blocks;
+        # the PREVIOUS round's blocks are no longer read by anything — free
+        # them now instead of waiting for the context cleaner's GC cycle
+        # (accumulated per-round blocks made suite runs progressively
+        # slower). Never unpersist the CURRENT labels: localCheckpoint
+        # truncates lineage, so its blocks ARE the data.
+        labels.unpersist()
         labels = new_labels
         if new_checksum == checksum:
             edges.unpersist()
