@@ -1542,6 +1542,85 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zz_text_logprob_bigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             UNNEST([array_to_string(toks[i:i+1], ' ')
+                     for i in generate_series(1, len(toks) - 1)]) AS bg
+      FROM t
+    ), c2 AS (
+      SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg
+    ), c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+      FROM c2 GROUP BY 1
+    ), s AS (
+      SELECT bg, log2(c2) - log2(c1) AS lp
+      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+    ), d AS (
+      SELECT doc_id, COUNT(*) AS n, SUM(lp) AS sl
+      FROM b JOIN s USING (bg) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+           ROUND(sl / n, 6) AS avg_logprob
+    FROM d ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def zz_text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram conditional language-model score per document: mean
+    log2 P(w2|w1) over the doc's bigrams, where P(w2|w1) =
+    C(w1 w2) / C(w1·) and C(w1·) is w1's bigram-PREFIX count (so the
+    conditional sums to 1 exactly, with no smoothing needed — every scored
+    bigram exists in the corpus by construction). The bigram step beyond
+    ``text_logprob_unigram``: unigram scoring can't see scrambled word
+    order, bigram scoring penalizes it — the standard CCNet/KenLM-style
+    quality filter, here relational instead of an external LM binary.
+
+    Determinism discipline: counts are exact integers; each distinct
+    bigram's lp = log2(c2) - log2(c1) is the same two correctly-rounded
+    libm calls in both engines; per-doc SUM(lp) association order can
+    differ but the 1e-6 rounding absorbs double last-ulp wiggle (sums of
+    ~500 values carry ~1e-11 absolute error). Shape: one shuffle for
+    bigram counts (map-side partial combine), prefix counts derived from
+    the COUNTED relation (never re-scanning the corpus), Zipf head-1024
+    broadcast join for the score lookup, tail via shuffle join — same
+    100 TB split as the unigram query."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(TX.shingles("text", 2)).alias("bg"))
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2")).persist()
+    c1 = c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    score = (
+        c2.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .select("bg", "c2", (F.log2("c2") - F.log2("c1")).alias("lp"))
+        .persist()
+    )
+    head = score.orderBy(F.desc("c2"), "bg").limit(1024).select("bg", "lp")
+    scored = bg.join(F.broadcast(head), "bg").select("doc_id", "lp").unionAll(
+        bg.join(F.broadcast(head.select("bg")), "bg", "left_anti")
+        .join(score, "bg")
+        .select("doc_id", "lp")
+    )
+    out = (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("sl"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("sl") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+    return DD._with_persisted(out, c2, score)
+
+
+@query(
     "embedding_quantize_int8",
     oracle="""
     WITH e AS (
