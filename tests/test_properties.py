@@ -169,3 +169,43 @@ def test_incremental_probe_matches_bruteforce_cross_jaccard(spark):
     }
     assert got == want
     assert len(want) >= 15, "planted edits should survive the threshold"
+
+
+def test_bigram_logprob_matches_python_reference(spark, tmp_path):
+    # the declared query's semantics on ANY corpus: mean log2 of
+    # C(w1 w2)/C(w1 .) over each doc's bigrams, prefix counts from the
+    # bigram relation itself
+    import math
+    from collections import Counter
+
+    def _tiny(n):  # tokens from a tiny vocab => plenty of shared bigrams
+        return " ".join(RNG.choice(["aa", "bb", "cc", "dd"]) for _ in range(n))
+
+    rows = [(i, _tiny(RNG.randint(0, 15))) for i in range(150)]
+    docs_dir = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(docs_dir))
+
+    from connected_data_lake_spark.plans.extensions import zz_text_logprob_bigram
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in zz_text_logprob_bigram(spark, str(tmp_path)).collect()
+    }
+
+    bigrams = {
+        i: [f"{a} {b}" for a, b in zip(t.split(" "), t.split(" ")[1:])] if t else []
+        for i, t in rows
+    }
+    c2 = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    c1 = Counter()
+    for bg, c in c2.items():
+        c1[bg.split(" ")[0]] += c
+    want = {}
+    for i, bgs in bigrams.items():
+        if not bgs:
+            continue
+        sl = sum(math.log2(c2[bg]) - math.log2(c1[bg.split(" ")[0]]) for bg in bgs)
+        want[i] = (len(bgs), round(sl / len(bgs), 6))
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    for k in want:
+        assert abs(got[k][1] - want[k][1]) < 1e-5, (k, got[k], want[k])
