@@ -349,6 +349,164 @@ def knn_ivf(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 16,
+    k_codes: int = 256,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_n: int = 2048,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split the dim-d vector into
+    ``m`` subvectors and k-means each subspace to ``k_codes`` centroids —
+    returns (m, k_codes, d/m).
+
+    Training runs DRIVER-SIDE on a deterministic sample (first ``sample_n``
+    rows by id) — the standard PQ recipe: codebooks are tiny (m·k·d/m =
+    one vector-width of floats per code) and k-means on a few thousand
+    sample rows is numpy-milliseconds via the ‖x‖²-2x·Cᵀ+‖c‖² expansion;
+    the corpus itself never visits the driver (encoding is executor-side,
+    :func:`pq_encode`). Deterministic for a given corpus + seed."""
+    rows = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, "m must divide the embedding dim"
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Y = X[:, j * sub : (j + 1) * sub]
+        C = Y[rng.choice(len(Y), size=k_codes, replace=False)].copy()
+        for _ in range(max_iter):
+            dist = (
+                (Y**2).sum(1)[:, None]
+                - 2.0 * (Y @ C.T)
+                + (C**2).sum(1)[None, :]
+            )
+            assign = dist.argmin(1)
+            for c in range(k_codes):
+                pts = Y[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(emb_col: Column | str, codebooks: np.ndarray) -> Column:
+    """array<smallint> PQ codes (one nearest-centroid id per subvector):
+    one matmul per subvector per Arrow batch. The encoded corpus — m
+    small ints per vector instead of d floats — IS the PQ index; persist
+    or write it once per corpus."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k_codes, sub = books.shape
+    c2 = (books**2).sum(2)  # (m, k)
+
+    @F.pandas_udf("array<smallint>")
+    def _enc(embs: pd.Series) -> pd.Series:
+        out: list = [None] * len(embs)
+        valid = [i for i, e in enumerate(embs) if e is not None]
+        if not valid:
+            return pd.Series(out)
+        X = np.stack([np.asarray(embs.iloc[i], dtype=np.float64) for i in valid])
+        codes = np.empty((len(valid), m), dtype=np.int64)
+        for j in range(m):
+            Y = X[:, j * sub : (j + 1) * sub]
+            dist = -2.0 * (Y @ books[j].T) + c2[j][None, :]  # +‖y‖² constant
+            codes[:, j] = dist.argmin(1)
+        for row, i in enumerate(valid):
+            out[i] = codes[row].tolist()
+        return pd.Series(out)
+
+    return _enc(F.col(emb_col) if isinstance(emb_col, str) else emb_col)
+
+
+def knn_pq(
+    df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    candidates_per_query: int = 100,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance (ADC): each query
+    builds an (m × k_codes) lookup table of subvector squared distances
+    driver-side (planning metadata, like the IVF routing step); corpus
+    distance ≈ Σ_j LUT[j, code_j] — a pure table-gather over the m-byte
+    codes, no float vector is touched during the scan. The
+    ``candidates_per_query`` smallest ADC distances per query are re-ranked
+    with exact cosine, same prune-then-verify shape as :func:`knn_sketch`.
+
+    At scale this is the memory play: the scanned index is m smallints per
+    vector (d/4 bytes at m=d/4) instead of 4d bytes of floats — the scan
+    reads ~16× fewer bytes — and codes+LUT gathers vectorize per Arrow
+    batch. Returns (query_id, neighbor_id, cos, rank)."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k_codes, sub = books.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    ).collect()  # small query batch: planning metadata (IVF precedent)
+    luts = np.empty((len(q_rows), m, k_codes), dtype=np.float64)
+    for qi, r in enumerate(q_rows):
+        qv = np.asarray(r["q_emb"], dtype=np.float64)
+        for j in range(m):
+            diff = books[j] - qv[j * sub : (j + 1) * sub][None, :]
+            luts[qi, j] = (diff**2).sum(1)
+
+    @F.pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        out: list = [None] * len(codes)
+        valid = [i for i, c in enumerate(codes) if c is not None]
+        if not valid:
+            return pd.Series(out)
+        C = np.stack([np.asarray(codes.iloc[i], dtype=np.int64) for i in valid])
+        cols = np.arange(m)
+        dists = np.stack(
+            [luts[qi][cols, C].sum(1) for qi in range(len(q_rows))], axis=1
+        )  # (n, n_queries)
+        for row, i in enumerate(valid):
+            out[i] = dists[row].tolist()
+        return pd.Series(out)
+
+    spark = df.sparkSession
+    qmap = spark.createDataFrame(
+        [(qi, r["query_id"], r["q_emb"]) for qi, r in enumerate(q_rows)],
+        f"qpos int, query_id long, q_emb {queries.schema[emb_col].dataType.simpleString()}",
+    )
+    # encoded corpus = the PQ index; persisted so the ADC scan and the
+    # re-rank join don't re-run the encode UDF (index-build-once pattern)
+    codes_rel = spread(df, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("emb"),
+        pq_encode(emb_col, books).alias("codes"),
+    ).persist()
+    scored = codes_rel.select(
+        "neighbor_id",
+        "emb",
+        F.posexplode(_adc(F.col("codes"))).alias("qpos", "adist"),
+    ).join(F.broadcast(qmap), "qpos").filter(F.col("neighbor_id") != F.col("query_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= candidates_per_query)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    out = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(VX.cosine("emb", "q_emb"), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_cos).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    return _with_persisted(out, codes_rel)
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
     """Fraction of exact top-k pairs recovered by the approximate result."""
     e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")

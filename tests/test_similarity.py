@@ -110,3 +110,40 @@ def test_quantize_int8_codes_and_error_bounds(spark, sf_dir):
         assert 0 <= r["sq_err_codes"] <= 32.0
         assert abs(r["q_sum"]) <= 127 * 128
         assert not math.isnan(r["sq_err_codes"])
+
+
+def test_pq_recall_and_code_shape(spark, sf_dir):
+    from connected_data_lake_spark.operators.similarity import (
+        knn_brute_force,
+        knn_pq,
+        pq_encode,
+        pq_train,
+        recall_at_k,
+    )
+    from connected_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb)
+    assert books.shape == (16, 256, 4)
+    codes = emb.select(pq_encode("embedding", books).alias("c")).collect()
+    assert all(len(r.c) == 16 and all(0 <= v < 256 for v in r.c) for r in codes)
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = knn_brute_force(emb, q, k=10)
+    approx = knn_pq(emb, q, books, k=10)
+    assert recall_at_k(exact, approx, 10) >= 0.8
+
+
+def test_pq_adc_orders_planted_neighbor_first(spark):
+    # a vector equal to a corpus point must get ADC distance ~0 to it and
+    # rank it first after re-rank
+    import random as _r
+
+    rng = _r.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from connected_data_lake_spark.operators.similarity import knn_pq, pq_train
+
+    books = pq_train(df, sample_n=300)
+    probe = spark.createDataFrame([(9999, rows[7][1])], "vec_id long, embedding array<double>")
+    got = knn_pq(df, probe, books, k=1).collect()
+    assert got[0].neighbor_id == 7 and got[0].cos == 1.0
