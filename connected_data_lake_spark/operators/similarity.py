@@ -381,17 +381,27 @@ def pq_train(
     for j in range(m):
         Y = X[:, j * sub : (j + 1) * sub]
         C = Y[rng.choice(len(Y), size=k_codes, replace=False)].copy()
+        prev = None
         for _ in range(max_iter):
-            dist = (
-                (Y**2).sum(1)[:, None]
-                - 2.0 * (Y @ C.T)
-                + (C**2).sum(1)[None, :]
-            )
+            dist = -2.0 * (Y @ C.T) + (C**2).sum(1)[None, :]  # +‖y‖² const
             assign = dist.argmin(1)
-            for c in range(k_codes):
-                pts = Y[assign == c]
-                if len(pts):
-                    C[c] = pts.mean(0)
+            if prev is not None and np.array_equal(assign, prev):
+                break  # fixed point: updates can't change anything
+            prev = assign
+            # vectorized centroid update (weighted bincount per dim): the
+            # per-centroid boolean-mask loop was k·iters·m Python-level
+            # passes over the sample — 6s of the query's timed cost — and
+            # np.add.at's scatter is ~10x slower than bincount's C loop
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=Y[:, dd], minlength=k_codes)
+                    for dd in range(sub)
+                ],
+                axis=1,
+            )
+            counts = np.bincount(assign, minlength=k_codes)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz][:, None]
         books[j] = C
     return books
 
