@@ -686,6 +686,132 @@ def knn_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zz_text_repeated_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             UNNEST([{{'pos': i, 'tok': toks[i]}}
+                     for i in generate_series(1, len(toks))]) AS u
+      FROM t WHERE len(toks) > 0 AND toks[1] <> ''
+    ), p AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok,
+             CASE WHEN substr(md5(u.tok), 1, 1) IN ('0', '1') THEN 1
+                  ELSE 0 END AS bnd
+      FROM px
+    ), c AS (
+      SELECT doc_id, pos, tok,
+             SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      FROM p
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+             COUNT(*) AS n_toks
+      FROM c GROUP BY doc_id, chunk_id
+    ), shared AS (
+      SELECT fp FROM chunks GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           ROUND(SUM(CASE WHEN s.fp IS NOT NULL THEN n_toks ELSE 0 END)
+                 * 1.0 / SUM(n_toks), 6) AS shared_token_fraction
+    FROM chunks LEFT JOIN shared s USING (fp)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def zz_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection via content-defined chunking
+    — the span-level dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") that document-level fingerprints
+    can't see: two different documents sharing a long copied passage.
+
+    Fixed-stride windows can't find such spans (the copy sits at different
+    offsets in each doc, so no window aligns); CONTENT-DEFINED boundaries
+    do — a chunk boundary opens at every token whose md5 starts with
+    nibble 0/1 (p = 1/8, expected ~8-token chunks), so identical text
+    produces identical chunks at ANY offset, the rolling-fingerprint
+    alignment trick of winnowing/CDC, here fully relational. A chunk
+    fingerprint seen in ≥ 2 distinct docs marks a shared span; output per
+    doc = chunk count, shared-chunk count, shared-token fraction (the
+    filter signal). All decisions are md5-nibble + integer arithmetic —
+    engine-exact; the only float is the output-rounded fraction.
+
+    Shape: one shuffle on doc_id for the chunk-id running sum (window
+    over the exploded token relation, partition-parallel per doc), one
+    shuffle on (doc, chunk) for chunk assembly, one on fp for the shared
+    set, a shuffle join back. At 100 TB the fp→shared relation is the
+    written artifact an ingest pipeline maintains incrementally."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    p = (
+        # empty normalized text splits to [''] in both engines — exclude it
+        # (matches the oracle's len(toks) > 0 AND toks[1] <> '' guard)
+        docs.filter(F.length(TX.normalize_text("text")) > 0)
+        .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "tok",
+            F.when(
+                F.substring(F.md5("tok"), 1, 1).isin("0", "1"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("bnd"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    c = p.withColumn("chunk_id", F.sum("bnd").over(w))
+    chunks = (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+            F.count("*").alias("n_toks"),
+        )
+        .persist()
+    )
+    shared = (
+        chunks.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("_shared"))
+    )
+    out = (
+        chunks.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0))).alias("n_shared_chunks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_shared").isNotNull(), F.col("n_toks")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("n_toks"),
+                6,
+            ).alias("shared_token_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+    return DD._with_persisted(out, chunks)
+
+
+@query(
     "zz_knn_pq_topk",
     oracle=_KNN_CONTRACT_ORACLE,
     tags=("similarity",),

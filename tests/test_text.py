@@ -175,3 +175,41 @@ def test_mixture_rebalance_quotas_are_exact(spark, sf_dir):
     for src, n in counts.items():
         expected = min(n, k // (int(src[3:]) + 1))
         assert kept.get(src, 0) == expected, src
+
+
+def test_repeated_spans_align_at_any_offset(spark, tmp_path):
+    # content-defined chunking must flag a long passage copied at a
+    # DIFFERENT offset in another doc — exactly what fixed-stride windows
+    # miss — and leave unrelated docs at zero shared fraction
+    import random
+    import string
+
+    rng = random.Random(99)
+
+    def words(n):
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(5))
+            for _ in range(n)
+        )
+
+    # chunks align from the first content-defined boundary INSIDE the
+    # shared passage; the partial chunks at its edges merge with each
+    # doc's own text, so a long passage keeps the aligned interior large
+    passage = words(150)
+    rows = [
+        (1, words(20) + " " + passage),          # passage at offset 20
+        (2, passage + " " + words(35)),          # passage at offset 0
+        (3, words(80)),                          # unrelated
+    ]
+    (tmp_path / "documents.parquet").mkdir(parents=True, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    from connected_data_lake_spark.plans.extensions import zz_text_repeated_spans
+
+    got = {r.doc_id: r for r in zz_text_repeated_spans(spark, str(tmp_path)).collect()}
+    assert got[1].shared_token_fraction > 0.5
+    assert got[2].shared_token_fraction > 0.5
+    assert got[3].shared_token_fraction == 0.0
+    assert got[1].n_shared_chunks >= 5
