@@ -442,6 +442,7 @@ def knn_pq(
     candidates_per_query: int = 100,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric distance (ADC): each query
     builds an (m × k_codes) lookup table of subvector squared distances
@@ -454,7 +455,14 @@ def knn_pq(
     At scale this is the memory play: the scanned index is m smallints per
     vector (d/4 bytes at m=d/4) instead of 4d bytes of floats — the scan
     reads ~16× fewer bytes — and codes+LUT gathers vectorize per Arrow
-    batch. Returns (query_id, neighbor_id, cos, rank)."""
+    batch. Returns (query_id, neighbor_id, cos, rank).
+
+    Pass a prebuilt ``codes`` relation ((id, codes) — :func:`pq_encode`
+    output read back from its written table) to skip the in-query encode:
+    the production shape, where the ADC scan touches ONLY the compressed
+    code table and the exact re-rank fetches the top candidates' float
+    vectors from the base table by id (candidates_per_query rows per
+    query, a pruned join, not a second corpus scan)."""
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, k_codes, sub = books.shape
     q_rows = queries.select(
@@ -487,16 +495,24 @@ def knn_pq(
         [(qi, r["query_id"], r["q_emb"]) for qi, r in enumerate(q_rows)],
         f"qpos int, query_id long, q_emb {queries.schema[emb_col].dataType.simpleString()}",
     )
-    # encoded corpus = the PQ index; persisted so the ADC scan and the
-    # re-rank join don't re-run the encode UDF (index-build-once pattern)
-    codes_rel = spread(df, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("emb"),
-        pq_encode(emb_col, books).alias("codes"),
-    ).persist()
+    persisted: list[DataFrame] = []
+    if codes is None:
+        # encoded corpus = the PQ index; persisted so the ADC scan and the
+        # re-rank join don't re-run the encode UDF (index-build-once
+        # pattern); emb is carried so the re-rank needs no base-table join
+        codes_rel = spread(df, id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).alias("emb"),
+            pq_encode(emb_col, books).alias("codes"),
+        ).persist()
+        persisted.append(codes_rel)
+        carry = ["emb"]
+    else:
+        codes_rel = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        carry = []
     scored = codes_rel.select(
         "neighbor_id",
-        "emb",
+        *carry,
         F.posexplode(_adc(F.col("codes"))).alias("qpos", "adist"),
     ).join(F.broadcast(qmap), "qpos").filter(F.col("neighbor_id") != F.col("query_id"))
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
@@ -504,6 +520,13 @@ def knn_pq(
         scored.withColumn("arank", F.row_number().over(w_adc))
         .filter(F.col("arank") <= candidates_per_query)
     )
+    if not carry:
+        # fetch only the surviving candidates' float vectors from the base
+        # table — a candidates_per_query·n_queries-row pruned join
+        cand = cand.join(
+            df.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb")),
+            "neighbor_id",
+        )
     w_cos = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     out = (
         cand.select(
@@ -514,7 +537,7 @@ def knn_pq(
         .withColumn("rank", F.row_number().over(w_cos).cast("int"))
         .filter(F.col("rank") <= k)
     )
-    return _with_persisted(out, codes_rel)
+    return _with_persisted(out, *persisted)
 
 
 def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:

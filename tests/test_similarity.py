@@ -147,3 +147,20 @@ def test_pq_adc_orders_planted_neighbor_first(spark):
     probe = spark.createDataFrame([(9999, rows[7][1])], "vec_id long, embedding array<double>")
     got = knn_pq(df, probe, books, k=1).collect()
     assert got[0].neighbor_id == 7 and got[0].cos == 1.0
+
+
+def test_pq_prebuilt_codes_path_matches_inline_path(spark, sf_dir):
+    # ADC over a codes-only index + base-table re-rank join must return
+    # exactly what the inline (emb-carried) path returns
+    from connected_data_lake_spark.operators.similarity import knn_pq, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id").isin(0, 1))
+    books = pq_train(emb)
+    codes = emb.select("vec_id", pq_encode("embedding", books).alias("codes")).cache()
+    inline = {(r.query_id, r.rank): (r.neighbor_id, r.cos) for r in knn_pq(emb, q, books, k=10).collect()}
+    viacodes = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in knn_pq(emb, q, books, k=10, codes=codes).collect()
+    }
+    assert inline == viacodes
