@@ -41,6 +41,18 @@ def _parse_sets(pairs: list[str] | None) -> dict[str, str]:
 
 
 def _has_table(fs) -> bool:
+    import os
+
+    from connected_data_lake_spark.sources import rootfs as R
+
+    root = R._local_root(fs.path.table_uri)
+    if root is not None:
+        # local scheme: a plain directory check — probing via a Spark read
+        # logged a JVM stack trace for the (expected) missing-table case
+        return os.path.isdir(root) and (
+            os.path.isdir(os.path.join(root, R._LOG_DIR))
+            or any(n.endswith(".parquet") for n in os.listdir(root))
+        )
     try:
         fs.table().schema  # forces plan resolution without running a job
         return True
