@@ -71,3 +71,25 @@ def test_set_merges_catalog_knobs(spark, tree):
         "SELECT count(*) AS n FROM rootfs WHERE name = 'b.bin'"
     ).collect()[0]["n"]
     assert chunks == 2
+
+
+def test_load_always_reingests_new_files(spark, tree, tmp_path, capsys):
+    import pathlib
+
+    main(["query", f"local://{tree}", "SELECT count(*) AS n FROM rootfs WHERE size IS NOT NULL"])
+    assert "|  3|" in capsys.readouterr().out
+    pathlib.Path(tree, "new.txt").write_bytes(b"late arrival")
+    # auto mode reuses the existing table (the new file is not visible)...
+    main(["query", f"local://{tree}", "SELECT count(*) AS n FROM rootfs WHERE size IS NOT NULL"])
+    assert "|  3|" in capsys.readouterr().out
+    # ...and --load always re-ingests the tree
+    main(
+        [
+            "query",
+            f"local://{tree}",
+            "SELECT count(*) AS n FROM rootfs WHERE size IS NOT NULL",
+            "--load",
+            "always",
+        ]
+    )
+    assert "|  4|" in capsys.readouterr().out
