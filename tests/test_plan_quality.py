@@ -169,3 +169,27 @@ def test_incremental_dedup_probes_persisted_index(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "Anti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_head_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zz_text_logprob_bigram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_no_cartesian_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zz_text_repeated_spans")
+    assert "CartesianProduct" not in plan
+    # chunk counting must partial-aggregate before its shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pq_probe_scans_code_index_not_cache(spark, sf_dir):
+    from connected_data_lake_spark.plans import extensions as ext
+
+    ext._pq_indexed(spark, sf_dir)  # offline build (bench warm-up step)
+    plan = plan_of(spark, sf_dir, "zz_knn_pq_probe")
+    # the ADC scan reads the prewritten parquet code table; the float
+    # corpus appears only as the pruned re-rank fetch
+    assert "cdl_pq_" in plan
+    assert "CartesianProduct" not in plan
