@@ -1,0 +1,179 @@
+"""Copy-on-write table maintenance: pruned scans, DELETE, upsert, compaction.
+
+The reference's table is append/overwrite-only (Lance WriteMode::Append
+behind the commit handler, crates/cdl-fs/src/lib.rs:822-853); a mutable
+100 TB lake also needs row-level DELETE, key upsert (MERGE), and small-file
+compaction. All three are the same move here — the move Delta/Iceberg/Lance
+all converged on:
+
+1. plan against an immutable snapshot (version, file list, zone maps),
+2. use the zone maps to touch ONLY the files that can contain affected
+   rows — on a large table a DELETE of one user's rows rewrites a handful
+   of files, not the table,
+3. rewrite those files through Spark (distributed, schema-inferred),
+4. commit atomically via :func:`manifest.publish_rewrite` — concurrent
+   appends are retained by the retry, a concurrent rewrite of the same
+   files raises :class:`manifest.RewriteConflict` so the caller re-plans
+   (never resurrects deleted rows).
+
+Readers are never blocked and never see a partial state; historical
+versions still resolve (time travel), and :func:`rootfs.vacuum_table`
+reclaims the replaced files once history is no longer needed.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .manifest import LocalFsStore, latest_snapshot, publish_rewrite
+from .rootfs import _data_files, _local_root, _LOG_DIR
+from .zonemap import Filter, collect_file_stats, filters_to_column, prune_files
+
+
+def _store(table_uri: str) -> tuple[str, LocalFsStore]:
+    root = _local_root(table_uri)
+    if root is None or not os.path.isdir(os.path.join(root, _LOG_DIR)):
+        raise ValueError(
+            f"{table_uri!r} is not a manifest-backed local table; "
+            "maintenance ops need the transactional log"
+        )
+    return root, LocalFsStore(os.path.join(root, _LOG_DIR))
+
+
+def _write_rewrite(df: DataFrame, root: str) -> tuple[list[str], dict]:
+    """Write rewritten rows to a fresh invisible txn dir; return the new
+    relative file list and their zone-map records."""
+    txn = f"txn-{uuid.uuid4().hex}"
+    out = os.path.join(root, txn)
+    df.write.format("parquet").mode("overwrite").save(out)
+    rel = [f"{txn}/{f}" for f in _data_files(out)]
+    stats = {r: collect_file_stats(os.path.join(root, r)) for r in rel}
+    return rel, stats
+
+
+def pruned_file_list(table_uri: str, filters: list[Filter] | None) -> tuple[list[str], int]:
+    """(files that may contain matching rows, total files in snapshot).
+
+    The planning primitive behind every operation below; exposed so tests
+    and users can see data skipping working."""
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    return prune_files(files, stats, filters), len(files)
+
+
+def scan_table(
+    spark: SparkSession,
+    table_uri: str,
+    filters: list[Filter] | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Zone-map-pruned scan: list only the files the manifest stats cannot
+    rule out, then re-apply the predicate exactly. Equivalent to
+    ``read_table(...).filter(...)`` in results; at scale it plans a scan
+    over the k matching files instead of the whole table."""
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    if not files:
+        raise ValueError(f"{table_uri!r} has no committed snapshot to scan")
+    live = prune_files(files, stats, filters)
+    if not live:
+        base = spark.read.parquet(*[os.path.join(root, f) for f in files]).limit(0)
+    else:
+        base = spark.read.parquet(*[os.path.join(root, f) for f in live])
+    if filters:
+        base = base.filter(filters_to_column(filters))
+    if columns:
+        base = base.select(*columns)
+    return base
+
+
+def delete_where(spark: SparkSession, table_uri: str, filters: list[Filter]) -> dict:
+    """Row-level DELETE, copy-on-write.
+
+    Only files whose zone maps admit a match are read and rewritten with
+    the surviving rows (predicate-NULL rows survive, per SQL DELETE);
+    every other file is carried into the new snapshot untouched. Returns
+    ``{"files_rewritten": k, "files_total": n, "version": v}``; a no-op
+    (nothing can match) commits nothing."""
+    if not filters:
+        raise ValueError("delete_where requires a predicate; use overwrite to truncate")
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    candidates = prune_files(files, stats, filters)
+    if not candidates:
+        return {"files_rewritten": 0, "files_total": len(files), "version": None}
+    src = spark.read.parquet(*[os.path.join(root, f) for f in candidates])
+    keep = src.filter(~F.coalesce(filters_to_column(filters), F.lit(False)))
+    rel, new_stats = _write_rewrite(keep, root)
+    version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
+    return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
+
+
+def upsert_table(
+    spark: SparkSession,
+    table_uri: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Key-based MERGE (upsert): rows in ``updates`` replace same-key rows,
+    new keys append. Candidate files are found by overlapping each file's
+    key-column zone map with the updates' key range, so a trickle of
+    updates touches a trickle of files. The anti-join side broadcasts the
+    updates (MERGE batches are dimension-sized; a 100 TB-scale batch would
+    flip this to a shuffle join on the key)."""
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    bounds = updates.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+    ).first()
+    key_filters: list[Filter] = [
+        (c, "between", (bounds[f"lo_{i}"], bounds[f"hi_{i}"]))
+        for i, c in enumerate(key_cols)
+        if bounds[f"lo_{i}"] is not None
+    ]
+    candidates = prune_files(files, stats, key_filters)
+    if candidates:
+        src = spark.read.parquet(*[os.path.join(root, f) for f in candidates])
+        updates = updates.select(*src.columns)  # align column order/set
+        keep = src.join(F.broadcast(updates.select(*key_cols)), on=key_cols, how="left_anti")
+        out = keep.unionByName(updates)
+    else:
+        any_file = files[0] if files else None
+        if any_file is not None:
+            updates = updates.select(*spark.read.parquet(os.path.join(root, any_file)).columns)
+        out = updates
+    rel, new_stats = _write_rewrite(out, root)
+    version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
+    return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
+
+
+def compact_table(
+    spark: SparkSession,
+    table_uri: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE).
+
+    A steady trickle of transactional appends leaves a long tail of small
+    files; small files are the classic killer of big scans (task-per-file
+    scheduling, footer-per-file opens). Files already ≥ 3/4 of the target
+    are left alone — compaction must not rewrite the whole table each run.
+    Pure layout change: same rows, new files, one rewrite commit."""
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    sized = [(f, os.path.getsize(os.path.join(root, f))) for f in files]
+    small = [(f, s) for f, s in sized if s < target_bytes * 3 // 4]
+    if len(small) < 2:
+        return {"files_compacted": 0, "files_total": len(files), "version": None}
+    total = sum(s for _, s in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    src = spark.read.parquet(*[os.path.join(root, f) for f, _ in small]).coalesce(n_out)
+    rel, new_stats = _write_rewrite(src, root)
+    version = publish_rewrite(store, {f for f, _ in small}, rel, stats=new_stats)
+    return {"files_compacted": len(small), "files_total": len(files), "version": version}

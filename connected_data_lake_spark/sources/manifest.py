@@ -109,13 +109,34 @@ class InMemoryStore(ConditionalPutStore):
             return True
 
 
-def latest_manifest(store: ConditionalPutStore) -> tuple[int, list[str]]:
-    """(version, relative file list) of the newest manifest; (-1, []) if none."""
+class RewriteConflict(Exception):
+    """A rewrite commit lost to a concurrent writer that removed (rewrote,
+    compacted, or overwrote away) one of the files this rewrite was based
+    on. The caller must re-plan from the new snapshot — blindly retrying
+    would resurrect deleted rows or drop a concurrent delete."""
+
+
+def _read_snapshot(store: ConditionalPutStore, key: str) -> tuple[int, list[str], dict]:
+    doc = json.loads(store.get(key))
+    return int(key[: -len(".json")]), doc["files"], doc.get("stats", {})
+
+
+def latest_snapshot(store: ConditionalPutStore) -> tuple[int, list[str], dict]:
+    """(version, relative file list, per-file stats) of the newest manifest;
+    (-1, [], {}) if none. ``stats`` maps relpath → the writer-collected
+    zone-map record (see rootfs.collect_file_stats); files committed by
+    older writers simply have no entry, which pruning treats as
+    un-skippable — the format change is backward/forward compatible."""
     keys = store.list_keys()
     if not keys:
-        return -1, []
-    key = keys[-1]
-    return int(key[: -len(".json")]), json.loads(store.get(key))["files"]
+        return -1, [], {}
+    return _read_snapshot(store, keys[-1])
+
+
+def latest_manifest(store: ConditionalPutStore) -> tuple[int, list[str]]:
+    """(version, relative file list) of the newest manifest; (-1, []) if none."""
+    version, files, _ = latest_snapshot(store)
+    return version, files
 
 
 def manifest_files(store: ConditionalPutStore, version: int) -> list[str]:
@@ -123,10 +144,23 @@ def manifest_files(store: ConditionalPutStore, version: int) -> list[str]:
     return json.loads(store.get(_KEY_FMT.format(version)))["files"]
 
 
+def _publish(
+    store: ConditionalPutStore,
+    version: int,
+    files: list[str],
+    stats: dict,
+) -> bool:
+    doc: dict = {"version": version, "files": files}
+    if stats:
+        doc["stats"] = {f: stats[f] for f in files if f in stats}
+    return store.put_if_absent(_KEY_FMT.format(version), json.dumps(doc).encode())
+
+
 def publish_manifest(
     store: ConditionalPutStore,
     new_files: list[str],
     replace: bool,
+    stats: dict | None = None,
     max_attempts: int = 1000,
 ) -> int:
     """Optimistic-concurrency commit: retry the conditional put until this
@@ -135,11 +169,49 @@ def publish_manifest(
     Each attempt re-reads the latest snapshot, layers ``new_files`` on it
     (or replaces it), and tries to create version N+1. A lost put means a
     concurrent writer committed N+1 first; the retry layers on THAT
-    snapshot, so no committed write is ever dropped (no lost update)."""
+    snapshot, so no committed write is ever dropped (no lost update).
+    ``stats`` carries zone-map records for the NEW files; retained files
+    keep the stats already in the snapshot."""
+    new_stats = dict(stats or {})
     for _ in range(max_attempts):
-        version, files = latest_manifest(store)
-        snapshot = list(new_files) if replace else files + list(new_files)
-        blob = json.dumps({"version": version + 1, "files": snapshot}).encode()
-        if store.put_if_absent(_KEY_FMT.format(version + 1), blob):
+        version, files, old_stats = latest_snapshot(store)
+        if replace:
+            snapshot, merged = list(new_files), new_stats
+        else:
+            snapshot = files + list(new_files)
+            merged = {**old_stats, **new_stats}
+        if _publish(store, version + 1, snapshot, merged):
+            return version + 1
+    raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")
+
+
+def publish_rewrite(
+    store: ConditionalPutStore,
+    remove: set[str],
+    add: list[str],
+    stats: dict | None = None,
+    max_attempts: int = 1000,
+) -> int:
+    """Commit a rewrite: replace the files in ``remove`` with ``add``.
+
+    This is the commit step of every copy-on-write maintenance operation
+    (DELETE, upsert/MERGE, compaction): the planner derived ``add`` from the
+    CONTENT of ``remove``, so the commit is only sound while every removed
+    file is still live. Concurrent APPENDs are fine — the retry layers the
+    rewrite onto the newer snapshot and the appended files are retained.
+    A concurrent rewrite that already removed one of our inputs raises
+    :class:`RewriteConflict` (Delta/Iceberg's ConcurrentDeleteReadException
+    analogue); the caller re-plans against the new snapshot."""
+    new_stats = dict(stats or {})
+    for _ in range(max_attempts):
+        version, files, old_stats = latest_snapshot(store)
+        missing = remove - set(files)
+        if missing:
+            raise RewriteConflict(
+                f"rewrite inputs no longer in snapshot v{version}: {sorted(missing)[:5]}"
+            )
+        snapshot = [f for f in files if f not in remove] + list(add)
+        merged = {**{k: v for k, v in old_stats.items() if k not in remove}, **new_stats}
+        if _publish(store, version + 1, snapshot, merged):
             return version + 1
     raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")

@@ -265,9 +265,13 @@ def _latest_manifest(log_dir: str) -> tuple[int, list[str]]:
     return latest_manifest(LocalFsStore(log_dir))
 
 
-def _publish_manifest(root: str, new_files: list[str], replace: bool) -> int:
+def _publish_manifest(
+    root: str, new_files: list[str], replace: bool, stats: dict | None = None
+) -> int:
     """Optimistic-concurrency commit against the table's local log dir."""
-    return publish_manifest(LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace)
+    return publish_manifest(
+        LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace, stats=stats
+    )
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -306,7 +310,13 @@ def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
     data_dir = os.path.join(root, txn)
     df.write.format("parquet").mode("overwrite").save(data_dir)
     new_files = [f"{txn}/{f}" for f in _data_files(data_dir)]
-    _publish_manifest(root, new_files, replace=(mode == "overwrite"))
+    # zone maps into the manifest: footer-only reads of the files just
+    # written (see sources/zonemap.py) so later scans and copy-on-write
+    # maintenance can skip files a predicate cannot touch
+    from .zonemap import collect_file_stats
+
+    stats = {f: collect_file_stats(os.path.join(root, f)) for f in new_files}
+    _publish_manifest(root, new_files, replace=(mode == "overwrite"), stats=stats)
 
 
 def read_table(spark: SparkSession, table_uri: str, version: int | None = None) -> DataFrame:

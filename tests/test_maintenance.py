@@ -1,0 +1,240 @@
+"""Zone-map data skipping + copy-on-write maintenance (DELETE / upsert /
+compaction) over the manifest table format.
+
+Extends the reference's append-only commit protocol
+(crates/cdl-fs/src/lib.rs:822-853) with the row-level operations a mutable
+lake needs; the invariants tested here are the Delta/Iceberg/Lance ones:
+snapshots are immutable (time travel never changes), untouched files are
+carried by reference (not rewritten), pruning never changes results, and
+conflicting rewrites fail instead of resurrecting rows.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from connected_data_lake_spark.sources import maintenance as M
+from connected_data_lake_spark.sources import rootfs as R
+from connected_data_lake_spark.sources.manifest import (
+    LocalFsStore,
+    RewriteConflict,
+    latest_snapshot,
+    publish_rewrite,
+)
+
+
+def _rows(spark, tag: str, n: int = 10, size: int = 3, parent: str = "/"):
+    return spark.createDataFrame(
+        [
+            (f"{tag}-{i:03d}.txt", parent, None, None, None, 0o644, size, 0, 0, size, bytearray(b"abc"))
+            for i in range(n)
+        ],
+        R.ROOTFS_SCHEMA,
+    )
+
+
+def _disjoint_table(spark, tmp_path):
+    """Three appends with disjoint `size` ranges and distinct parents —
+    the shape zone maps are built to exploit."""
+    uri = str(tmp_path / "tbl")
+    R.write_table(_rows(spark, "a", size=10, parent="/a").coalesce(1), uri, mode="overwrite")
+    R.write_table(_rows(spark, "b", size=200, parent="/b").coalesce(1), uri, mode="append")
+    R.write_table(_rows(spark, "c", size=3000, parent="/c").coalesce(1), uri, mode="append")
+    return uri
+
+
+def _snapshot(uri):
+    return latest_snapshot(LocalFsStore(os.path.join(uri, R._LOG_DIR)))
+
+
+# ---------------------------------------------------------------- zone maps
+
+
+def test_write_records_stats(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    _, files, stats = _snapshot(uri)
+    assert len(files) == 3 and set(stats) == set(files)
+    sizes = sorted((stats[f]["cols"]["size"]["min"], stats[f]["cols"]["size"]["max"]) for f in files)
+    assert sizes == [(10, 10), (200, 200), (3000, 3000)]
+    assert all(stats[f]["rows"] == 10 for f in files)
+    # all-NULL column records nulls == rows (drives is_null / is_not_null)
+    assert all(stats[f]["cols"]["atime"]["nulls"] == 10 for f in files)
+
+
+def test_pruning_skips_files_and_preserves_results(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    live, total = M.pruned_file_list(uri, [("size", ">", 1000)])
+    assert total == 3 and len(live) == 1
+    live, _ = M.pruned_file_list(uri, [("parent", "=", "/b")])
+    assert len(live) == 1
+    live, _ = M.pruned_file_list(uri, [("size", "between", (100, 250))])
+    assert len(live) == 1
+    live, _ = M.pruned_file_list(uri, [("size", "in", [10, 3000])])
+    assert len(live) == 2
+    live, _ = M.pruned_file_list(uri, [("atime", "is_not_null",)])
+    assert live == []  # every file is provably all-NULL in atime
+    live, _ = M.pruned_file_list(uri, [("size", "=", 999)])
+    assert live == []
+    # exactness: pruned scan == full scan + filter, including the 0-file case
+    full = R.read_table(spark, uri).filter("size > 1000").count()
+    assert M.scan_table(spark, uri, [("size", ">", 1000)]).count() == full == 10
+    assert M.scan_table(spark, uri, [("size", "=", 999)]).count() == 0
+
+
+def test_pruning_is_conservative_without_stats(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    # simulate an old-format manifest (no stats key): nothing is skippable
+    store = LocalFsStore(os.path.join(uri, R._LOG_DIR))
+    import json
+
+    v, files, _ = _snapshot(uri)
+    store.put_if_absent(f"{v + 1:020d}.json", json.dumps({"version": v + 1, "files": files}).encode())
+    live, total = M.pruned_file_list(uri, [("size", ">", 10**9)])
+    assert len(live) == total == 3  # may-match: no stats, no skipping
+    assert M.scan_table(spark, uri, [("size", ">", 10**9)]).count() == 0
+
+
+# ------------------------------------------------------------------- DELETE
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    v0, files0, _ = _snapshot(uri)
+    res = M.delete_where(spark, uri, [("parent", "=", "/b"), ("size", ">=", 200)])
+    assert res["files_rewritten"] == 1 and res["files_total"] == 3
+    v1, files1, stats1 = _snapshot(uri)
+    assert v1 == res["version"] == v0 + 1
+    # the two untouched files are carried by reference, with their stats
+    assert len(set(files0) & set(files1)) == 2
+    assert all(f in stats1 for f in files1)
+    assert R.read_table(spark, uri).count() == 20
+    assert R.read_table(spark, uri).filter("parent = '/b'").count() == 0
+    # time travel: the pre-delete snapshot still has the rows
+    assert R.read_table(spark, uri, version=v0).count() == 30
+
+
+def open_parent(spark, uri, relfile):
+    return {r["parent"] for r in spark.read.parquet(os.path.join(uri, relfile)).select("parent").collect()}
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    uri = str(tmp_path / "tbl")
+    from pyspark.sql import functions as F
+
+    df = _rows(spark, "x", n=4).withColumn(
+        "size", F.expr("IF(name = 'x-000.txt', NULL, size)")
+    )
+    R.write_table(df, uri, mode="overwrite")
+    M.delete_where(spark, uri, [("size", "<", 100)])
+    left = R.read_table(spark, uri)
+    # NULL-size row: predicate is NULL -> row NOT deleted (SQL DELETE)
+    assert left.filter("size IS NULL").count() == 1
+    assert left.filter("size IS NOT NULL").count() == 0
+
+
+def test_delete_noop_commits_nothing(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    v0, _, _ = _snapshot(uri)
+    res = M.delete_where(spark, uri, [("size", "=", 999)])
+    assert res == {"files_rewritten": 0, "files_total": 3, "version": None}
+    assert _snapshot(uri)[0] == v0
+
+
+# ------------------------------------------------------------------- upsert
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    updates = _rows(spark, "b", n=3, size=777, parent="/b").unionByName(
+        _rows(spark, "new", n=2, size=50, parent="/n")
+    )
+    res = M.upsert_table(spark, uri, updates, key_cols=["parent", "name"])
+    # only the /b file's key range overlaps the updates' key bounds;
+    # zone-map candidate selection must not touch /a or /c... the string
+    # range ('/b'..'/n') x name range may also admit '/c' — allow 1-2
+    assert 1 <= res["files_rewritten"] <= 2
+    out = R.read_table(spark, uri)
+    assert out.count() == 32  # 30 - 3 replaced + 3 updated + 2 inserted
+    assert out.filter("parent = '/b' AND size = 777").count() == 3
+    assert out.filter("parent = '/b' AND size = 200").count() == 7
+    assert out.filter("parent = '/n'").count() == 2
+
+
+def test_upsert_into_empty_key_space(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    inserts = _rows(spark, "zz", n=5, size=1, parent="/zz")
+    res = M.upsert_table(spark, uri, inserts, key_cols=["parent", "name"])
+    assert res["files_rewritten"] == 0  # pure insert: no file overlaps /zz
+    assert R.read_table(spark, uri).count() == 35
+
+
+# --------------------------------------------------------------- compaction
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    uri = str(tmp_path / "tbl")
+    for i in range(8):
+        R.write_table(_rows(spark, f"t{i}", n=5).coalesce(1), uri, mode="append" if i else "overwrite")
+    v0, files0, _ = _snapshot(uri)
+    assert len(files0) == 8
+    res = M.compact_table(spark, uri, target_bytes=1 << 20)
+    v1, files1, stats1 = _snapshot(uri)
+    assert res["files_compacted"] == 8 and len(files1) == 1
+    assert files1[0] in stats1  # compacted file carries fresh zone maps
+    assert R.read_table(spark, uri).count() == 40
+    assert R.read_table(spark, uri, version=v0).count() == 40  # history intact
+    # vacuum now reclaims the 8 replaced files (current-snapshot GC)
+    assert R.vacuum_table(uri) == 8
+    assert R.read_table(spark, uri).count() == 40
+
+
+def test_compact_leaves_large_files_alone(spark, tmp_path):
+    uri = str(tmp_path / "tbl")
+    R.write_table(_rows(spark, "a", n=20).coalesce(1), uri, mode="overwrite")
+    res = M.compact_table(spark, uri, target_bytes=1024)  # file >= 3/4 target
+    assert res["files_compacted"] == 0 and res["version"] is None
+
+
+# -------------------------------------------------------------- concurrency
+
+
+def test_rewrite_retains_concurrent_append(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    root = str(tmp_path / "tbl")
+    store = LocalFsStore(os.path.join(root, R._LOG_DIR))
+    _, files, stats = latest_snapshot(store)
+    # plan a delete of the /a file, then an append lands before our commit
+    R.write_table(_rows(spark, "late", n=4, size=42, parent="/late"), uri, mode="append")
+    version = publish_rewrite(store, {files[0]}, [], stats=None)
+    assert version >= 0
+    out = R.read_table(spark, uri)
+    assert out.count() == 24  # 30 - 10 deleted + 4 appended
+    assert out.filter("parent = '/late'").count() == 4  # append retained
+
+
+def test_conflicting_rewrites_raise(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    store = LocalFsStore(os.path.join(str(tmp_path / "tbl"), R._LOG_DIR))
+    _, files, _ = latest_snapshot(store)
+    publish_rewrite(store, {files[0]}, [], stats=None)  # first rewrite wins
+    with pytest.raises(RewriteConflict):
+        publish_rewrite(store, {files[0]}, [], stats=None)  # same input gone
+
+
+def test_concurrent_deletes_distinct_files_both_land(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+
+    def _del(parent):
+        return M.delete_where(spark, uri, [("parent", "=", parent)])
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        r1 = pool.submit(_del, "/a")
+        r2 = pool.submit(_del, "/c")
+        r1, r2 = r1.result(), r2.result()
+    assert {r1["files_rewritten"], r2["files_rewritten"]} == {1}
+    out = R.read_table(spark, uri)
+    assert out.count() == 10
+    assert {r["parent"] for r in out.select("parent").distinct().collect()} == {"/b"}
