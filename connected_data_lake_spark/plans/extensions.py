@@ -822,18 +822,29 @@ def _pq_indexed(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
 
+    import numpy as np
+
     key = f"{id(spark)}:{sf_dir}"
     if key not in _PQ_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        books = SIM.pq_train(emb)
         path = os.path.join(
             tempfile.gettempdir(),
             f"cdl_pq_{_artifact_token(sf_dir, 'embeddings')}",
         )
-        if not os.path.isdir(path):  # offline build step, once per corpus
-            emb.select(
-                "vec_id", SIM.pq_encode("embedding", books).alias("codes")
-            ).write.parquet(path)
+        # codebooks persist WITH the code table (see _ivf_indexed: an
+        # index that needs in-session retraining isn't offline)
+        bpath = os.path.join(path, "_codebooks.npy")
+        if os.path.exists(bpath):
+            books = np.load(bpath)
+        else:  # offline build step, once per corpus
+            emb = load_table(spark, sf_dir, "embeddings")
+            books = SIM.pq_train(emb)
+            if not os.path.isdir(path):
+                emb.select(
+                    "vec_id", SIM.pq_encode("embedding", books).alias("codes")
+                ).write.parquet(path)
+            tmp = os.path.join(path, f"_cb-tmp-{os.getpid()}.npy")
+            np.save(tmp, books)
+            os.replace(tmp, bpath)
         _PQ_CACHE[key] = (books, spark.read.parquet(path))
     return _PQ_CACHE[key]
 
@@ -905,25 +916,42 @@ def _ivf_indexed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     import os
     import tempfile
 
+    import json
+
     key = f"{id(spark)}:{sf_dir}"
     if key not in _IVF_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        indexed, centroids = SIM.ivf_index(emb, n_cells=32, max_iter=5)
         path = os.path.join(
             tempfile.gettempdir(),
             f"cdl_ivf_{_artifact_token(sf_dir, 'embeddings')}",
         )
-        if not os.path.isdir(path):  # offline build step, once per corpus
-            # repartition by cell first: without it every shuffle partition
-            # writes a file into every cell directory (32 tasks x 32 cells
-            # ≈ 1000 tiny files), and the probe-side read pays file listing
-            # + footer decode per file (measured ~9s first touch -> <1s)
-            indexed.repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(path)
-        from connected_data_lake_spark.operators.dedup import release_index
+        # centroids persist WITH the index (underscore prefix = invisible
+        # to the parquet reader, like _SUCCESS): an on-disk index a fresh
+        # session must re-train k-means to use isn't an offline index —
+        # every new session (the correctness driver, a user process) paid
+        # the full training job before its first probe.
+        cpath = os.path.join(path, "_centroids.json")
+        if os.path.exists(cpath):
+            with open(cpath) as fh:
+                centroids = json.load(fh)
+        else:  # offline build step, once per corpus
+            emb = load_table(spark, sf_dir, "embeddings")
+            indexed, centroids = SIM.ivf_index(emb, n_cells=32, max_iter=5)
+            if not os.path.isdir(path):
+                # repartition by cell first: without it every shuffle
+                # partition writes a file into every cell directory (32
+                # tasks x 32 cells ≈ 1000 tiny files), and the probe-side
+                # read pays file listing + footer decode per file
+                # (measured ~9s first touch -> <1s)
+                indexed.repartition("cell").write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(path)
+            from connected_data_lake_spark.operators.dedup import release_index
 
-        release_index(indexed)  # training cache no longer needed
+            release_index(indexed)  # training cache no longer needed
+            tmp = f"{cpath}.tmp-{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(centroids, fh)
+            os.replace(tmp, cpath)
         _IVF_CACHE[key] = (spark.read.parquet(path), centroids)
     return _IVF_CACHE[key]
 
