@@ -170,6 +170,49 @@ class CdlFS:
         never string-concatenated into a larger statement."""
         return self.table().filter(F.expr(condition))
 
+    def scan(self, filters: list[tuple] | None = None, columns: list[str] | None = None) -> DataFrame:
+        """Zone-map-pruned scan: like :meth:`read_files`, but the predicate
+        is conjunctive ``(col, op, value)`` triples (sources/zonemap.py)
+        so the manifest's per-file stats can drop files BEFORE the scan is
+        planned — on a large table a selective predicate reads the few
+        files that can match instead of listing everything. Results are
+        identical to the equivalent ``read_files`` condition (pruning is
+        conservative; the predicate is re-applied exactly). Tables without
+        a manifest (legacy/object-store) fall back to a plain filter."""
+        from .sources.maintenance import scan_table
+        from .sources.zonemap import filters_to_column
+
+        try:
+            return scan_table(self.spark, self.path.table_uri, filters, columns)
+        except ValueError:
+            df = self.table()
+            if filters:
+                df = df.filter(filters_to_column(filters))
+            return df.select(*columns) if columns else df
+
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Layout maintenance on a manifest-backed table: bin-pack small
+        files (sources/maintenance.py::compact_table), or — with
+        ``zorder_by`` — re-cluster the table along a Z-curve so zone maps
+        prune selective predicates on any listed column (zorder_table).
+        Same rows either way; one atomic rewrite commit."""
+        from .sources.maintenance import compact_table, zorder_table
+
+        if zorder_by:
+            out = zorder_table(self.spark, self.path.table_uri, zorder_by, target_bytes)
+        else:
+            out = compact_table(self.spark, self.path.table_uri, target_bytes)
+        if out["version"] is not None:  # files changed: refresh view + index
+            if self._ordinal_cache is not None:
+                self._ordinal_cache.unpersist()
+                self._ordinal_cache = None
+            self._register()
+        return out
+
     def take(
         self,
         indices: list[int],

@@ -153,6 +153,46 @@ def upsert_table(
     return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
 
 
+def zorder_table(
+    spark: SparkSession,
+    table_uri: str,
+    cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    bits: int | None = None,
+) -> dict:
+    """Re-cluster the whole table along a Z-curve over ``cols`` (the
+    OPTIMIZE ZORDER BY move): rows are range-partitioned and sorted by
+    their Morton code (sources/zorder.py), so each rewritten file covers a
+    small hyper-rectangle of the key space and the zone maps prune
+    selective predicates on ANY of ``cols`` — not just a lead sort key.
+
+    Pure layout change: same rows, new files, one atomic rewrite commit
+    (concurrent appends survive via the manifest retry; a concurrent
+    rewrite raises RewriteConflict). The shuffle is one range exchange on
+    the code — exactly the shuffle any global sort pays — and output file
+    count is sized from current bytes / ``target_bytes`` so clustering
+    and compaction land in the same pass."""
+    from .zorder import DEFAULT_BITS, morton_code
+
+    root, store = _store(table_uri)
+    _, files, stats = latest_snapshot(store)
+    if not files:
+        return {"files_rewritten": 0, "files_total": 0, "version": None}
+    total = sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    src = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    code = morton_code(src, cols, bits or DEFAULT_BITS)
+    clustered = (
+        src.withColumn("__z", code)
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    rel, new_stats = _write_rewrite(clustered, root)
+    version = publish_rewrite(store, set(files), rel, stats=new_stats)
+    return {"files_rewritten": len(files), "files_total": len(files), "version": version}
+
+
 def compact_table(
     spark: SparkSession,
     table_uri: str,

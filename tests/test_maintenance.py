@@ -238,3 +238,132 @@ def test_concurrent_deletes_distinct_files_both_land(spark, tmp_path):
     out = R.read_table(spark, uri)
     assert out.count() == 10
     assert {r["parent"] for r in out.select("parent").distinct().collect()} == {"/b"}
+
+
+# ------------------------------------------------------------------- z-order
+
+
+def _grid_rows(spark, sizes, modes):
+    """One row per (size, mode) grid cell — two independent dimensions."""
+    return spark.createDataFrame(
+        [
+            (f"f-{s:03d}-{m:03d}", "/g", None, None, None, m, s, 0, 0, 0, None)
+            for s in sizes
+            for m in modes
+        ],
+        R.ROOTFS_SCHEMA,
+    )
+
+
+def _size_sorted_grid(spark, tmp_path, side=16, n_files=4):
+    """Grid laid out sorted by `size` only: size prunes, mode doesn't —
+    the single-sort-key layout z-ordering exists to fix."""
+    uri = str(tmp_path / "grid")
+    per = side // n_files
+    for i in range(n_files):
+        chunk = _grid_rows(spark, range(i * per, (i + 1) * per), range(side)).coalesce(1)
+        R.write_table(chunk, uri, mode="overwrite" if i == 0 else "append")
+    return uri
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    uri = _size_sorted_grid(spark, tmp_path)
+    before = {r["name"] for r in R.read_table(spark, uri).select("name").collect()}
+    size_q = [("size", "between", (0, 3))]
+    mode_q = [("mode", "between", (0, 3))]
+    assert len(M.pruned_file_list(uri, size_q)[0]) == 1  # sorted dim prunes
+    assert len(M.pruned_file_list(uri, mode_q)[0]) == 4  # unsorted dim: full scan
+    old_version, old_files, _ = _snapshot(uri)
+
+    total = sum(os.path.getsize(os.path.join(uri, f)) for f in old_files)
+    out = M.zorder_table(spark, uri, ["size", "mode"], target_bytes=-(-total // 4))
+    assert out["files_rewritten"] == 4 and out["version"] is not None
+
+    _, new_files, _ = _snapshot(uri)
+    assert not set(new_files) & set(old_files)  # full re-layout
+    # same rows, and a selective predicate on EITHER dimension now skips
+    after = {r["name"] for r in R.read_table(spark, uri).select("name").collect()}
+    assert after == before
+    for q in (size_q, mode_q):
+        live, n = M.pruned_file_list(uri, q)
+        assert len(live) < n, f"no skipping on {q} after z-order"
+    # exact results through the pruned scan, both dims
+    got = {r["name"] for r in M.scan_table(spark, uri, mode_q).select("name").collect()}
+    assert got == {n for n in before if int(n.split("-")[2]) <= 3}
+    # time travel: the pre-zorder snapshot is untouched
+    assert R.read_table(spark, uri, version=old_version).count() == len(before)
+
+
+def test_zorder_string_column(spark, tmp_path):
+    """String dims rank via the 7-byte-prefix integer; same-prefix rows
+    land in the same files so equality predicates prune."""
+    uri = str(tmp_path / "s")
+    parents = ["/alpha", "/beta", "/gamma", "/delta"]
+    for i in range(4):  # each file holds a slice of EVERY parent
+        rows = spark.createDataFrame(
+            [
+                (f"f-{i}-{p[1:]}-{j}", p, None, None, None, 0o644, 1, 0, 0, 0, None)
+                for p in parents
+                for j in range(8)
+            ],
+            R.ROOTFS_SCHEMA,
+        ).coalesce(1)
+        R.write_table(rows, uri, mode="overwrite" if i == 0 else "append")
+    q = [("parent", "=", "/beta")]
+    _, files, _ = _snapshot(uri)
+    assert len(M.pruned_file_list(uri, q)[0]) == 4
+    total = sum(os.path.getsize(os.path.join(uri, f)) for f in files)
+    M.zorder_table(spark, uri, ["parent"], target_bytes=-(-total // 4))
+    live, n = M.pruned_file_list(uri, q)
+    assert len(live) < n
+    got = M.scan_table(spark, uri, q).count()
+    assert got == 32
+
+
+def test_zorder_rejects_bad_args(spark, tmp_path):
+    uri = _disjoint_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one column"):
+        M.zorder_table(spark, uri, [])
+    with pytest.raises(ValueError, match="unsupported type"):
+        M.zorder_table(spark, uri, ["data"])  # binary
+    with pytest.raises(ValueError, match="signed long"):
+        M.zorder_table(spark, uri, ["size", "mode"], bits=32)
+
+
+# ---------------------------------------------------------- CdlFS integration
+
+
+def test_cdlfs_scan_matches_read_files(spark, tmp_path):
+    from connected_data_lake_spark import Cdl
+
+    src = tmp_path / "tree"
+    (src / "sub").mkdir(parents=True)
+    (src / "small.txt").write_bytes(b"hi")
+    (src / "sub" / "big.bin").write_bytes(b"x" * 9000)
+    (src / "empty.bin").write_bytes(b"")
+    fs = Cdl().open(f"local://{src}")
+    fs.load()
+    got = {r["name"] for r in fs.scan([("size", ">", 100)]).select("name").collect()}
+    want = {r["name"] for r in fs.read_files("size > 100").select("name").collect()}
+    assert got == want == {"big.bin"}
+    # column projection + the pruned path agree with the full path
+    assert fs.scan([("size", "=", 0)], columns=["name"]).collect()[0]["name"] == "empty.bin"
+    assert fs.scan().count() == 3  # no filters = whole table
+
+
+def test_cdlfs_optimize_refreshes_view(spark, tmp_path):
+    from connected_data_lake_spark import Cdl
+
+    src = tmp_path / "t"
+    src.mkdir()
+    for i in range(4):
+        (src / f"d-{i}.bin").write_bytes(bytes([i]) * (i + 1) * 100)
+    fs = Cdl().open(f"local://{src}")
+    fs.load()
+    before = {(r["name"], r["size"]) for r in fs.sql("SELECT name, size FROM rootfs").collect()}
+    out = fs.optimize(zorder_by=["size", "name"])
+    assert out["version"] is not None
+    # the registered view follows the rewrite — same rows, no stale files
+    after = {(r["name"], r["size"]) for r in fs.sql("SELECT name, size FROM rootfs").collect()}
+    assert after == before
+    assert fs.optimize()["files_compacted"] == 0  # z-order left one packed file
