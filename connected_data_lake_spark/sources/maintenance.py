@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import LocalFsStore, latest_snapshot, publish_rewrite
+from .manifest import LocalFsStore, latest_snapshot, publish_rewrite, snapshot_schema
 from .rootfs import _data_files, _local_root, _LOG_DIR
 from .zonemap import Filter, collect_file_stats, filters_to_column, prune_files
 
@@ -43,6 +43,21 @@ def _store(table_uri: str) -> tuple[str, LocalFsStore]:
             "maintenance ops need the transactional log"
         )
     return root, LocalFsStore(os.path.join(root, _LOG_DIR))
+
+
+def _read(spark: SparkSession, root: str, store: LocalFsStore, files: list[str]) -> DataFrame:
+    """Read ``files`` under the snapshot's RECORDED schema when one exists.
+
+    Every copy-on-write rewrite reads a SUBSET of the table's files; with
+    schema evolution in play an inferred read of that subset would take its
+    shape from whichever file the reader samples, silently dropping evolved
+    columns from the rewrite. The recorded schema pins the table shape —
+    pre-evolution files fill NULL, post-evolution values survive."""
+    reader = spark.read
+    schema = snapshot_schema(store)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def _write_rewrite(df: DataFrame, root: str) -> tuple[list[str], dict]:
@@ -82,9 +97,9 @@ def scan_table(
         raise ValueError(f"{table_uri!r} has no committed snapshot to scan")
     live = prune_files(files, stats, filters)
     if not live:
-        base = spark.read.parquet(*[os.path.join(root, f) for f in files]).limit(0)
+        base = _read(spark, root, store, files).limit(0)
     else:
-        base = spark.read.parquet(*[os.path.join(root, f) for f in live])
+        base = _read(spark, root, store, live)
     if filters:
         base = base.filter(filters_to_column(filters))
     if columns:
@@ -107,7 +122,7 @@ def delete_where(spark: SparkSession, table_uri: str, filters: list[Filter]) -> 
     candidates = prune_files(files, stats, filters)
     if not candidates:
         return {"files_rewritten": 0, "files_total": len(files), "version": None}
-    src = spark.read.parquet(*[os.path.join(root, f) for f in candidates])
+    src = _read(spark, root, store, candidates)
     keep = src.filter(~F.coalesce(filters_to_column(filters), F.lit(False)))
     rel, new_stats = _write_rewrite(keep, root)
     version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
@@ -139,14 +154,13 @@ def upsert_table(
     ]
     candidates = prune_files(files, stats, key_filters)
     if candidates:
-        src = spark.read.parquet(*[os.path.join(root, f) for f in candidates])
+        src = _read(spark, root, store, candidates)
         updates = updates.select(*src.columns)  # align column order/set
         keep = src.join(F.broadcast(updates.select(*key_cols)), on=key_cols, how="left_anti")
         out = keep.unionByName(updates)
     else:
-        any_file = files[0] if files else None
-        if any_file is not None:
-            updates = updates.select(*spark.read.parquet(os.path.join(root, any_file)).columns)
+        if files:
+            updates = updates.select(*_read(spark, root, store, files[:1]).columns)
         out = updates
     rel, new_stats = _write_rewrite(out, root)
     version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
@@ -180,7 +194,7 @@ def zorder_table(
         return {"files_rewritten": 0, "files_total": 0, "version": None}
     total = sum(os.path.getsize(os.path.join(root, f)) for f in files)
     n_out = max(1, math.ceil(total / target_bytes))
-    src = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    src = _read(spark, root, store, files)
     code = morton_code(src, cols, bits or DEFAULT_BITS)
     clustered = (
         src.withColumn("__z", code)
@@ -213,7 +227,7 @@ def compact_table(
         return {"files_compacted": 0, "files_total": len(files), "version": None}
     total = sum(s for _, s in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    src = spark.read.parquet(*[os.path.join(root, f) for f, _ in small]).coalesce(n_out)
+    src = _read(spark, root, store, [f for f, _ in small]).coalesce(n_out)
     rel, new_stats = _write_rewrite(src, root)
     version = publish_rewrite(store, {f for f, _ in small}, rel, stats=new_stats)
     return {"files_compacted": len(small), "files_total": len(files), "version": version}

@@ -116,9 +116,15 @@ class RewriteConflict(Exception):
     would resurrect deleted rows or drop a concurrent delete."""
 
 
-def _read_snapshot(store: ConditionalPutStore, key: str) -> tuple[int, list[str], dict]:
+def _read_doc(store: ConditionalPutStore, key: str) -> dict:
     doc = json.loads(store.get(key))
-    return int(key[: -len(".json")]), doc["files"], doc.get("stats", {})
+    doc["version"] = int(key[: -len(".json")])
+    return doc
+
+
+def _read_snapshot(store: ConditionalPutStore, key: str) -> tuple[int, list[str], dict]:
+    doc = _read_doc(store, key)
+    return doc["version"], doc["files"], doc.get("stats", {})
 
 
 def latest_snapshot(store: ConditionalPutStore) -> tuple[int, list[str], dict]:
@@ -144,16 +150,77 @@ def manifest_files(store: ConditionalPutStore, version: int) -> list[str]:
     return json.loads(store.get(_KEY_FMT.format(version)))["files"]
 
 
+def snapshot_schema(store: ConditionalPutStore, version: int | None = None):
+    """The table schema recorded at ``version`` (default: latest) as a
+    ``StructType``, or None for manifests written before schemas were
+    recorded (readers then fall back to their own default/inference).
+    Schema is per-SNAPSHOT, so time travel reads each version with the
+    shape the table had then."""
+    if version is None:
+        keys = store.list_keys()
+        if not keys:
+            return None
+        doc = _read_doc(store, keys[-1])
+    else:
+        doc = _read_doc(store, _KEY_FMT.format(version))
+    return _schema_from_json(doc.get("schema"))
+
+
+def _schema_from_json(text: str | None):
+    if text is None:
+        return None
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(text))
+
+
+def merge_schemas(old, new):
+    """Union of two ``StructType``s for append-time schema evolution.
+
+    Same-name fields must carry the SAME data type (no silent widening —
+    a type conflict is an error the writer must resolve, the Delta
+    default); fields only in ``old`` are kept, fields only in ``new`` are
+    appended as nullable (existing files lack them, so reads must be able
+    to fill NULL). Field order: old order, then new-only fields in their
+    incoming order — stable across repeated appends."""
+    if old is None:
+        return new
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in old.fields}
+    out = list(old.fields)
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(T.StructField(f.name, f.dataType, nullable=True))
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution conflict on {f.name!r}: table has "
+                f"{have.dataType.simpleString()}, append has {f.dataType.simpleString()}"
+            )
+    return T.StructType(out)
+
+
 def _publish(
     store: ConditionalPutStore,
     version: int,
     files: list[str],
     stats: dict,
+    schema=None,
 ) -> bool:
     doc: dict = {"version": version, "files": files}
     if stats:
         doc["stats"] = {f: stats[f] for f in files if f in stats}
+    if schema is not None:
+        doc["schema"] = json.dumps(schema.jsonValue())
     return store.put_if_absent(_KEY_FMT.format(version), json.dumps(doc).encode())
+
+
+def _latest_doc(store: ConditionalPutStore) -> dict:
+    keys = store.list_keys()
+    if not keys:
+        return {"version": -1, "files": [], "stats": {}}
+    return _read_doc(store, keys[-1])
 
 
 def publish_manifest(
@@ -161,6 +228,7 @@ def publish_manifest(
     new_files: list[str],
     replace: bool,
     stats: dict | None = None,
+    schema=None,
     max_attempts: int = 1000,
 ) -> int:
     """Optimistic-concurrency commit: retry the conditional put until this
@@ -171,16 +239,24 @@ def publish_manifest(
     concurrent writer committed N+1 first; the retry layers on THAT
     snapshot, so no committed write is ever dropped (no lost update).
     ``stats`` carries zone-map records for the NEW files; retained files
-    keep the stats already in the snapshot."""
+    keep the stats already in the snapshot. ``schema`` (a StructType) is
+    the incoming data's shape: appends MERGE it into the snapshot schema
+    (see :func:`merge_schemas` — the merge re-runs inside the retry loop,
+    so it composes with a concurrent append that itself evolved the
+    schema), replaces adopt it outright. A type conflict raises before
+    any manifest is written."""
     new_stats = dict(stats or {})
     for _ in range(max_attempts):
-        version, files, old_stats = latest_snapshot(store)
+        doc = _latest_doc(store)
+        version, files, old_stats = doc["version"], doc["files"], doc.get("stats", {})
         if replace:
-            snapshot, merged = list(new_files), new_stats
+            snapshot, merged, out_schema = list(new_files), new_stats, schema
         else:
             snapshot = files + list(new_files)
             merged = {**old_stats, **new_stats}
-        if _publish(store, version + 1, snapshot, merged):
+            old_schema = _schema_from_json(doc.get("schema"))
+            out_schema = merge_schemas(old_schema, schema) if schema is not None else old_schema
+        if _publish(store, version + 1, snapshot, merged, schema=out_schema):
             return version + 1
     raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")
 
@@ -204,7 +280,8 @@ def publish_rewrite(
     analogue); the caller re-plans against the new snapshot."""
     new_stats = dict(stats or {})
     for _ in range(max_attempts):
-        version, files, old_stats = latest_snapshot(store)
+        doc = _latest_doc(store)
+        version, files, old_stats = doc["version"], doc["files"], doc.get("stats", {})
         missing = remove - set(files)
         if missing:
             raise RewriteConflict(
@@ -212,6 +289,7 @@ def publish_rewrite(
             )
         snapshot = [f for f in files if f not in remove] + list(add)
         merged = {**{k: v for k, v in old_stats.items() if k not in remove}, **new_stats}
-        if _publish(store, version + 1, snapshot, merged):
+        # a rewrite reshapes files, never the table: carry the schema forward
+        if _publish(store, version + 1, snapshot, merged, schema=_schema_from_json(doc.get("schema"))):
             return version + 1
     raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")

@@ -244,7 +244,9 @@ from connected_data_lake_spark.sources.manifest import (  # noqa: E402
     LocalFsStore,
     latest_manifest,
     manifest_files,
+    merge_schemas,
     publish_manifest,
+    snapshot_schema,
 )
 
 _LOG_DIR = "_cdl_log"
@@ -266,11 +268,11 @@ def _latest_manifest(log_dir: str) -> tuple[int, list[str]]:
 
 
 def _publish_manifest(
-    root: str, new_files: list[str], replace: bool, stats: dict | None = None
+    root: str, new_files: list[str], replace: bool, stats: dict | None = None, schema=None
 ) -> int:
     """Optimistic-concurrency commit against the table's local log dir."""
     return publish_manifest(
-        LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace, stats=stats
+        LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace, stats=stats, schema=schema
     )
 
 
@@ -306,6 +308,8 @@ def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
         return
     os.makedirs(root, exist_ok=True)
     _migrate_legacy(root)
+    if mode != "overwrite":  # fail a conflicting append BEFORE writing data
+        merge_schemas(snapshot_schema(LocalFsStore(os.path.join(root, _LOG_DIR))), df.schema)
     txn = f"txn-{uuid.uuid4().hex}"
     data_dir = os.path.join(root, txn)
     df.write.format("parquet").mode("overwrite").save(data_dir)
@@ -316,27 +320,37 @@ def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
     from .zonemap import collect_file_stats
 
     stats = {f: collect_file_stats(os.path.join(root, f)) for f in new_files}
-    _publish_manifest(root, new_files, replace=(mode == "overwrite"), stats=stats)
+    # the commit records the table schema; appends MERGE it with the
+    # snapshot's (new nullable columns evolve the table, type conflicts
+    # raise — see manifest.merge_schemas), so reads at any version get
+    # the shape the table had THEN
+    _publish_manifest(root, new_files, replace=(mode == "overwrite"), stats=stats, schema=df.schema)
 
 
 def read_table(spark: SparkSession, table_uri: str, version: int | None = None) -> DataFrame:
     """Table scan (reference S1), parquet-backed.
 
     Resolves the manifest snapshot (optionally a historical ``version`` —
-    the Lance/Delta time-travel analogue) and reads exactly its file list;
-    tables without a manifest (legacy or object-store) scan the directory.
+    the Lance/Delta time-travel analogue) and reads exactly its file list
+    under the schema RECORDED AT that version, so evolved columns read as
+    NULL from pre-evolution files and time travel shows each version's own
+    shape. Tables without a manifest (legacy or object-store) scan the
+    directory; manifests without a recorded schema (older writers) fall
+    back to the rootfs schema as before.
     """
     root = _local_root(table_uri)
     if root is not None:
         log_dir = os.path.join(root, _LOG_DIR)
         if os.path.isdir(log_dir):
+            store = LocalFsStore(log_dir)
             if version is None:
                 _, files = _latest_manifest(log_dir)
             else:
-                files = manifest_files(LocalFsStore(log_dir), version)
+                files = manifest_files(store, version)
+            schema = snapshot_schema(store, version) or ROOTFS_SCHEMA
             if not files:
-                return spark.createDataFrame([], ROOTFS_SCHEMA)
-            return spark.read.schema(ROOTFS_SCHEMA).parquet(
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
                 *[os.path.join(root, f) for f in files]
             )
     return spark.read.schema(ROOTFS_SCHEMA).parquet(table_uri)
