@@ -150,6 +150,12 @@ def manifest_files(store: ConditionalPutStore, version: int) -> list[str]:
     return json.loads(store.get(_KEY_FMT.format(version)))["files"]
 
 
+def txn_ledger(store: ConditionalPutStore) -> dict[str, int]:
+    """The per-app idempotency ledger of the latest snapshot:
+    app_id -> highest committed batch version (see publish_manifest)."""
+    return dict(_latest_doc(store).get("txn", {}))
+
+
 def snapshot_schema(store: ConditionalPutStore, version: int | None = None):
     """The table schema recorded at ``version`` (default: latest) as a
     ``StructType``, or None for manifests written before schemas were
@@ -207,12 +213,15 @@ def _publish(
     files: list[str],
     stats: dict,
     schema=None,
+    txn_map: dict | None = None,
 ) -> bool:
     doc: dict = {"version": version, "files": files}
     if stats:
         doc["stats"] = {f: stats[f] for f in files if f in stats}
     if schema is not None:
         doc["schema"] = json.dumps(schema.jsonValue())
+    if txn_map:
+        doc["txn"] = txn_map
     return store.put_if_absent(_KEY_FMT.format(version), json.dumps(doc).encode())
 
 
@@ -229,8 +238,9 @@ def publish_manifest(
     replace: bool,
     stats: dict | None = None,
     schema=None,
+    txn: tuple[str, int] | None = None,
     max_attempts: int = 1000,
-) -> int:
+) -> int | None:
     """Optimistic-concurrency commit: retry the conditional put until this
     writer wins a version slot. Returns the committed version.
 
@@ -244,11 +254,27 @@ def publish_manifest(
     (see :func:`merge_schemas` — the merge re-runs inside the retry loop,
     so it composes with a concurrent append that itself evolved the
     schema), replaces adopt it outright. A type conflict raises before
-    any manifest is written."""
+    any manifest is written.
+
+    ``txn`` = (app_id, batch_version) makes the commit IDEMPOTENT — the
+    Delta txnAppId/txnVersion pattern a streaming foreachBatch sink needs:
+    the manifest carries a per-app high-water ledger, and a commit whose
+    batch_version is <= the recorded mark returns None WITHOUT committing.
+    The check re-runs inside the same retry loop as the conditional put,
+    so a replayed micro-batch racing its own first attempt still lands
+    exactly once. The ledger survives overwrites and rewrites (clearing it
+    on overwrite would re-admit every replayed batch the moment a
+    compaction or truncate ran)."""
     new_stats = dict(stats or {})
     for _ in range(max_attempts):
         doc = _latest_doc(store)
         version, files, old_stats = doc["version"], doc["files"], doc.get("stats", {})
+        txn_map = dict(doc.get("txn", {}))
+        if txn is not None:
+            app_id, batch_version = txn
+            if txn_map.get(app_id, -1) >= batch_version:
+                return None  # replayed batch: already committed
+            txn_map[app_id] = batch_version
         if replace:
             snapshot, merged, out_schema = list(new_files), new_stats, schema
         else:
@@ -256,7 +282,7 @@ def publish_manifest(
             merged = {**old_stats, **new_stats}
             old_schema = _schema_from_json(doc.get("schema"))
             out_schema = merge_schemas(old_schema, schema) if schema is not None else old_schema
-        if _publish(store, version + 1, snapshot, merged, schema=out_schema):
+        if _publish(store, version + 1, snapshot, merged, schema=out_schema, txn_map=txn_map):
             return version + 1
     raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")
 
@@ -289,7 +315,14 @@ def publish_rewrite(
             )
         snapshot = [f for f in files if f not in remove] + list(add)
         merged = {**{k: v for k, v in old_stats.items() if k not in remove}, **new_stats}
-        # a rewrite reshapes files, never the table: carry the schema forward
-        if _publish(store, version + 1, snapshot, merged, schema=_schema_from_json(doc.get("schema"))):
+        # a rewrite reshapes files, never the table: carry schema + ledger forward
+        if _publish(
+            store,
+            version + 1,
+            snapshot,
+            merged,
+            schema=_schema_from_json(doc.get("schema")),
+            txn_map=doc.get("txn", {}),
+        ):
             return version + 1
     raise RuntimeError(f"commit contention: gave up after {max_attempts} attempts")

@@ -247,6 +247,7 @@ from connected_data_lake_spark.sources.manifest import (  # noqa: E402
     merge_schemas,
     publish_manifest,
     snapshot_schema,
+    txn_ledger,
 )
 
 _LOG_DIR = "_cdl_log"
@@ -268,11 +269,21 @@ def _latest_manifest(log_dir: str) -> tuple[int, list[str]]:
 
 
 def _publish_manifest(
-    root: str, new_files: list[str], replace: bool, stats: dict | None = None, schema=None
-) -> int:
+    root: str,
+    new_files: list[str],
+    replace: bool,
+    stats: dict | None = None,
+    schema=None,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Optimistic-concurrency commit against the table's local log dir."""
     return publish_manifest(
-        LocalFsStore(os.path.join(root, _LOG_DIR)), new_files, replace, stats=stats, schema=schema
+        LocalFsStore(os.path.join(root, _LOG_DIR)),
+        new_files,
+        replace,
+        stats=stats,
+        schema=schema,
+        txn=txn,
     )
 
 
@@ -290,7 +301,9 @@ def _migrate_legacy(root: str) -> None:
         _publish_manifest(root, legacy, replace=True)
 
 
-def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
+def write_table(
+    df: DataFrame, table_uri: str, mode: str = "append", txn: tuple[str, int] | None = None
+) -> int | None:
     """Transactional append/overwrite sink (reference S4: Lance
     WriteMode::Append behind a commit handler, lib.rs:822-853).
 
@@ -301,19 +314,27 @@ def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
     land (serialized by the conditional put); a crashed writer leaves only
     an unreferenced txn dir that :func:`vacuum_table` removes. Object-store
     URIs fall back to the plain parquet writer (S3 conditional-put wiring
-    is environment-limited here; see README)."""
+    is environment-limited here; see README).
+
+    ``txn`` = (app_id, batch_version) requests an IDEMPOTENT append (the
+    streaming-sink contract, manifest.publish_manifest): a batch at or
+    below the app's recorded high-water mark is skipped — returns None and
+    writes nothing. Returns the committed manifest version otherwise."""
     root = _local_root(table_uri)
     if root is None:  # s3a://… — no local conditional put available
         df.write.format("parquet").mode(mode).save(table_uri)
-        return
+        return None
     os.makedirs(root, exist_ok=True)
     _migrate_legacy(root)
+    store = LocalFsStore(os.path.join(root, _LOG_DIR))
+    if txn is not None and txn_ledger(store).get(txn[0], -1) >= txn[1]:
+        return None  # replayed batch: skip before writing any data
     if mode != "overwrite":  # fail a conflicting append BEFORE writing data
-        merge_schemas(snapshot_schema(LocalFsStore(os.path.join(root, _LOG_DIR))), df.schema)
-    txn = f"txn-{uuid.uuid4().hex}"
-    data_dir = os.path.join(root, txn)
+        merge_schemas(snapshot_schema(store), df.schema)
+    txn_dir = f"txn-{uuid.uuid4().hex}"
+    data_dir = os.path.join(root, txn_dir)
     df.write.format("parquet").mode("overwrite").save(data_dir)
-    new_files = [f"{txn}/{f}" for f in _data_files(data_dir)]
+    new_files = [f"{txn_dir}/{f}" for f in _data_files(data_dir)]
     # zone maps into the manifest: footer-only reads of the files just
     # written (see sources/zonemap.py) so later scans and copy-on-write
     # maintenance can skip files a predicate cannot touch
@@ -324,7 +345,15 @@ def write_table(df: DataFrame, table_uri: str, mode: str = "append") -> None:
     # snapshot's (new nullable columns evolve the table, type conflicts
     # raise — see manifest.merge_schemas), so reads at any version get
     # the shape the table had THEN
-    _publish_manifest(root, new_files, replace=(mode == "overwrite"), stats=stats, schema=df.schema)
+    version = _publish_manifest(
+        root, new_files, replace=(mode == "overwrite"), stats=stats, schema=df.schema, txn=txn
+    )
+    if version is None:
+        # lost the idempotency race to our own replay: drop the orphan data
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+    return version
 
 
 def read_table(spark: SparkSession, table_uri: str, version: int | None = None) -> DataFrame:
