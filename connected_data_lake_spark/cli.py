@@ -11,6 +11,14 @@ reference                                  here
 (command/copy.rs:9-21)
 ``cdl mount`` (linux/FUSE)                 not built — declared-intent-only in
                                            the reference itself (SURVEY §2.12)
+(no reference analogue)                    ``... optimize <target>
+                                           [--zorder-by c1,c2]`` /
+                                           ``... delete <target> <condition>`` /
+                                           ``... vacuum <target>`` — the
+                                           lakehouse maintenance surface over
+                                           the manifest table (sources/
+                                           maintenance.py), JSON receipts on
+                                           stdout
 =========================================  ==================================
 
 Catalog knobs arrive as repeated ``--set key=value`` (the reference flattens
@@ -93,7 +101,36 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("src", help="source dataset URL")
     c.add_argument("dst", help="destination URL")
 
-    for p in (q, c):
+    o = sub.add_parser(
+        "optimize",
+        help="layout maintenance: bin-pack small files, or --zorder-by to "
+        "re-cluster so zone maps prune on the listed columns",
+    )
+    o.add_argument("target", help="dataset URL")
+    o.add_argument(
+        "--zorder-by",
+        metavar="COL[,COL...]",
+        help="comma-separated clustering columns (omit for plain compaction)",
+    )
+    o.add_argument(
+        "--target-bytes",
+        type=int,
+        default=128 * 1024 * 1024,
+        help="output file size goal (default 128 MiB)",
+    )
+
+    d = sub.add_parser(
+        "delete", help="row-level DELETE (copy-on-write; only matching files rewritten)"
+    )
+    d.add_argument("target", help="dataset URL")
+    d.add_argument("condition", help="SQL predicate over the rootfs table, e.g. \"parent = '/tmp'\"")
+
+    v = sub.add_parser(
+        "vacuum", help="reclaim data files no longer referenced by the current snapshot"
+    )
+    v.add_argument("target", help="dataset URL")
+
+    for p in (q, c, o, d, v):
         p.add_argument(
             "--load",
             choices=("auto", "always", "never"),
@@ -108,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     from connected_data_lake_spark import Cdl
 
     cdl = Cdl(**_parse_sets(args.sets))
-    src_url = args.target if args.command == "query" else args.src
+    src_url = getattr(args, "target", None) or args.src
     fs = cdl.open(src_url)
     missing = not _has_table(fs)
     if args.load == "always" or (args.load == "auto" and missing):
@@ -118,10 +155,25 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "query":
         fs.sql(args.sql).show(args.limit, truncate=not args.full_width)
-    else:
+    elif args.command == "cp":
         fs.copy_to(args.dst)
         print(f"copied {src_url} -> {args.dst}")
+    elif args.command == "optimize":
+        cols = [c.strip() for c in args.zorder_by.split(",")] if args.zorder_by else None
+        _print_json(fs.optimize(zorder_by=cols, target_bytes=args.target_bytes))
+    elif args.command == "delete":
+        _print_json(fs.delete(args.condition))
+    elif args.command == "vacuum":
+        from connected_data_lake_spark.sources.rootfs import vacuum_table
+
+        _print_json({"files_removed": vacuum_table(fs.path.table_uri)})
     return 0
+
+
+def _print_json(doc: dict) -> None:
+    import json
+
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":  # pragma: no cover

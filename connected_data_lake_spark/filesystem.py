@@ -213,6 +213,25 @@ class CdlFS:
             self._register()
         return out
 
+    def delete(self, condition: str | list[tuple]) -> dict:
+        """Row-level DELETE, copy-on-write. A list of ``(col, op, value)``
+        triples prunes via the zone maps (only files that can match are
+        rewritten — sources/maintenance.py::delete_where); a SQL string is
+        exact but rewrites every file (delete_where_sql). Refreshes the
+        registered view on commit."""
+        from .sources.maintenance import delete_where, delete_where_sql
+
+        if isinstance(condition, str):
+            out = delete_where_sql(self.spark, self.path.table_uri, condition)
+        else:
+            out = delete_where(self.spark, self.path.table_uri, condition)
+        if out["version"] is not None:
+            if self._ordinal_cache is not None:
+                self._ordinal_cache.unpersist()
+                self._ordinal_cache = None
+            self._register()
+        return out
+
     def take(
         self,
         indices: list[int],

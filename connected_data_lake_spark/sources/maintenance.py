@@ -129,6 +129,25 @@ def delete_where(spark: SparkSession, table_uri: str, filters: list[Filter]) -> 
     return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
 
 
+def delete_where_sql(spark: SparkSession, table_uri: str, condition: str) -> dict:
+    """Row-level DELETE with an arbitrary SQL predicate.
+
+    Exact but UNPRUNED: a free-form predicate can't be matched against the
+    zone maps, so every file is a rewrite candidate (at scale, prefer
+    :func:`delete_where`'s conjunctive triples, which rewrite only files
+    whose stats admit a match). Same NULL semantics: predicate-NULL rows
+    survive."""
+    root, store = _store(table_uri)
+    _, files, _ = latest_snapshot(store)
+    if not files:
+        return {"files_rewritten": 0, "files_total": 0, "version": None}
+    src = _read(spark, root, store, files)
+    keep = src.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+    rel, new_stats = _write_rewrite(keep, root)
+    version = publish_rewrite(store, set(files), rel, stats=new_stats)
+    return {"files_rewritten": len(files), "files_total": len(files), "version": version}
+
+
 def upsert_table(
     spark: SparkSession,
     table_uri: str,

@@ -93,3 +93,28 @@ def test_load_always_reingests_new_files(spark, tree, tmp_path, capsys):
         ]
     )
     assert "|  4|" in capsys.readouterr().out
+
+
+def test_optimize_delete_vacuum_subcommands(spark, tree, capsys):
+    import json
+
+    url = f"local://{tree}"
+    # z-order optimize emits the rewrite receipt as one JSON line
+    rc = main(["optimize", url, "--zorder-by", "parent,size"])
+    assert rc == 0
+    receipt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert receipt["files_rewritten"] == receipt["files_total"] > 0
+
+    # SQL-predicate DELETE drops the row and the view follows
+    rc = main(["delete", url, "name = 'a.txt'"])
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["query", url, "SELECT name FROM rootfs ORDER BY name"])
+    out = capsys.readouterr().out
+    assert "a.txt" not in out and "b.bin" in out
+
+    # vacuum reclaims the files the two rewrites replaced
+    rc = main(["vacuum", url])
+    assert rc == 0
+    removed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert removed["files_removed"] > 0
