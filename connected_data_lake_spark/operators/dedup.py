@@ -534,6 +534,49 @@ def ngram_jaccard_pairs(
     return _with_persisted(out, postings)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """DIRECTED n-gram containment pairs: C(src→dst) = |src ∩ dst| / |src|.
+
+    Jaccard misses sub-document duplication — a short doc fully quoted
+    inside a long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on containment
+    of the short side, which is why curation pipelines check containment
+    for quote/boilerplate/excerpt dedup alongside symmetric near-dup.
+    Same inverted-shingle-index plan as :func:`ngram_jaccard_pairs`
+    (Σ_shingle df² candidate work, shuffle on the shingle then on the
+    directed pair) with both directions of every candidate emitted; only
+    the denominator differs. Scale levers are identical: prefix filtering
+    and df-capping when a shingle's document frequency explodes."""
+    assert threshold > 0, "inverted-index path requires a positive threshold"
+    sh = spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    postings = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    ).persist()
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("src_id"), F.col("b.id").alias("dst_id"))
+        .agg(F.count("*").alias("inter"), F.first("a.sz").alias("sz_src"))
+    )
+    out = (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("sz_src"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+    return _with_persisted(out, postings)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

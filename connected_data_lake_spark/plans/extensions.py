@@ -2204,3 +2204,145 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", F.col("rank").cast("int").alias("rank"))
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "zz_dedup_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS sh
+      FROM t
+    ), p AS (
+      SELECT doc_id, len(sh) AS sz, UNNEST(sh) AS tok FROM s WHERE len(sh) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_src
+      FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src_id, dst_id, ROUND(inter * 1.0 / sz_src, 6) AS containment
+    FROM pairs
+    WHERE inter * 1.0 / sz_src >= 0.6
+    ORDER BY src_id, dst_id
+    """,
+    tags=("dedup",),
+)
+def zz_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment pairs (|src∩dst| / |src| ≥ 0.6) —
+    sub-document duplication that symmetric Jaccard misses: a short doc
+    quoted inside a long one scores ≈0 on Jaccard but 1.0 on containment
+    of the short side (operators.dedup.ngram_containment_pairs; same
+    inverted-index Σdf² plan as the Jaccard query, different denominator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(docs, threshold=0.6, shingle_n=3).orderBy(
+        "src_id", "dst_id"
+    )
+
+
+@query(
+    "zz_events_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, uw.wk) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS active_users
+    FROM uw JOIN first f ON uw.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("events", "analytics"),
+)
+def zz_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-active week,
+    distinct-user counts at each week offset — the classic product-analytics
+    rollup the funnel/top-users queries don't cover. Plan: one distinct on
+    (user, week), a per-user min, a self-join co-partitioned on user_id
+    (AQE reuses the exchange), then the small (cohort, offset) aggregate —
+    every shuffle keys on user_id or the tiny output grid, so the shape
+    holds when users are billions of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "zz_knn_centroid_classify",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label,
+             CAST(UNNEST(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, pos, AVG(val) AS cval FROM u GROUP BY 1, 2
+    ), dist AS (
+      SELECT u.vec_id, ANY_VALUE(u.label) AS label, c.clabel,
+             SUM((u.val - c.cval) * (u.val - c.cval)) AS d2
+      FROM u JOIN cent c ON u.pos = c.pos
+      GROUP BY u.vec_id, c.clabel
+    ), pred AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM dist
+    )
+    SELECT CAST(label AS INT) AS label, CAST(clabel AS INT) AS pred_label,
+           COUNT(*) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    ORDER BY label, pred_label
+    """,
+    tags=("similarity", "embeddings"),
+)
+def zz_knn_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label confusion matrix: per-label mean embedding,
+    every vector assigned to its closest centroid (squared L2, ties to the
+    smaller label), counts of (true label, predicted label) — the label
+    purity check a curation pipeline runs over tagged embeddings, and
+    structurally the IVF cell-assignment step. Plan: posexplode to
+    (vec, pos, val), centroids via a (label, pos) partial aggregate
+    (k×dim rows — broadcast), distances through the broadcast join with
+    map-side combine collapsing n·dim·k to n·k before the shuffle, one
+    window for the argmin, tiny confusion aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("valf").cast("double").alias("val"))
+    cent = u.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("val").alias("cval"))
+    dist = (
+        u.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("label").cast("int").alias("label"), F.col("clabel").cast("int").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred_label")
+    )

@@ -193,3 +193,26 @@ def test_pq_probe_scans_code_index_not_cache(spark, sf_dir):
     # corpus appears only as the pruned re-rank fetch
     assert "cdl_pq_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zz_knn_centroid_classify")
+    # k x dim centroid relation joins broadcast; the n·dim·k distance rows
+    # collapse map-side (partial_sum) before any exchange
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_retention_cohorts_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zz_events_retention_cohorts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # distinct + per-user min + final rollup all partial-aggregate map-side
+    assert "partial_min" in plan or "partial_first" in plan
+
+
+def test_containment_reuses_postings_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zz_dedup_containment")
+    assert "CartesianProduct" not in plan
+    # both sides of the postings self-join come from ONE cached/reused scan
+    assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
