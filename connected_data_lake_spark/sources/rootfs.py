@@ -302,7 +302,11 @@ def _migrate_legacy(root: str) -> None:
 
 
 def write_table(
-    df: DataFrame, table_uri: str, mode: str = "append", txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table_uri: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int | None:
     """Transactional append/overwrite sink (reference S4: Lance
     WriteMode::Append behind a commit handler, lib.rs:822-853).
@@ -319,7 +323,14 @@ def write_table(
     ``txn`` = (app_id, batch_version) requests an IDEMPOTENT append (the
     streaming-sink contract, manifest.publish_manifest): a batch at or
     below the app's recorded high-water mark is skipped — returns None and
-    writes nothing. Returns the committed manifest version otherwise."""
+    writes nothing. Returns the committed manifest version otherwise.
+
+    ``bloom_cols`` additionally records a per-file Bloom bitset for each
+    listed column (sources/bloom.py — one distributed aggregation over the
+    files just written), giving equality-predicate data skipping on
+    columns the layout does NOT cluster. Rewrites (compaction, z-order,
+    DELETE) drop the bitsets of the files they replace — pruning stays
+    conservative; re-append or re-write with ``bloom_cols`` to restore."""
     root = _local_root(table_uri)
     if root is None:  # s3a://… — no local conditional put available
         df.write.format("parquet").mode(mode).save(table_uri)
@@ -341,6 +352,14 @@ def write_table(
     from .zonemap import collect_file_stats
 
     stats = {f: collect_file_stats(os.path.join(root, f)) for f in new_files}
+    if bloom_cols:
+        from .bloom import build_file_blooms
+
+        blooms = build_file_blooms(
+            df.sparkSession, {f: os.path.join(root, f) for f in new_files}, bloom_cols
+        )
+        for f, rec in blooms.items():
+            stats[f]["bloom"] = rec
     # the commit records the table schema; appends MERGE it with the
     # snapshot's (new nullable columns evolve the table, type conflicts
     # raise — see manifest.merge_schemas), so reads at any version get

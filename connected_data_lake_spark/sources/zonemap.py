@@ -170,6 +170,17 @@ def file_may_match(stats: dict | None, filters: list[Filter]) -> bool:
             return False
         if "min" in rec and not _bounds_may_match(op, value, rec["min"], rec["max"]):
             return False
+        # equality probes additionally consult the per-file Bloom bitset
+        # (sources/bloom.py) — the skip that works when the column ISN'T
+        # clustered and min/max spans everything
+        bloom = stats.get("bloom", {}).get(col)
+        if bloom is not None:
+            from .bloom import bloom_may_contain
+
+            if op in ("=", "==") and not bloom_may_contain(bloom, value):
+                return False
+            if op == "in" and value and not any(bloom_may_contain(bloom, v) for v in value):
+                return False
     return True
 
 
