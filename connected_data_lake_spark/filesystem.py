@@ -65,13 +65,17 @@ class CdlFS:
 
     # -- table lifecycle ----------------------------------------------------
 
-    def load(self, max_chunk_size: int | None = None) -> "CdlFS":
+    def load(
+        self, max_chunk_size: int | None = None, bloom_cols: list[str] | None = None
+    ) -> "CdlFS":
         """Ingest the dataset's file tree into the rootfs table (reference
         ``load_all``: local glob → rows, lib.rs:593-715; chunking per the
-        catalog's max_chunk_size, default off)."""
+        catalog's max_chunk_size, default off). ``bloom_cols`` records
+        per-file Bloom bitsets so :meth:`scan` equality probes on those
+        columns skip files (sources/bloom.py)."""
         chunk = self.cdl.catalog.max_chunk_size if max_chunk_size is None else max_chunk_size
         df = rootfs_source.ingest_dir(self.spark, self.path.uri, max_chunk_size=chunk)
-        rootfs_source.write_table(df, self.path.table_uri, mode="overwrite")
+        rootfs_source.write_table(df, self.path.table_uri, mode="overwrite", bloom_cols=bloom_cols)
         if self._ordinal_cache is not None:  # table changed: drop stale index
             self._ordinal_cache.unpersist()
             self._ordinal_cache = None

@@ -86,6 +86,21 @@ def test_bloom_in_list_and_conservative_fallbacks(spark, tmp_path):
     assert probe_positions(1.5) is None  # floats: formatting differs, no bloom
 
 
+def test_cdlfs_load_bloom_cols(spark, tmp_path):
+    from connected_data_lake_spark import Cdl
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    for i in range(6):
+        (src / f"f{i}.txt").write_bytes(b"x" * (i + 1))
+    fs = Cdl().open(f"local://{src}")
+    fs.load(bloom_cols=["name"])
+    _, files, stats = latest_snapshot(LocalFsStore(os.path.join(fs.path.table_uri, R._LOG_DIR)))
+    assert any("bloom" in stats[f] for f in files)
+    assert fs.scan([("name", "=", "f3.txt")]).count() == 1
+    assert fs.scan([("name", "=", "missing.txt")]).count() == 0
+
+
 def test_spark_and_python_hash_lanes_agree(spark):
     """The build hashes with F.md5 lanes, the probe with hashlib.md5 —
     they must produce identical bit positions for identical values."""
