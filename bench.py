@@ -72,6 +72,7 @@ def main() -> None:
     _ext._bucketed_order_tables(spark, sf_dir)
     _ext._dedup_corpus_index(spark, sf_dir)
     _ext._pq_indexed(spark, sf_dir)
+    _ext._sketch_indexed(spark, sf_dir)
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

@@ -166,17 +166,60 @@ def knn_sketch(
     Returns (query_id, neighbor_id, cos, rank) — same shape as brute force
     so recall can be measured by joining the two outputs.
     """
+    # Persist the corpus sketch relation: the 256-dot expression would
+    # otherwise be inlined (= recomputed) into every downstream reference
+    # by projection collapse. This persist is the "build the ANN index
+    # once" step — sketch_index() is the same relation as an offline
+    # artifact, and knn_sketch_probe() is this function minus the build.
+    sk = sketch_index(df, emb_col=emb_col, id_col=id_col, n_bits=n_bits, seed=seed).persist()
+    out, qk = _sketch_probe_plan(
+        sk, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed
+    )
+    return _with_persisted(out, sk, qk)
+
+
+def sketch_index(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """The corpus side of the sign-sketch ANN as a standalone relation
+    (neighbor_id, emb, sig) — write it to parquet once and probe forever:
+    the planes are seeded and the sketch needs NO training, so unlike
+    IVF/PQ there is no model sidecar to keep with it."""
     dim = df.select(F.size(emb_col).alias("d")).first()["d"]
     planes = make_planes(dim, n_bits, seed)
-
-    # Persist both sketch relations: the 256-dot expression would otherwise
-    # be inlined (= recomputed) into every downstream reference by projection
-    # collapse. Corpus-side persist is the "build the ANN index once" step.
-    sk = spread(df, id_col).select(
+    return spread(df, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("emb"),
         hyperplane_sketch(emb_col, planes).alias("sig"),
-    ).persist()
+    )
+
+
+def knn_sketch_probe(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 256,
+    candidates_per_query: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a prebuilt :func:`sketch_index` (e.g. read back from parquet):
+    Hamming prune + exact re-rank only — what a steady-state ANN serving
+    query costs once the index exists."""
+    out, qk = _sketch_probe_plan(
+        index, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed
+    )
+    return _with_persisted(out, qk)
+
+
+def _sketch_probe_plan(sk, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed):
+    dim = queries.select(F.size(emb_col).alias("d")).first()["d"]
+    planes = make_planes(dim, n_bits, seed)
     qk = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
@@ -208,7 +251,7 @@ def knn_sketch(
         .withColumn("rank", F.row_number().over(w_cos).cast("int"))
         .filter(F.col("rank") <= k)
     )
-    return _with_persisted(out, sk, qk)
+    return out, qk
 
 
 def ivf_index(

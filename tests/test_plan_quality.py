@@ -216,3 +216,12 @@ def test_containment_reuses_postings_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # both sides of the postings self-join come from ONE cached/reused scan
     assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
+
+
+def test_sketch_probe_scans_persisted_index(spark, sf_dir):
+    from connected_data_lake_spark.plans import extensions as ext
+
+    ext._sketch_indexed(spark, sf_dir)  # offline build (bench warm-up step)
+    plan = plan_of(spark, sf_dir, "zz_knn_sketch_probe")
+    assert "cdl_srp_" in plan
+    assert "CartesianProduct" not in plan  # queries broadcast into one scan
