@@ -236,6 +236,36 @@ class CdlFS:
             self._register()
         return out
 
+    def upsert(self, updates: DataFrame, key_cols: list[str]) -> dict:
+        """Key-based MERGE: same-key rows replaced, new keys appended —
+        copy-on-write over the files whose zone maps overlap the updates'
+        key range (sources/maintenance.py::upsert_table). Refreshes the
+        registered view on commit."""
+        from .sources.maintenance import upsert_table
+
+        out = upsert_table(self.spark, self.path.table_uri, updates, key_cols)
+        if out["version"] is not None:
+            if self._ordinal_cache is not None:
+                self._ordinal_cache.unpersist()
+                self._ordinal_cache = None
+            self._register()
+        return out
+
+    def vacuum(self) -> int:
+        """Reclaim data files no longer referenced by the current snapshot
+        (crashed writers, superseded rewrites). Returns files removed;
+        historical versions whose files are reclaimed stop resolving —
+        run only when time travel past the current snapshot isn't needed."""
+        from .sources.rootfs import vacuum_table
+
+        return vacuum_table(self.path.table_uri)
+
+    def version(self) -> int:
+        """Current committed snapshot version (-1 when no manifest)."""
+        from .sources.rootfs import table_version
+
+        return table_version(self.path.table_uri)
+
     def take(
         self,
         indices: list[int],

@@ -367,3 +367,29 @@ def test_cdlfs_optimize_refreshes_view(spark, tmp_path):
     after = {(r["name"], r["size"]) for r in fs.sql("SELECT name, size FROM rootfs").collect()}
     assert after == before
     assert fs.optimize()["files_compacted"] == 0  # z-order left one packed file
+
+
+def test_cdlfs_upsert_vacuum_version(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark import Cdl
+
+    src = tmp_path / "t"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.txt").write_bytes(b"v1")
+    fs = Cdl().open(f"local://{src}")
+    fs.load()
+    v0 = fs.version()
+    assert v0 >= 0
+    # replace one row's payload metadata via key upsert on (parent, name)
+    updates = fs.table().filter(F.col("name") == "f1.txt").withColumn(
+        "size", F.lit(999).cast("long")
+    )
+    out = fs.upsert(updates, ["parent", "name"])
+    assert out["version"] == fs.version() > v0
+    got = {r["name"]: r["size"] for r in fs.sql("SELECT name, size FROM rootfs").collect()}
+    assert got["f1.txt"] == 999 and got["f0.txt"] == 2
+    assert fs.vacuum() >= 0  # nothing crashes; replaced files reclaimable
+    # post-vacuum the current snapshot still reads
+    assert fs.sql("SELECT count(*) c FROM rootfs").collect()[0]["c"] == 3
