@@ -1,0 +1,116 @@
+"""Property: data skipping is SOUND for arbitrary data and predicates.
+
+`file_may_match` (zone maps + Bloom bitsets) may return True spuriously —
+that only costs a read — but a False on a file containing ANY matching row
+would silently change query results. Hypothesis drives random files
+(ints, strings, NULLs) and random conjunctive filters through the pure
+pruning functions against a reference row evaluator with SQL semantics
+(NULL never matches =/</in/...; is_null/is_not_null are the only
+NULL-matching ops). No Spark needed: the functions under test are exactly
+the ones the scan path calls, and the write path's stat collection is
+mirrored field-for-field (min/max over non-null values, null counts,
+bloom positions from the shared probe_positions)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from connected_data_lake_spark.sources.bloom import DEFAULT_K, probe_positions
+from connected_data_lake_spark.sources.zonemap import file_may_match
+
+COLS = ("a", "b")
+_M = 256  # small bitset → false positives DO occur → exercises both paths
+
+value_st = st.one_of(
+    st.none(),
+    st.integers(min_value=-20, max_value=20),
+    st.text(alphabet="abcxyz", min_size=0, max_size=3),
+)
+row_st = st.fixed_dictionaries({c: value_st for c in COLS})
+probe_st = st.one_of(
+    st.integers(min_value=-20, max_value=20), st.text(alphabet="abcxyz", max_size=3)
+)
+filter_st = st.one_of(
+    st.tuples(st.sampled_from(COLS), st.sampled_from(["=", "!=", "<", "<=", ">", ">="]), probe_st),
+    st.tuples(st.sampled_from(COLS), st.just("in"), st.lists(probe_st, max_size=3)),
+    st.tuples(st.sampled_from(COLS), st.just("between"), st.tuples(probe_st, probe_st)),
+    st.tuples(st.sampled_from(COLS), st.sampled_from(["is_null", "is_not_null"])),
+)
+
+
+def _stats_for(rows: list[dict]) -> dict:
+    """Mirror of the write path: zonemap.collect_file_stats semantics plus
+    a Bloom bitset per column (rootfs.write_table(bloom_cols=COLS))."""
+    cols, bloom = {}, {}
+    for c in COLS:
+        values = [r[c] for r in rows]
+        present = [v for v in values if v is not None]
+        rec = {"nulls": sum(1 for v in values if v is None)}
+        # min/max only when the column's values are one orderable type
+        # (mixed int/str files get no bounds — like an unreadable footer)
+        if present and len({type(v) for v in present}) == 1:
+            rec["min"], rec["max"] = min(present), max(present)
+        cols[c] = rec
+        bits = bytearray(_M // 8)
+        for v in present:
+            for p in probe_positions(v, _M, DEFAULT_K) or []:
+                bits[p // 8] |= 1 << (p % 8)
+        bloom[c] = {"hex": bytes(bits).hex(), "m": _M, "k": DEFAULT_K}
+    return {"rows": len(rows), "cols": cols, "bloom": bloom}
+
+
+def _row_matches(row: dict, filters: list[tuple]) -> bool:
+    """SQL conjunction semantics: NULL comparisons are not-true."""
+    for col, op, *rest in filters:
+        v = row[col]
+        arg = rest[0] if rest else None
+        if op == "is_null":
+            if v is not None:
+                return False
+            continue
+        if op == "is_not_null":
+            if v is None:
+                return False
+            continue
+        if v is None:
+            return False
+        try:
+            if op == "=" and not v == arg:
+                return False
+            if op == "!=" and not v != arg:
+                return False
+            if op == "<" and not v < arg:
+                return False
+            if op == "<=" and not v <= arg:
+                return False
+            if op == ">" and not v > arg:
+                return False
+            if op == ">=" and not v >= arg:
+                return False
+            if op == "in" and v not in arg:
+                return False
+            if op == "between" and not (arg[0] <= v <= arg[1]):
+                return False
+        except TypeError:  # cross-type comparison: SQL would cast/NULL out
+            return False
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(rows=st.lists(row_st, min_size=0, max_size=12), filters=st.lists(filter_st, min_size=1, max_size=3))
+def test_skipped_files_provably_contain_no_match(rows, filters):
+    stats = _stats_for(rows)
+    if not file_may_match(stats, filters):
+        assert not any(_row_matches(r, filters) for r in rows), (
+            f"UNSOUND SKIP: stats={stats} filters={filters}"
+        )
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=st.lists(row_st, min_size=1, max_size=12), filters=st.lists(filter_st, min_size=1, max_size=3))
+def test_statless_files_never_skip(rows, filters):
+    assert file_may_match(None, filters)
+    assert file_may_match({}, filters)
+    # stats for OTHER columns never justify skipping on these filters
+    assert file_may_match({"rows": len(rows), "cols": {"zzz": {"min": 0, "max": 0}}}, filters)
