@@ -393,3 +393,37 @@ def test_cdlfs_upsert_vacuum_version(spark, tmp_path):
     assert fs.vacuum() >= 0  # nothing crashes; replaced files reclaimable
     # post-vacuum the current snapshot still reads
     assert fs.sql("SELECT count(*) c FROM rootfs").collect()[0]["c"] == 3
+
+
+def test_zorder_retains_concurrent_append(spark, tmp_path):
+    """An append that lands between z-order's plan and its commit is
+    retained un-clustered (the rewrite retry layers onto the newer
+    snapshot); a second optimize pass folds it into the curve."""
+    uri = _size_sorted_grid(spark, tmp_path, side=8, n_files=2)
+    _, planned_files, _ = _snapshot(uri)
+    total = sum(os.path.getsize(os.path.join(uri, f)) for f in planned_files)
+
+    # interleave: plan the rewrite (reads the snapshot), then append, then
+    # commit — simulated by appending BEFORE calling zorder_table, whose
+    # publish_rewrite retry must retain the new file it never read
+    from unittest.mock import patch
+
+    import connected_data_lake_spark.sources.maintenance as maint
+
+    real_publish = maint.publish_rewrite
+    appended = {}
+
+    def _append_then_publish(store, remove, add, **kw):
+        if not appended:  # first commit attempt: sneak an append in
+            late = _grid_rows(spark, range(8), range(8)).coalesce(1)
+            R.write_table(late, uri, mode="append")
+            appended["done"] = True
+        return real_publish(store, remove, add, **kw)
+
+    with patch.object(maint, "publish_rewrite", side_effect=_append_then_publish):
+        out = M.zorder_table(spark, uri, ["size", "mode"], target_bytes=-(-total // 2))
+    assert out["version"] is not None
+    _, files_after, _ = _snapshot(uri)
+    # the concurrently appended file survives, alongside the clustered ones
+    assert len(files_after) == 2 + 1
+    assert R.read_table(spark, uri).count() == 64 + 64
