@@ -176,3 +176,48 @@ def test_sessionize_with_alerts_emits_early_and_on_gap(spark, tmp_path):
     assert (s.user_id, s.n_events, s.sum_value) == (10, 6, 6.0)
     assert s.session_start_us == t0 * 10**6
     assert s.last_ts_us == (t0 + 60 * 5) * 10**6
+
+
+def test_trending_topk_matches_exact_counts(spark, tmp_path):
+    """CMS trending top-k: with width >> distinct keys the estimates are
+    exact, so the final per-window ranking must equal the batch
+    groupBy-count — including y overtaking x only after batch 2."""
+    import time as _time
+
+    from connected_data_lake_spark.streaming import trending as TR
+
+    d = str(tmp_path / "ev")
+    base = 1_700_000_000_000_000_000  # ns, aligned inside one hour window
+    hour_ns = 3_600 * 1_000_000_000
+
+    def ev(i, off_ns, typ):
+        return (i, base + off_ns, 1, typ, 1.0, "{}")
+
+    batch1 = [ev(i, i * 1_000_000_000, t) for i, t in enumerate(["x"] * 5 + ["y"] * 3 + ["z"])]
+    batch2 = [ev(100 + i, 60_000_000_000 + i * 1_000_000_000, "y") for i in range(4)] + [
+        ev(200 + i, hour_ns + i * 1_000_000_000, "w") for i in range(2)
+    ]
+    spark.createDataFrame(batch1, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/b1")
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(f"{d}/b2")
+
+    stream = SE.read_events_stream(spark, f"{d}/*", max_files_per_trigger=1)
+    out = _drain(TR.trending_topk(stream, window_minutes=60, k=3), mode="update").collect()
+
+    win_a = (base // 1000) - (base // 1000) % (3_600 * 1_000_000)
+    win_b = win_a + 3_600 * 1_000_000
+    # final estimates equal exact counts (no collisions at width 1024)
+    best = {}
+    for r in out:
+        best[(r.window_start_us, r.key)] = max(best.get((r.window_start_us, r.key), 0), r.est_count)
+    assert best == {
+        (win_a, "x"): 5,
+        (win_a, "y"): 7,
+        (win_a, "z"): 1,
+        (win_b, "w"): 2,
+    }
+    # the final window-A emission ranks y(7) over x(5) over z(1)
+    finals = {(r.key, r.est_count, r.rank) for r in out if r.window_start_us == win_a}
+    assert {("y", 7, 1), ("x", 5, 2), ("z", 1, 3)} <= finals
+    # batch-1 emission existed too (early emission, x still leading)
+    assert ("x", 5, 1) in finals
