@@ -171,8 +171,38 @@ class CdlFS:
         """Condition splice (P5): ``SELECT * FROM rootfs WHERE {condition}``
         (reference lib.rs:167-176). The fragment goes through Catalyst's
         parser via filter(expr) — same dialect as the rest of our surface,
-        never string-concatenated into a larger statement."""
+        never string-concatenated into a larger statement.
+
+        Simple conjunctive conditions additionally get zone-map/Bloom file
+        skipping: the condition is conservatively parsed into filter
+        triples (zonemap.parse_condition) used ONLY to prune the file
+        list; the original SQL string remains the applied predicate, so an
+        unparseable condition just scans every file as before."""
+        from .sources.zonemap import parse_condition
+
+        filters = parse_condition(condition)
+        if filters is not None:
+            try:
+                return self._pruned_read(filters, condition)
+            except ValueError:  # no manifest (legacy/object-store table)
+                pass
         return self.table().filter(F.expr(condition))
+
+    def _pruned_read(self, filters: list[tuple], condition: str) -> DataFrame:
+        from .sources.maintenance import _read, _store
+        from .sources.manifest import latest_snapshot
+        from .sources.zonemap import prune_files
+
+        root, store = _store(self.path.table_uri)
+        _, files, stats = latest_snapshot(store)
+        if not files:
+            return self.table().filter(F.expr(condition))
+        live = prune_files(files, stats, filters)
+        if not live:
+            base = _read(self.spark, root, store, files).limit(0)
+        else:
+            base = _read(self.spark, root, store, live)
+        return base.filter(F.expr(condition))
 
     def scan(self, filters: list[tuple] | None = None, columns: list[str] | None = None) -> DataFrame:
         """Zone-map-pruned scan: like :meth:`read_files`, but the predicate

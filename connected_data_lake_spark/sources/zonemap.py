@@ -43,6 +43,25 @@ _MAX_STRING_BOUND = 256
 Filter = tuple  # (col, op, value)
 
 
+def _kind(value) -> str | None:
+    """Type family of a bound/literal: comparisons and Bloom probes are
+    only trusted WITHIN a family. SQL coerces cross-type comparisons
+    (`string_col = 5` casts the column; `ts_col = '2024-01-01'` casts the
+    literal), and a representation-level compare of the un-coerced forms
+    can disagree with the coerced SQL result near boundaries (`'05' = 5`
+    is TRUE in SQL, '05' != '5' as strings) — a wrong skip, i.e. silent
+    wrong results. Cross-family predicates therefore never skip."""
+    if isinstance(value, bool):
+        return "bool"
+    if isinstance(value, (int, float)):
+        return "num"
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return "ts"
+    if isinstance(value, str):
+        return "str"
+    return None
+
+
 def _norm(value):
     """Normalize a bound/literal to a JSON-storable, order-preserving form.
 
@@ -103,11 +122,14 @@ def collect_file_stats(path: str) -> dict:
                 else:
                     rec["min"] = lo if rec["min"] is None or lo < rec["min"] else rec["min"]
                     rec["max"] = hi if rec["max"] is None or hi > rec["max"] else rec["max"]
+                    rec["kind"] = _kind(st.min)
     cols = {}
     for name, rec in acc.items():
         out = {}
         if rec["bounds_ok"] and rec["min"] is not None:
             out["min"], out["max"] = rec["min"], rec["max"]
+            if rec.get("kind"):
+                out["kind"] = rec["kind"]
         if rec["nulls_ok"]:
             out["nulls"] = rec["nulls"]
         if out:
@@ -168,20 +190,58 @@ def file_may_match(stats: dict | None, filters: list[Filter]) -> bool:
         # remaining ops match only non-null values
         if all_null:
             return False
-        if "min" in rec and not _bounds_may_match(op, value, rec["min"], rec["max"]):
-            return False
+        rkind = rec.get("kind")
+        if "min" in rec and _kinds_compatible(op, value, rkind):
+            if not _bounds_may_match(op, value, rec["min"], rec["max"]):
+                return False
         # equality probes additionally consult the per-file Bloom bitset
         # (sources/bloom.py) — the skip that works when the column ISN'T
-        # clustered and min/max spans everything
+        # clustered and min/max spans everything. Probed ONLY when the
+        # literal's exact python type matches the recorded bound's: the
+        # bitset hashes the column CAST TO STRING, and SQL's cross-type
+        # coercion ('05' = 5, 5 = 5.0 on a double column) renders
+        # differently than the probe value would — a probe across types
+        # risks a false negative, i.e. a wrong skip.
         bloom = stats.get("bloom", {}).get(col)
-        if bloom is not None:
+        if bloom is not None and "min" in rec and rec.get("kind") not in (None, "ts"):
+            # temporal bounds are ISO *strings*, so a str literal passes a
+            # bare type check — but SQL renders/coerces timestamps in
+            # multiple textual forms ('2024-01-01' == midnight), so a ts
+            # column is never bloom-probed; kind==None (old manifest) has
+            # no type evidence at all
             from .bloom import bloom_may_contain
 
-            if op in ("=", "==") and not bloom_may_contain(bloom, value):
+            def _probeable(v):
+                return type(v) is type(rec["min"])
+
+            if op in ("=", "==") and _probeable(value) and not bloom_may_contain(bloom, value):
                 return False
-            if op == "in" and value and not any(bloom_may_contain(bloom, v) for v in value):
+            if (
+                op == "in"
+                and value
+                and all(_probeable(v) for v in value)
+                and not any(bloom_may_contain(bloom, v) for v in value)
+            ):
                 return False
     return True
+
+
+def _kinds_compatible(op: str, value, rkind: str | None) -> bool:
+    """Whether the literal(s) and the stored bounds are in the same type
+    family, so a representation-level compare agrees with SQL's coerced
+    compare (see _kind). Unknown recorded kind (old manifests) keeps the
+    pre-kind behavior: the compare itself TypeErrors to may-match on
+    numeric-vs-string, and temporal bounds meet only the datetime-typed
+    literals the triple API documents."""
+    if rkind is None:
+        return True
+    if op == "in":
+        values = list(value or [])
+    elif op == "between":
+        values = [v for v in (value or ()) if v is not None]
+    else:
+        values = [value]
+    return all(_kind(v) in (None, rkind) for v in values)
 
 
 def prune_files(files: list[str], stats: dict, filters: list[Filter] | None) -> list[str]:
@@ -189,6 +249,56 @@ def prune_files(files: list[str], stats: dict, filters: list[Filter] | None) -> 
     if not filters:
         return list(files)
     return [f for f in files if file_may_match(stats.get(f), filters)]
+
+
+#: conjunct forms parse_condition recognizes (whole-match, case-insensitive
+#: keywords): `col op literal`, `col IS [NOT] NULL`, `col IN (lit, ...)`.
+#: Literals are numbers or single-quoted strings WITHOUT escapes.
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_LIT = r"-?\d+(?:\.\d+)?|'[^']*'"
+import re as _re  # noqa: E402
+
+_CMP_RE = _re.compile(rf"^\s*({_IDENT})\s*(=|==|!=|<>|<=|>=|<|>)\s*({_LIT})\s*$")
+_NULL_RE = _re.compile(rf"^\s*({_IDENT})\s+IS\s+(NOT\s+)?NULL\s*$", _re.IGNORECASE)
+_IN_RE = _re.compile(rf"^\s*({_IDENT})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*(?:{_LIT}))*)\s*\)\s*$", _re.IGNORECASE)
+_LIT_RE = _re.compile(_LIT)
+
+
+def _parse_literal(text: str):
+    if text.startswith("'"):
+        return text[1:-1]
+    return float(text) if "." in text else int(text)
+
+
+def parse_condition(condition: str) -> list[Filter] | None:
+    """Conservatively parse a simple conjunctive SQL condition into filter
+    triples — so `CdlFS.read_files("size > 100 AND parent = '/a'")` gets
+    zone-map/Bloom file skipping without the caller switching APIs.
+
+    Returns None for ANYTHING not provably a plain conjunction of the
+    whitelisted forms (ORs, NOTs, parens, BETWEEN, functions, quoted
+    strings containing ``and``, ...). Correctness never depends on this:
+    the caller applies the ORIGINAL SQL string as the row predicate and
+    uses the parse only for file pruning, so a None just means no
+    skipping."""
+    out: list[Filter] = []
+    for part in _re.split(r"\s+AND\s+", condition, flags=_re.IGNORECASE):
+        m = _CMP_RE.match(part)
+        if m:
+            col, op, lit = m.groups()
+            op = {"==": "=", "<>": "!="}.get(op, op)
+            out.append((col, op, _parse_literal(lit)))
+            continue
+        m = _NULL_RE.match(part)
+        if m:
+            out.append((m.group(1), "is_not_null" if m.group(2) else "is_null"))
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            out.append((m.group(1), "in", tuple(_parse_literal(t) for t in _LIT_RE.findall(m.group(2)))))
+            continue
+        return None
+    return out or None
 
 
 def filters_to_column(filters: list[Filter]) -> Column:

@@ -427,3 +427,69 @@ def test_zorder_retains_concurrent_append(spark, tmp_path):
     # the concurrently appended file survives, alongside the clustered ones
     assert len(files_after) == 2 + 1
     assert R.read_table(spark, uri).count() == 64 + 64
+
+
+# ------------------------------------------------- read_files auto-pruning
+
+
+def test_parse_condition_whitelist():
+    from connected_data_lake_spark.sources.zonemap import parse_condition as P
+
+    assert P("size > 100") == [("size", ">", 100)]
+    assert P("size >= 1.5 AND parent = '/a'") == [("size", ">=", 1.5), ("parent", "=", "/a")]
+    assert P("a != 3 and b <> 'x'") == [("a", "!=", 3), ("b", "!=", "x")]
+    assert P("mode IS NULL AND size is not null") == [("mode", "is_null"), ("size", "is_not_null")]
+    assert P("name IN ('a', 'b', 'c')") == [("name", "in", ("a", "b", "c"))]
+    # anything not provably a plain whitelisted conjunction: None
+    for bad in (
+        "size > 100 OR size < 5",
+        "NOT size = 3",
+        "(size > 1) AND mode = 2",
+        "length(name) = 3",
+        "size BETWEEN 1 AND 5",
+        "name = 'x AND y'",  # AND inside a string would split wrong
+        "size > size",
+        "name LIKE 'a%'",
+        "",
+    ):
+        assert P(bad) is None, bad
+
+
+def test_read_files_prunes_and_matches_plain_path(spark, tmp_path):
+    """read_files on a simple conjunction reads fewer files but returns
+    exactly the rows of the unpruned path — including when SQL coerces
+    types the zone maps must not skip on."""
+    uri = _disjoint_table(spark, tmp_path)  # 3 files, disjoint size ranges
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.zonemap import parse_condition
+
+    filters = parse_condition("size > 1000 AND parent = '/c'")
+    assert filters is not None
+    live, total = M.pruned_file_list(uri, filters)
+    assert total == 3 and len(live) == 1
+    pruned = M.scan_table(spark, uri, filters).filter(F.expr("size > 1000 AND parent = '/c'"))
+    plain = R.read_table(spark, uri).filter(F.expr("size > 1000 AND parent = '/c'"))
+    assert pruned.count() == plain.count() == 10
+    # coercion case: string literal against the numeric size column —
+    # parse succeeds but the kind guard must keep every file
+    f2 = parse_condition("size = '200'")
+    assert f2 == [("size", "=", "200")]
+    live2, _ = M.pruned_file_list(uri, f2)
+    assert len(live2) == 3  # cross-type: never skipped
+    assert R.read_table(spark, uri).filter(F.expr("size = '200'")).count() == 10
+
+
+def test_cdlfs_read_files_end_to_end_pruning(spark, tmp_path):
+    from connected_data_lake_spark import Cdl
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    (src / "small.txt").write_bytes(b"ab")
+    (src / "big.bin").write_bytes(b"x" * 9000)
+    fs = Cdl().open(f"local://{src}")
+    fs.load()
+    got = {r["name"] for r in fs.read_files("size > 100 AND name = 'big.bin'").collect()}
+    assert got == {"big.bin"}
+    # unparseable conditions fall back to the plain path, same results
+    assert fs.read_files("size > 100 OR size = 2").count() == 2

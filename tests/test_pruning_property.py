@@ -25,11 +25,11 @@ _M = 256  # small bitset → false positives DO occur → exercises both paths
 value_st = st.one_of(
     st.none(),
     st.integers(min_value=-20, max_value=20),
-    st.text(alphabet="abcxyz", min_size=0, max_size=3),
+    st.text(alphabet="abcxyz015", min_size=0, max_size=3),
 )
 row_st = st.fixed_dictionaries({c: value_st for c in COLS})
 probe_st = st.one_of(
-    st.integers(min_value=-20, max_value=20), st.text(alphabet="abcxyz", max_size=3)
+    st.integers(min_value=-20, max_value=20), st.text(alphabet="abcxyz015", max_size=3)
 )
 filter_st = st.one_of(
     st.tuples(st.sampled_from(COLS), st.sampled_from(["=", "!=", "<", "<=", ">", ">="]), probe_st),
@@ -51,6 +51,7 @@ def _stats_for(rows: list[dict]) -> dict:
         # (mixed int/str files get no bounds — like an unreadable footer)
         if present and len({type(v) for v in present}) == 1:
             rec["min"], rec["max"] = min(present), max(present)
+            rec["kind"] = "str" if isinstance(present[0], str) else "num"
         cols[c] = rec
         bits = bytearray(_M // 8)
         for v in present:
@@ -60,8 +61,42 @@ def _stats_for(rows: list[dict]) -> dict:
     return {"rows": len(rows), "cols": cols, "bloom": bloom}
 
 
+def _coerce(v, arg):
+    """SQL implicit-cast model: a string compared to a number casts the
+    STRING side (invalid cast -> NULL -> not-true). This is the adversarial
+    case the stats' kind guard exists for: '05' = 5 is TRUE in SQL but
+    '05' != '5' at the representation level."""
+    if isinstance(v, str) and isinstance(arg, (int, float)):
+        try:
+            return float(v), float(arg)
+        except ValueError:
+            return None
+    if isinstance(v, (int, float)) and isinstance(arg, str):
+        try:
+            return float(v), float(arg)
+        except ValueError:
+            return None
+    return v, arg
+
+
+def _cmp(v, op, arg) -> bool:
+    pair = _coerce(v, arg)
+    if pair is None:
+        return False
+    v, arg = pair
+    return {
+        "=": v == arg,
+        "!=": v != arg,
+        "<": v < arg,
+        "<=": v <= arg,
+        ">": v > arg,
+        ">=": v >= arg,
+    }[op]
+
+
 def _row_matches(row: dict, filters: list[tuple]) -> bool:
-    """SQL conjunction semantics: NULL comparisons are not-true."""
+    """SQL conjunction semantics: NULL comparisons are not-true, and
+    cross-type comparisons coerce (see _coerce)."""
     for col, op, *rest in filters:
         v = row[col]
         arg = rest[0] if rest else None
@@ -75,24 +110,13 @@ def _row_matches(row: dict, filters: list[tuple]) -> bool:
             continue
         if v is None:
             return False
-        try:
-            if op == "=" and not v == arg:
+        if op == "in":
+            if not any(_cmp(v, "=", a) for a in arg):
                 return False
-            if op == "!=" and not v != arg:
+        elif op == "between":
+            if not (_cmp(v, ">=", arg[0]) and _cmp(v, "<=", arg[1])):
                 return False
-            if op == "<" and not v < arg:
-                return False
-            if op == "<=" and not v <= arg:
-                return False
-            if op == ">" and not v > arg:
-                return False
-            if op == ">=" and not v >= arg:
-                return False
-            if op == "in" and v not in arg:
-                return False
-            if op == "between" and not (arg[0] <= v <= arg[1]):
-                return False
-        except TypeError:  # cross-type comparison: SQL would cast/NULL out
+        elif not _cmp(v, op, arg):
             return False
     return True
 
