@@ -60,14 +60,26 @@ def _read(spark: SparkSession, root: str, store: LocalFsStore, files: list[str])
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
-def _write_rewrite(df: DataFrame, root: str) -> tuple[list[str], dict]:
+def _write_rewrite(
+    df: DataFrame, root: str, bloom_cols: list[str] | None = None
+) -> tuple[list[str], dict]:
     """Write rewritten rows to a fresh invisible txn dir; return the new
-    relative file list and their zone-map records."""
+    relative file list and their zone-map records (plus Bloom bitsets for
+    ``bloom_cols`` — rewrites otherwise DROP the replaced files' bitsets,
+    conservatively losing equality skipping until the next bloom write)."""
     txn = f"txn-{uuid.uuid4().hex}"
     out = os.path.join(root, txn)
     df.write.format("parquet").mode("overwrite").save(out)
     rel = [f"{txn}/{f}" for f in _data_files(out)]
     stats = {r: collect_file_stats(os.path.join(root, r)) for r in rel}
+    if bloom_cols and rel:
+        from .bloom import build_file_blooms
+
+        blooms = build_file_blooms(
+            df.sparkSession, {r: os.path.join(root, r) for r in rel}, bloom_cols
+        )
+        for r, recb in blooms.items():
+            stats[r]["bloom"] = recb
     return rel, stats
 
 
@@ -107,7 +119,12 @@ def scan_table(
     return base
 
 
-def delete_where(spark: SparkSession, table_uri: str, filters: list[Filter]) -> dict:
+def delete_where(
+    spark: SparkSession,
+    table_uri: str,
+    filters: list[Filter],
+    bloom_cols: list[str] | None = None,
+) -> dict:
     """Row-level DELETE, copy-on-write.
 
     Only files whose zone maps admit a match are read and rewritten with
@@ -124,28 +141,35 @@ def delete_where(spark: SparkSession, table_uri: str, filters: list[Filter]) -> 
         return {"files_rewritten": 0, "files_total": len(files), "version": None}
     src = _read(spark, root, store, candidates)
     keep = src.filter(~F.coalesce(filters_to_column(filters), F.lit(False)))
-    rel, new_stats = _write_rewrite(keep, root)
+    rel, new_stats = _write_rewrite(keep, root, bloom_cols)
     version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
     return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
 
 
-def delete_where_sql(spark: SparkSession, table_uri: str, condition: str) -> dict:
+def delete_where_sql(
+    spark: SparkSession, table_uri: str, condition: str, bloom_cols: list[str] | None = None
+) -> dict:
     """Row-level DELETE with an arbitrary SQL predicate.
 
-    Exact but UNPRUNED: a free-form predicate can't be matched against the
-    zone maps, so every file is a rewrite candidate (at scale, prefer
-    :func:`delete_where`'s conjunctive triples, which rewrite only files
-    whose stats admit a match). Same NULL semantics: predicate-NULL rows
-    survive."""
+    Simple conjunctions prune via :func:`zonemap.parse_condition` (only
+    files whose stats admit a match are rewritten — the SQL string itself
+    remains the applied predicate); anything unparseable rewrites every
+    file. Same NULL semantics: predicate-NULL rows survive."""
+    from .zonemap import parse_condition
+
     root, store = _store(table_uri)
-    _, files, _ = latest_snapshot(store)
+    _, files, stats = latest_snapshot(store)
     if not files:
         return {"files_rewritten": 0, "files_total": 0, "version": None}
-    src = _read(spark, root, store, files)
+    filters = parse_condition(condition)
+    candidates = prune_files(files, stats, filters) if filters else list(files)
+    if not candidates:
+        return {"files_rewritten": 0, "files_total": len(files), "version": None}
+    src = _read(spark, root, store, candidates)
     keep = src.filter(~F.coalesce(F.expr(condition), F.lit(False)))
-    rel, new_stats = _write_rewrite(keep, root)
-    version = publish_rewrite(store, set(files), rel, stats=new_stats)
-    return {"files_rewritten": len(files), "files_total": len(files), "version": version}
+    rel, new_stats = _write_rewrite(keep, root, bloom_cols)
+    version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
+    return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
 
 
 def upsert_table(
@@ -153,6 +177,7 @@ def upsert_table(
     table_uri: str,
     updates: DataFrame,
     key_cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Key-based MERGE (upsert): rows in ``updates`` replace same-key rows,
     new keys append. Candidate files are found by overlapping each file's
@@ -181,7 +206,7 @@ def upsert_table(
         if files:
             updates = updates.select(*_read(spark, root, store, files[:1]).columns)
         out = updates
-    rel, new_stats = _write_rewrite(out, root)
+    rel, new_stats = _write_rewrite(out, root, bloom_cols)
     version = publish_rewrite(store, set(candidates), rel, stats=new_stats)
     return {"files_rewritten": len(candidates), "files_total": len(files), "version": version}
 
@@ -192,6 +217,7 @@ def zorder_table(
     cols: list[str],
     target_bytes: int = 128 * 1024 * 1024,
     bits: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Re-cluster the whole table along a Z-curve over ``cols`` (the
     OPTIMIZE ZORDER BY move): rows are range-partitioned and sorted by
@@ -221,7 +247,7 @@ def zorder_table(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    rel, new_stats = _write_rewrite(clustered, root)
+    rel, new_stats = _write_rewrite(clustered, root, bloom_cols)
     version = publish_rewrite(store, set(files), rel, stats=new_stats)
     return {"files_rewritten": len(files), "files_total": len(files), "version": version}
 
@@ -230,6 +256,7 @@ def compact_table(
     spark: SparkSession,
     table_uri: str,
     target_bytes: int = 128 * 1024 * 1024,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Bin-pack small files into ~``target_bytes`` files (OPTIMIZE).
 
@@ -247,6 +274,6 @@ def compact_table(
     total = sum(s for _, s in small)
     n_out = max(1, math.ceil(total / target_bytes))
     src = _read(spark, root, store, [f for f, _ in small]).coalesce(n_out)
-    rel, new_stats = _write_rewrite(src, root)
+    rel, new_stats = _write_rewrite(src, root, bloom_cols)
     version = publish_rewrite(store, {f for f, _ in small}, rel, stats=new_stats)
     return {"files_compacted": len(small), "files_total": len(files), "version": version}

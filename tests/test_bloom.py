@@ -115,3 +115,29 @@ def test_spark_and_python_hash_lanes_agree(spark):
     ]
     for row in df.select("v", *lanes).collect():
         assert probe_positions(row["v"], m, k) == [row[str(i)] for i in range(k)]
+
+
+def test_rewrites_can_regenerate_blooms(spark, tmp_path):
+    """bloom_cols on a rewrite restores equality skipping that the
+    rewrite would otherwise conservatively drop."""
+    uri = _interleaved_table(spark, tmp_path, n_files=4, per=32)
+    M.compact_table(spark, uri, target_bytes=10_000, bloom_cols=["name"])
+    _, files, stats = latest_snapshot(LocalFsStore(os.path.join(uri, R._LOG_DIR)))
+    assert len(files) > 1
+    assert all("bloom" in stats[f] for f in files)
+    live, n = M.pruned_file_list(uri, [("name", "=", "no-such")])
+    assert len(live) < n
+    assert M.scan_table(spark, uri, [("name", "=", "user-0007")]).count() == 1
+
+
+def test_delete_where_sql_prunes_with_parser(spark, tmp_path):
+    uri = _interleaved_table(spark, tmp_path, n_files=4, per=32)
+    # equality on the bloomed name column: only the containing file rewrites
+    out = M.delete_where_sql(spark, uri, "name = 'user-0005'")
+    assert out["files_rewritten"] < out["files_total"] == 4
+    assert M.scan_table(spark, uri).filter("name = 'user-0005'").count() == 0
+    assert M.scan_table(spark, uri).count() == 127
+    # unparseable predicate still deletes correctly (full rewrite)
+    out = M.delete_where_sql(spark, uri, "name = 'user-0006' OR name = 'user-0010'")
+    assert out["files_rewritten"] == out["files_total"]
+    assert M.scan_table(spark, uri).count() == 125
