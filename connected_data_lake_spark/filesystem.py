@@ -126,9 +126,19 @@ class CdlFS:
         ``SELECT …, x'' AS data FROM rootfs WHERE parent LIKE '<p>' AND
         size IS NOT NULL ORDER BY name ASC`` (lib.rs:84-95, 120-131)."""
         p = "/" + path.strip("/") if path.strip("/") else "/"
-        df = self.table()
+        predicate = F.col("parent").like(p) & F.col("size").isNotNull()
+        df = None
+        import re as _re
+
+        if not _re.search(r"[%_\\]", p):  # no LIKE metachars: LIKE == equality
+            try:  # one-dir listing of a huge table: read only its files
+                df = self._pruned_read([("parent", "=", p), ("size", "is_not_null")], predicate)
+            except ValueError:  # no manifest (legacy/object-store table)
+                df = None
+        if df is None:
+            df = self.table().filter(predicate)
         return (
-            df.filter(F.col("parent").like(p) & F.col("size").isNotNull())
+            df
             .select(
                 "name",
                 "parent",
@@ -183,12 +193,15 @@ class CdlFS:
         filters = parse_condition(condition)
         if filters is not None:
             try:
-                return self._pruned_read(filters, condition)
+                return self._pruned_read(filters, F.expr(condition))
             except ValueError:  # no manifest (legacy/object-store table)
                 pass
         return self.table().filter(F.expr(condition))
 
-    def _pruned_read(self, filters: list[tuple], condition: str) -> DataFrame:
+    def _pruned_read(self, filters: list[tuple], predicate) -> DataFrame:
+        """File-pruned read: ``filters`` drop files via the manifest stats,
+        ``predicate`` (a Column — the ORIGINAL user condition, never the
+        triples) restores exact row semantics over the survivors."""
         from .sources.maintenance import _read, _store
         from .sources.manifest import latest_snapshot
         from .sources.zonemap import prune_files
@@ -196,13 +209,13 @@ class CdlFS:
         root, store = _store(self.path.table_uri)
         _, files, stats = latest_snapshot(store)
         if not files:
-            return self.table().filter(F.expr(condition))
+            return self.table().filter(predicate)
         live = prune_files(files, stats, filters)
         if not live:
             base = _read(self.spark, root, store, files).limit(0)
         else:
             base = _read(self.spark, root, store, live)
-        return base.filter(F.expr(condition))
+        return base.filter(predicate)
 
     def scan(self, filters: list[tuple] | None = None, columns: list[str] | None = None) -> DataFrame:
         """Zone-map-pruned scan: like :meth:`read_files`, but the predicate
