@@ -493,3 +493,31 @@ def test_cdlfs_read_files_end_to_end_pruning(spark, tmp_path):
     assert got == {"big.bin"}
     # unparseable conditions fall back to the plain path, same results
     assert fs.read_files("size > 100 OR size = 2").count() == 2
+
+
+def test_temporal_zone_maps_prune_with_datetime_triples(spark, tmp_path):
+    """Timestamp bounds record kind='ts': datetime-typed triples prune,
+    while STRING literals against the same column never skip (SQL renders
+    timestamps in multiple textual forms — cross-family is untrusted)."""
+    import datetime as dt
+
+    uri = str(tmp_path / "t")
+    for i, day in enumerate((1, 10, 20)):
+        t0 = dt.datetime(2024, 3, day, 12, 0, 0)
+        rows = spark.createDataFrame(
+            [(f"f{day}-{j}", "/d", t0, t0, t0, 0o644, j, 0, 0, 0, None) for j in range(4)],
+            R.ROOTFS_SCHEMA,
+        ).coalesce(1)
+        R.write_table(rows, uri, mode="overwrite" if i == 0 else "append")
+    _, files, stats = _snapshot(uri)
+    assert all(stats[f]["cols"]["mtime"].get("kind") == "ts" for f in files)
+
+    probe = dt.datetime(2024, 3, 10, 12, 0, 0)
+    live, n = M.pruned_file_list(uri, [("mtime", "=", probe)])
+    assert n == 3 and len(live) == 1
+    assert M.scan_table(spark, uri, [("mtime", "=", probe)]).count() == 4
+    between = [("mtime", "between", (dt.datetime(2024, 3, 5), dt.datetime(2024, 3, 15)))]
+    assert len(M.pruned_file_list(uri, between)[0]) == 1
+    # string literal on the temporal column: kind mismatch, never skipped
+    live_str, _ = M.pruned_file_list(uri, [("mtime", "=", "2024-03-10 12:00:00")])
+    assert len(live_str) == 3
