@@ -152,6 +152,92 @@ PROMOTED_R05 = {
 }
 
 
+#: Window rotation (round 6): verified green in CORRECTNESS_r05.json (the
+#: 49 passes of round 5) plus the 7 round-4 greens that sorted past the
+#: round-5 window's tail (text_token_estimate, topk_orders, the five
+#: window_* queries — all rows+schema+hash green in CORRECTNESS_r04.json).
+#: They cede their slots so the 8 round-5 ``zz_``-deferred queries and the
+#: repaired probe trio (now carrying recall-contract oracles) land inside
+#: the driver's 50-query alphabetical window. Bodies and oracles unchanged.
+ROTATED_GREEN_R05 = frozenset(
+    {
+        "contamination_overlap",
+        "dedup_cluster_assign",
+        "dedup_embedding_neardup",
+        "dedup_exact_survivors",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "embedding_quantize_int8",
+        "embedding_stats",
+        "events_session_gap30m",
+        "fn_array",
+        "fn_json",
+        "join_asof_events",
+        "join_bucketed_colocated",
+        "join_multiway_q5",
+        "knn_cosine_topk",
+        "knn_ivf_topk",
+        "knn_sketch_topk",
+        "multimodal_decode_meta",
+        "multimodal_frame_sample",
+        "orderby_nulls",
+        "pack_sequences",
+        "pipeline_training_data",
+        "q1_pricing_summary",
+        "rootfs_chunked",
+        "rootfs_condition_splice",
+        "rootfs_len_udf",
+        "rootfs_read_dir",
+        "rootfs_read_dir_all",
+        "sample_mixture_rebalance",
+        "sample_stratified",
+        "scan_filter_project",
+        "setop_except_all",
+        "setop_intersect_all",
+        "split_train_test",
+        "subquery_correlated_exists",
+        "subquery_correlated_scalar",
+        "subquery_in",
+        "subquery_scalar",
+        "text_chunk_overlap",
+        "text_fingerprint",
+        "text_language_guess",
+        "text_logprob_unigram",
+        "text_pii_scrub",
+        "text_quality_score",
+        "text_repetition",
+        "text_stats",
+        "text_tfidf_keywords",
+        # round-4 greens that sorted past round 5's window tail
+        "text_token_estimate",
+        "topk_orders",
+        "window_first_last_nth",
+        "window_lag_lead",
+        "window_ntile_pct",
+        "window_range_frame",
+        "window_rank_dense",
+    }
+)
+
+#: Round-6 promotions: drop the ``zz_`` window-deferral prefix from the
+#: round-5 additions that never received a driver correctness row (VERDICT
+#: r5 "What's missing" #1). Registry-level rename only — bodies, oracles
+#: and tags untouched; bench history for the old names lives in
+#: BENCH_r05.json.
+PROMOTED_R06 = {
+    "zz_dedup_containment": "dedup_containment",
+    "zz_events_retention_cohorts": "events_retention_cohorts",
+    "zz_knn_centroid_classify": "knn_centroid_classify",
+    "zz_knn_pq_probe": "knn_pq_probe",
+    "zz_knn_pq_topk": "knn_pq_topk",
+    "zz_knn_sketch_probe": "knn_sketch_probe",
+    "zz_text_logprob_bigram": "text_logprob_bigram",
+    "zz_text_repeated_spans": "text_repeated_spans",
+}
+
+
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
         name=new_name,
@@ -166,10 +252,11 @@ def all_specs() -> dict[str, QuerySpec]:
     """Name → spec for every declared query (imports all plan modules).
 
     Keys for queries already driver-verified in earlier rounds carry the
-    ``z_`` rotation prefix (ROTATED_GREEN_R01 ∪ ROTATED_GREEN_R04) so the
-    driver's alphabetical 50-query window reaches the unchecked tail;
-    PROMOTED_R05 drops the ``zz_`` deferral prefix from the flagship
-    compositions."""
+    ``z_`` rotation prefix (ROTATED_GREEN_R01 ∪ R04 ∪ R05) so the driver's
+    alphabetical 50-query window reaches the unchecked tail; PROMOTED_R05 /
+    PROMOTED_R06 drop the ``zz_`` deferral prefix from queries entering the
+    window (promotion applies before the green-set check, so a promoted
+    name that later turns green rotates like any other)."""
     # import for side effect of registration
     from connected_data_lake_spark.plans import (  # noqa: F401
         events,
@@ -180,10 +267,13 @@ def all_specs() -> dict[str, QuerySpec]:
 
     out: dict[str, QuerySpec] = {}
     for name, spec in _REGISTRY.items():
-        if name in ROTATED_GREEN_R01 or name in ROTATED_GREEN_R04:
-            out[f"z_{name}"] = _renamed(spec, f"z_{name}")
-        elif name in PROMOTED_R05:
-            out[PROMOTED_R05[name]] = _renamed(spec, PROMOTED_R05[name])
-        else:
-            out[name] = spec
+        final = PROMOTED_R05.get(name, name)
+        final = PROMOTED_R06.get(final, final)
+        if (
+            final in ROTATED_GREEN_R01
+            or final in ROTATED_GREEN_R04
+            or final in ROTATED_GREEN_R05
+        ):
+            final = f"z_{final}"
+        out[final] = spec if final == name else _renamed(spec, final)
     return out
