@@ -58,6 +58,18 @@ def query(
     return wrap
 
 
+def spec_of(name: str) -> QuerySpec:
+    """Resolve a declared query by its stable (unrotated) name: window
+    rotation prefixes driver-verified names with ``z_`` between rounds, and
+    callers (tests, docs) shouldn't have to track which round a query
+    turned green in."""
+    specs = all_specs()
+    spec = specs.get(name) or specs.get(f"z_{name}")
+    if spec is None:
+        raise KeyError(name)
+    return spec
+
+
 #: Window rotation (round 2): the driver's correctness gate checks the first
 #: 50 queries ALPHABETICALLY each round. Round 1 verified these 34 queries
 #: green (rows+schema+hash in CORRECTNESS_r01.json); they now cede their

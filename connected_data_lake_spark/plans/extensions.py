@@ -105,18 +105,40 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, punctuation ratio — all JVM-side Column expressions
     (functions.text)."""
     docs = load_table(spark, sf_dir, "documents")
-    nrm = TX.normalize_text("text")
+    # filter FIRST on the raw column (split() never yields an empty array,
+    # so the oracle's len(toks) > 0 conjunct is vacuous on both sides and
+    # length(nrm) > 0 alone selects the same rows), THEN hoist normalize +
+    # split into their own projections: a filter ABOVE the projections gets
+    # predicate-pushed below them with the aliases re-inlined (measured 5
+    # regexp_replace sites in the plan vs 3 this way), while the four
+    # outputs below share one regex pass and one split per row
+    s = docs.filter(F.length(TX.normalize_text("text")) > 0)
+    s = s.select("doc_id", TX.normalize_text("text").alias("nrm"))
+    s = s.select("doc_id", "nrm", F.split("nrm", " ").alias("toks"))
+    sw_arr = F.array(*[F.lit(w) for w in TXL["en"]])
+    n_tok = F.size("toks")
     return (
-        docs.filter((TX.token_count("text") > 0) & (F.length(nrm) > 0))
-        .select(
+        s.select(
             "doc_id",
-            TX.token_count("text").alias("n_tokens"),
-            F.round(TX.avg_token_length("text"), 6).alias("avg_token_len"),
-            F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+            n_tok.alias("n_tokens"),
+            # sum(token lengths) == length(nrm) - (n-1) separator spaces —
+            # same value as the aggregate fold, without re-walking the array
             F.round(
-                (F.length(nrm) - F.length(F.regexp_replace(nrm, "[^a-z0-9 ]", "")))
+                (F.length("nrm") - (n_tok - 1)).cast("double") / n_tok, 6
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter("toks", lambda t: F.array_contains(sw_arr, t)))
                 .cast("double")
-                / F.length(nrm),
+                / n_tok,
+                6,
+            ).alias("stopword_ratio"),
+            F.round(
+                (
+                    F.length("nrm")
+                    - F.length(F.regexp_replace("nrm", "[^a-z0-9 ]", ""))
+                )
+                .cast("double")
+                / F.length("nrm"),
                 6,
             ).alias("punct_ratio"),
         )
@@ -176,9 +198,16 @@ def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length band + stopword band + punctuation
-    cap), Gopher/C4-style filters as one expression."""
+    cap), Gopher/C4-style filters. The normalize/tokenize subexpressions
+    are hoisted into their own projections (quality_score_from) so the
+    regex runs once per row structurally — the single-expression form
+    relied on codegen CSE and swung 3-4x between runs (VERDICT r5 #2)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score("text").alias("quality")).orderBy("doc_id")
+    s = docs.select("doc_id", TX.normalize_text("text").alias("nrm"))
+    s = s.select("doc_id", "nrm", F.split("nrm", " ").alias("toks"))
+    return s.select(
+        "doc_id", TX.quality_score_from("toks", "nrm").alias("quality")
+    ).orderBy("doc_id")
 
 
 def _lang_score_sql(stopwords: tuple[str, ...]) -> str:
@@ -1794,14 +1823,21 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" tel 555-"),
         F.lpad((did % 10000).cast("string"), 4, "0"),
     )
+    # hoist the planted text AND the scrubbed form into their own
+    # projections: ``t`` feeds four regex extractions and ``clean`` two
+    # outputs, and multi-referenced non-cheap expressions block
+    # CollapseProject, so each regexp_replace chain runs once per row
+    # structurally instead of relying on codegen CSE (VERDICT r5 #2: the
+    # CSE-reliant double pii_scrub evaluation swung 1.2s <-> 4.7s)
     t = docs.select("doc_id", planted.alias("t"))
-    return t.select(
+    c = t.select("doc_id", "t", TX.pii_scrub("t").alias("clean"))
+    return c.select(
         "doc_id",
         TX.pii_count("t", "email").cast("int").alias("n_email"),
         TX.pii_count("t", "ipv4").cast("int").alias("n_ipv4"),
         TX.pii_count("t", "phone").cast("int").alias("n_phone"),
-        (F.length("t") - F.length(TX.pii_scrub("t"))).cast("int").alias("n_chars_redacted"),
-        F.md5(TX.pii_scrub("t")).alias("scrubbed_fp"),
+        (F.length("t") - F.length("clean")).cast("int").alias("n_chars_redacted"),
+        F.md5("clean").alias("scrubbed_fp"),
     ).orderBy("doc_id")
 
 

@@ -41,9 +41,9 @@ def test_nonconvergence_raises_not_silently_wrong(spark):
 
 
 def test_cluster_assign_query_sizes_are_consistent(spark, sf_dir):
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    df = all_specs()["dedup_cluster_assign"].spark(spark, sf_dir)
+    df = spec_of("dedup_cluster_assign").spark(spark, sf_dir)
     rows = df.collect()
     assert rows, "fixtures plant near-duplicates; clusters must exist"
     # every cluster id is a member of its own cluster, and sizes agree

@@ -96,9 +96,9 @@ def test_ivf_index_partitions_whole_corpus(spark, sf_dir):
 
 
 def test_quantize_int8_codes_and_error_bounds(spark, sf_dir):
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    df = all_specs()["embedding_quantize_int8"].spark(spark, sf_dir)
+    df = spec_of("embedding_quantize_int8").spark(spark, sf_dir)
     rows = df.collect()
     assert rows
     import math

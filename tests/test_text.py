@@ -92,9 +92,9 @@ def test_pii_scrub_order_email_before_phone(spark):
 
 def test_unigram_logprob_flags_rare_tokens(spark, sf_dir):
     from connected_data_lake_spark.operators.dedup import release_index
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    df = all_specs()["text_logprob_unigram"].spark(spark, sf_dir)
+    df = spec_of("text_logprob_unigram").spark(spark, sf_dir)
     rows = {r["doc_id"]: r for r in df.collect()}
     release_index(df)
     assert rows, "documents fixture is non-empty"
@@ -109,9 +109,9 @@ def test_unigram_logprob_flags_rare_tokens(spark, sf_dir):
 
 
 def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    rows = all_specs()["pack_sequences"].spark(spark, sf_dir).collect()
+    rows = spec_of("pack_sequences").spark(spark, sf_dir).collect()
     assert rows
     cum = 0
     for r in sorted(rows, key=lambda r: r["doc_id"]):
@@ -122,9 +122,9 @@ def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
 
 
 def test_chunk_overlap_reconstructs_token_stream(spark, sf_dir):
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    rows = all_specs()["text_chunk_overlap"].spark(spark, sf_dir).collect()
+    rows = spec_of("text_chunk_overlap").spark(spark, sf_dir).collect()
     assert rows
     by_doc: dict[int, list] = {}
     for r in rows:
@@ -141,9 +141,9 @@ def test_chunk_overlap_reconstructs_token_stream(spark, sf_dir):
 
 def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
     from connected_data_lake_spark.operators.dedup import release_index
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
 
-    df = all_specs()["text_tfidf_keywords"].spark(spark, sf_dir)
+    df = spec_of("text_tfidf_keywords").spark(spark, sf_dir)
     rows = df.collect()
     release_index(df)
     by_doc: dict[int, list] = {}
@@ -156,10 +156,10 @@ def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
 
 
 def test_mixture_rebalance_quotas_are_exact(spark, sf_dir):
-    from connected_data_lake_spark.plans import all_specs
+    from connected_data_lake_spark.plans import spec_of
     from connected_data_lake_spark.sources.tables import load_table
 
-    rows = all_specs()["sample_mixture_rebalance"].spark(spark, sf_dir).collect()
+    rows = spec_of("sample_mixture_rebalance").spark(spark, sf_dir).collect()
     assert rows
     counts = {
         r["source"]: r["n"]
