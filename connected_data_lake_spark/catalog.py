@@ -122,6 +122,11 @@ class GlobalPath:
 
     @classmethod
     def parse(cls, url: str) -> "GlobalPath":
+        if not url.strip():
+            # an empty bare path would otherwise resolve to the local ROOT
+            # ("/": lstrip of "" is "") and an auto-load CLI invocation
+            # would try to ingest the whole filesystem
+            raise ValueError("empty dataset URL")
         match = _URL_RE.match(url)
         if match is None:
             # bare path = local (the reference accepts plain paths)

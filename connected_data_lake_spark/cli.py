@@ -129,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
         "vacuum", help="reclaim data files no longer referenced by the current snapshot"
     )
     v.add_argument("target", help="dataset URL")
+    v.add_argument(
+        "--retention-hours",
+        type=float,
+        default=None,
+        help="only reclaim unreferenced files older than this (default 168; "
+        "0 requires exclusive access — concurrent writers' staged-but-"
+        "unpublished files look unreferenced and would be deleted)",
+    )
 
     for p in (q, c, o, d, v):
         p.add_argument(
@@ -145,7 +153,10 @@ def main(argv: list[str] | None = None) -> int:
     from connected_data_lake_spark import Cdl
 
     cdl = Cdl(**_parse_sets(args.sets))
-    src_url = getattr(args, "target", None) or args.src
+    # branch on the command, not truthiness: an empty-string target must
+    # reach open() (and fail with ITS message), not fall through to a .src
+    # attribute the query/optimize/delete/vacuum namespaces don't have
+    src_url = args.src if args.command == "cp" else args.target
     fs = cdl.open(src_url)
     missing = not _has_table(fs)
     if args.load == "always" or (args.load == "auto" and missing):
@@ -164,9 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "delete":
         _print_json(fs.delete(args.condition))
     elif args.command == "vacuum":
-        from connected_data_lake_spark.sources.rootfs import vacuum_table
-
-        _print_json({"files_removed": vacuum_table(fs.path.table_uri)})
+        kw = {}
+        if args.retention_hours is not None:
+            kw["retention_hours"] = args.retention_hours
+        _print_json({"files_removed": fs.vacuum(**kw)})
     return 0
 
 

@@ -294,14 +294,19 @@ class CdlFS:
             self._register()
         return out
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_hours: float | None = None) -> int:
         """Reclaim data files no longer referenced by the current snapshot
-        (crashed writers, superseded rewrites). Returns files removed;
-        historical versions whose files are reclaimed stop resolving —
-        run only when time travel past the current snapshot isn't needed."""
-        from .sources.rootfs import vacuum_table
+        (crashed writers, superseded rewrites) and older than the retention
+        window (default 7 days, Delta-style — files younger than this may
+        belong to an in-flight writer that has staged but not yet published,
+        so they are never touched). Returns files removed; historical
+        versions whose files are reclaimed stop resolving — run only when
+        time travel past the current snapshot isn't needed."""
+        from .sources.rootfs import VACUUM_RETENTION_HOURS, vacuum_table
 
-        return vacuum_table(self.path.table_uri)
+        if retention_hours is None:
+            retention_hours = VACUUM_RETENTION_HOURS
+        return vacuum_table(self.path.table_uri, retention_hours=retention_hours)
 
     def version(self) -> int:
         """Current committed snapshot version (-1 when no manifest)."""

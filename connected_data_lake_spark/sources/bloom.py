@@ -39,8 +39,11 @@ DEFAULT_K = 4
 
 def _canon(value) -> str | None:
     """Canonical string form hashed on BOTH sides (Spark build / Python
-    probe). Strings pass through; ints/bools/floats via str(); anything
-    else is unsupported (no bloom recorded → never skipped on)."""
+    probe). Strings pass through; ints/bools via str(). Floats are
+    unsupported BY DESIGN — Spark's CAST(double AS STRING) and Python's
+    str(float) disagree on scientific notation (1.0E20 vs 1e+20), so no
+    shared canonical form exists; build_file_blooms skips float columns for
+    the same reason (no bloom recorded → never skipped on)."""
     if value is None or isinstance(value, (bytes, bytearray)):
         return None
     if isinstance(value, bool):
@@ -79,7 +82,27 @@ def build_file_blooms(
     if not cols or not paths:
         return {}
     by_abs = {v: k_ for k_, v in paths.items()}
-    df = spark.read.parquet(*paths.values()).select(
+    src = spark.read.parquet(*paths.values())
+    # only types with a canonical string form shared by the Spark build and
+    # the Python probe (_canon) participate: a bloom built on a double
+    # column could never be probed (str(float) != CAST AS STRING), so it
+    # would be manifest dead weight — skip those columns up front
+    supported = {"string", "boolean", "tinyint", "smallint", "int", "bigint"}
+    typed = dict(src.dtypes)
+    skipped = [c for c in cols if typed.get(c) not in supported]
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"bloom filters skipped for non-probeable column types: "
+            f"{[(c, typed.get(c)) for c in skipped]} "
+            "(supported: string/boolean/integral)",
+            stacklevel=2,
+        )
+        cols = [c for c in cols if c not in skipped]
+        if not cols:
+            return {}
+    df = src.select(
         F.input_file_name().alias("_file"),
         *[F.col(c).cast("string").alias(c) for c in cols],
     )
@@ -117,9 +140,15 @@ def build_file_blooms(
 
 
 def _rel_of(file_uri: str, by_abs: dict[str, str]) -> str | None:
-    # input_file_name yields a URI (file:///...); match on path suffix
+    # input_file_name yields a PERCENT-ENCODED URI (file:///a%20b.parquet);
+    # decode before suffix-matching the raw filesystem path, else any data
+    # path with spaces/non-ASCII never matches and its bitsets are silently
+    # dropped (pruning stays correct but the feature no-ops — ADVICE r5)
+    from urllib.parse import unquote
+
+    path = unquote(file_uri)
     for abs_path, rel in by_abs.items():
-        if file_uri.endswith(abs_path):
+        if path.endswith(abs_path):
             return rel
     return None
 

@@ -196,6 +196,13 @@ def upsert_table(
         for i, c in enumerate(key_cols)
         if bounds[f"lo_{i}"] is not None
     ]
+    if not key_filters:
+        # empty updates batch (or every merge key NULL — degenerate for a
+        # key-based MERGE: NULL never equals, so nothing can match). Without
+        # this guard the empty filter list means "keep all files" to
+        # prune_files and a no-op MERGE rewrote the ENTIRE table as one
+        # commit, dropping every file's Bloom bitset (ADVICE r5).
+        return {"files_rewritten": 0, "files_total": len(files), "version": None}
     candidates = prune_files(files, stats, key_filters)
     if candidates:
         src = _read(spark, root, store, candidates)

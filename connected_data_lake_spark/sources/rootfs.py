@@ -413,11 +413,27 @@ def table_version(table_uri: str) -> int:
     return v
 
 
-def vacuum_table(table_uri: str) -> int:
+#: default VACUUM retention — Delta Lake's convention (7 days): files
+#: younger than this are never reclaimed even when unreferenced, because an
+#: in-flight writer may have staged them but not yet published its manifest.
+VACUUM_RETENTION_HOURS = 168.0
+
+
+def vacuum_table(table_uri: str, retention_hours: float = VACUUM_RETENTION_HOURS) -> int:
     """Delete data files not referenced by the CURRENT snapshot (crashed or
-    superseded txn dirs). Returns the number of files removed. Distinct
-    from the reference's cache eviction — this is MVCC garbage collection,
-    which Lance gets from ``cleanup_old_versions``."""
+    superseded txn dirs) AND older than ``retention_hours``. Returns the
+    number of files removed. Distinct from the reference's cache eviction —
+    this is MVCC garbage collection, which Lance gets from
+    ``cleanup_old_versions``.
+
+    The retention window (mtime-based, Delta-style) is what makes vacuum
+    safe to run concurrently with writers (ADVICE r5): a write_table /
+    copy-on-write rewrite stages its txn dir BEFORE publishing the manifest,
+    so a retention-free vacuum could delete the staged files and leave the
+    subsequent commit referencing nothing. Pass ``retention_hours=0`` only
+    with exclusive access (the CLI requires an explicit flag for this)."""
+    import time
+
     root = _local_root(table_uri)
     if root is None:
         return 0
@@ -426,20 +442,36 @@ def vacuum_table(table_uri: str) -> int:
         return 0
     _, live = _latest_manifest(log_dir)
     live_set = set(live)
+    cutoff = time.time() - retention_hours * 3600.0
+
+    def _expired(path: str) -> bool:
+        try:
+            return os.stat(path).st_mtime <= cutoff
+        except OSError:
+            return False  # concurrently removed — nothing to reclaim
+
     removed = 0
     for entry in os.listdir(root):
         tdir = os.path.join(root, entry)
         if entry.startswith("txn-") and os.path.isdir(tdir):
             for f in _data_files(tdir):
-                if f"{entry}/{f}" not in live_set:
-                    os.unlink(os.path.join(tdir, f))
+                fpath = os.path.join(tdir, f)
+                if f"{entry}/{f}" not in live_set and _expired(fpath):
+                    os.unlink(fpath)
                     removed += 1
-            if not _data_files(tdir):
-                # only writer markers (_SUCCESS, .crc) left — drop the dir
+            # drop the dir only when empty of data AND itself expired — a
+            # writer's freshly-created staging dir must survive even before
+            # its first data file lands
+            if not _data_files(tdir) and _expired(tdir):
                 import shutil
 
                 shutil.rmtree(tdir)
-        elif entry.endswith(".parquet") and entry not in live_set and not entry.startswith((".", "_")):
+        elif (
+            entry.endswith(".parquet")
+            and entry not in live_set
+            and not entry.startswith((".", "_"))
+            and _expired(tdir)
+        ):
             os.unlink(tdir)  # legacy root-level file no longer referenced
             removed += 1
     return removed

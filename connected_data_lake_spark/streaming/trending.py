@@ -53,6 +53,23 @@ _STATE_SCHEMA = T.StructType(
 
 _SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
 
+_INTERVAL_MS = {
+    "second": 1_000,
+    "seconds": 1_000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def _interval_to_ms(interval: str) -> int:
+    """Milliseconds of a '<n> <unit>' watermark/delay interval string."""
+    n, unit = interval.strip().split()
+    return int(n) * _INTERVAL_MS[unit.lower()]
+
 
 def _positions(key: str, width: int, depth: int) -> list[int]:
     import hashlib
@@ -84,6 +101,7 @@ def trending_topk(
     stream from read_events_stream (ts TIMESTAMP for the watermark,
     ts_us LONG for arithmetic window bucketing)."""
     window_us = window_minutes * 60 * 1_000_000
+    delay_ms = _interval_to_ms(watermark)
     bucketed = events.withWatermark("ts", watermark).select(
         "ts",
         (F.col("ts_us") - F.col("ts_us") % window_us).alias("window_start_us"),
@@ -116,8 +134,23 @@ def trending_topk(
         )
         candidates = {ks for _, ks in ranked[:track]}
         state.update((sketch.ravel().tolist(), sorted(candidates)))
-        # reclaim the sketch once the watermark passes window end + grace
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        # reclaim the sketch once the watermark passes window END + the
+        # lateness bound, anchored in EVENT time like sessionize_with_alerts
+        # (stateful.py): the earlier currentWatermark+60s anchor reclaimed a
+        # window untouched for >60s of watermark advance while late events
+        # for it were still admissible under the watermark — those events
+        # rebuilt the sketch from zero and overwrote correct (window, rank)
+        # rows with undercounts (ADVICE r5). Once the watermark passes
+        # window_end + delay, every event of the window is late-dropped
+        # upstream, so reclamation can never lose admissible data. The max
+        # guard keeps the timestamp ahead of the current watermark (Spark
+        # rejects earlier ones) for windows already fully behind it.
+        # int(): the grouping key arrives as numpy int64 and GroupState
+        # JSON-serializes the timeout timestamp
+        window_end_ms = (int(window_start_us) + window_us) // 1000
+        state.setTimeoutTimestamp(
+            max(window_end_ms + delay_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if ranked:
             top = ranked[:k]
             yield pd.DataFrame(

@@ -141,3 +141,49 @@ def test_delete_where_sql_prunes_with_parser(spark, tmp_path):
     out = M.delete_where_sql(spark, uri, "name = 'user-0006' OR name = 'user-0010'")
     assert out["files_rewritten"] == out["files_total"]
     assert M.scan_table(spark, uri).count() == 125
+
+
+def test_bloom_survives_percent_encoded_paths(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; a data path with a
+    space must still suffix-match its committed rel path, else the file's
+    bitsets are silently dropped (pruning stays correct but the feature
+    no-ops — ADVICE r5)."""
+    base = tmp_path / "dir with space"
+    base.mkdir()
+    uri = str(base / "t")
+    rows = spark.createDataFrame(
+        [(f"user-{j:04d}", "/u", None, None, None, 0o644, j, 0, 0, 0, None) for j in range(16)],
+        R.ROOTFS_SCHEMA,
+    ).coalesce(1)
+    R.write_table(rows, uri, mode="overwrite", bloom_cols=["name"])
+    _, files, stats = latest_snapshot(LocalFsStore(os.path.join(uri, R._LOG_DIR)))
+    assert files and all(
+        "bloom" in stats[f] and "name" in stats[f]["bloom"] for f in files
+    )
+    # and the recorded bitset actually answers probes
+    rec = stats[files[0]]["bloom"]["name"]
+    assert bloom_may_contain(rec, "user-0003")
+
+
+def test_bloom_build_skips_float_columns(spark, tmp_path):
+    """No shared canonical string form exists for floats (Spark CAST vs
+    Python str disagree on scientific notation), so build must skip float
+    columns instead of recording bitsets that can never be probed."""
+    import pytest
+
+    from connected_data_lake_spark.sources.bloom import build_file_blooms
+
+    out_dir = str(tmp_path / "f.parquet")
+    spark.createDataFrame([(1, 0.5), (2, 1e20)], "id bigint, d double").coalesce(
+        1
+    ).write.parquet(out_dir)
+    part = next(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    with pytest.warns(UserWarning, match="non-probeable"):
+        out = build_file_blooms(spark, {"rel.parquet": part}, ["d"])
+    assert out == {}
+    # mixed request keeps the probeable column
+    with pytest.warns(UserWarning, match="non-probeable"):
+        out = build_file_blooms(spark, {"rel.parquet": part}, ["id", "d"])
+    assert set(out["rel.parquet"]) == {"id"}

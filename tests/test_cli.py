@@ -113,8 +113,22 @@ def test_optimize_delete_vacuum_subcommands(spark, tree, capsys):
     out = capsys.readouterr().out
     assert "a.txt" not in out and "b.bin" in out
 
-    # vacuum reclaims the files the two rewrites replaced
+    # default retention (7d) protects the just-written files...
     rc = main(["vacuum", url])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["files_removed"] == 0
+    # ...and retention 0 (exclusive access) reclaims the replaced ones
+    rc = main(["vacuum", url, "--retention-hours", "0"])
     assert rc == 0
     removed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert removed["files_removed"] > 0
+
+
+def test_empty_target_gets_url_error(spark):
+    """`cdl query "" ...` must fail with open()'s unsupported-URL error,
+    not an AttributeError from falling through to a nonexistent args.src
+    (ADVICE r5: target truthiness vs command branching)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="empty dataset URL"):
+        main(["query", "", "SELECT 1"])

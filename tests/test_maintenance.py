@@ -171,6 +171,36 @@ def test_upsert_into_empty_key_space(spark, tmp_path):
     assert R.read_table(spark, uri).count() == 35
 
 
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty MERGE batch must not rewrite the table: empty key bounds
+    yield an empty filter list, which prune_files reads as 'keep all files'
+    — without the short-circuit a no-op MERGE rewrote every file as one
+    commit and dropped the per-file Bloom bitsets (ADVICE r5)."""
+    uri = _disjoint_table(spark, tmp_path)
+    v0 = R.table_version(uri)
+    empty = _rows(spark, "x", n=1, size=1, parent="/x").limit(0)
+    res = M.upsert_table(spark, uri, empty, key_cols=["parent", "name"])
+    assert res["files_rewritten"] == 0 and res["version"] is None
+    assert res["files_total"] > 0
+    assert R.table_version(uri) == v0  # no commit published
+    assert R.read_table(spark, uri).count() == 30
+
+
+def test_upsert_all_null_keys_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    uri = _disjoint_table(spark, tmp_path)
+    v0 = R.table_version(uri)
+    nulls = (
+        _rows(spark, "x", n=2, size=1, parent="/x")
+        .withColumn("parent", F.lit(None).cast("string"))
+        .withColumn("name", F.lit(None).cast("string"))
+    )
+    res = M.upsert_table(spark, uri, nulls, key_cols=["parent", "name"])
+    assert res["files_rewritten"] == 0 and res["version"] is None
+    assert R.table_version(uri) == v0
+
+
 # --------------------------------------------------------------- compaction
 
 
@@ -186,8 +216,10 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     assert files1[0] in stats1  # compacted file carries fresh zone maps
     assert R.read_table(spark, uri).count() == 40
     assert R.read_table(spark, uri, version=v0).count() == 40  # history intact
-    # vacuum now reclaims the 8 replaced files (current-snapshot GC)
-    assert R.vacuum_table(uri) == 8
+    # default retention shields the young unreferenced files (a concurrent
+    # writer may have staged-but-not-published them); retention 0 reclaims
+    assert R.vacuum_table(uri) == 0
+    assert R.vacuum_table(uri, retention_hours=0) == 8
     assert R.read_table(spark, uri).count() == 40
 
 
@@ -390,7 +422,7 @@ def test_cdlfs_upsert_vacuum_version(spark, tmp_path):
     assert out["version"] == fs.version() > v0
     got = {r["name"]: r["size"] for r in fs.sql("SELECT name, size FROM rootfs").collect()}
     assert got["f1.txt"] == 999 and got["f0.txt"] == 2
-    assert fs.vacuum() >= 0  # nothing crashes; replaced files reclaimable
+    assert fs.vacuum(retention_hours=0) >= 0  # replaced files reclaimable
     # post-vacuum the current snapshot still reads
     assert fs.sql("SELECT count(*) c FROM rootfs").collect()[0]["c"] == 3
 
