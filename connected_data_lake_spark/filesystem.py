@@ -419,3 +419,25 @@ class CdlFS:
                 return {c: table.column(c)[idx].as_py() for c in columns}
 
         return _ArrowDataset()
+
+    def to_lance_dataset(self, path: str, stmt: str = f"SELECT * FROM {ROOTFS_TABLE}", **kwargs):
+        """Export the current snapshot as a Lance dataset and return the
+        opened handle (reference to_lance_dataset,
+        python/cdlake/filesystem.py:58-66). The reference's storage layer
+        IS lance, so its method merely opens the dataset in place; this
+        engine's table format is parquet + transactional manifest, so the
+        analogue materializes ``stmt`` through the Arrow interchange into a
+        lance dataset at ``path``. lance isn't baked into this environment
+        — the import is gated like torch/polars; the Arrow path underneath
+        is the tested surface. ``kwargs`` pass through to
+        ``lance.write_dataset`` (mode, max_rows_per_file, ...). A
+        cluster-scale export would fan out per-partition writers instead
+        of the driver-side Arrow table; this is the API-parity surface."""
+        try:
+            import lance
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "lance is not available in this environment; use to_arrow()"
+            ) from exc
+        lance.write_dataset(self.sql(stmt).toArrow(), path, **kwargs)
+        return lance.dataset(path)

@@ -15,6 +15,7 @@ from connected_data_lake_spark import Cdl
 
 HAS_POLARS = importlib.util.find_spec("polars") is not None
 HAS_TORCH = importlib.util.find_spec("torch") is not None
+HAS_LANCE = importlib.util.find_spec("lance") is not None
 
 
 @pytest.fixture()
@@ -95,3 +96,41 @@ def test_to_torch_dataset_indexing(fs, monkeypatch):
     assert len(ds) == 2
     rows = {ds[i]["name"]: bytes(ds[i]["data"]) for i in range(len(ds))}
     assert rows == {"a.txt": b"alpha", "b.txt": b"beta"}
+
+
+@pytest.mark.skipif(not HAS_LANCE, reason="lance not installed")
+def test_to_lance_dataset_smoke(fs, tmp_path):
+    ds = fs.to_lance_dataset(str(tmp_path / "out.lance"))
+    assert ds.count_rows() == 2
+
+
+@pytest.mark.skipif(HAS_LANCE, reason="lance installed: gate not reachable")
+def test_to_lance_dataset_gate_error(fs, tmp_path):
+    with pytest.raises(NotImplementedError, match="to_arrow"):
+        fs.to_lance_dataset(str(tmp_path / "out.lance"))
+
+
+@pytest.mark.skipif(HAS_LANCE, reason="real lance would shadow the fake")
+def test_to_lance_dataset_arrow_handoff(fs, monkeypatch, tmp_path):
+    import sys
+    import types
+
+    captured = {}
+    fake = types.ModuleType("lance")
+
+    def write_dataset(table, path, **kwargs):
+        captured["table"], captured["path"], captured["kwargs"] = table, path, kwargs
+
+    fake.write_dataset = write_dataset
+    fake.dataset = lambda path: ("opened", path)
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    out = fs.to_lance_dataset(
+        str(tmp_path / "out.lance"),
+        stmt="SELECT name, size FROM rootfs ORDER BY name",
+        max_rows_per_file=7,
+    )
+    assert out == ("opened", str(tmp_path / "out.lance"))
+    assert captured["path"] == str(tmp_path / "out.lance")
+    assert captured["kwargs"] == {"max_rows_per_file": 7}
+    assert captured["table"].column_names == ["name", "size"]
+    assert captured["table"].column("name").to_pylist() == ["a.txt", "b.txt"]
