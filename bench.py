@@ -48,8 +48,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # warm-up: JVM, codegen, parquet footer caches
-    specs["q1_pricing_summary"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: JVM, codegen, parquet footer caches (spec name is rotation-
+    # prefixed once the query turns driver-green — resolve either form)
+    warm = specs.get("q1_pricing_summary") or specs["z_q1_pricing_summary"]
+    warm.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warm Python/Arrow workers: the FIRST pandas_udf stage in a session
     # pays worker spawn + numpy import (~3s); that's session start-up cost,
     # not query cost, so absorb it like the JVM warm-up above
@@ -105,7 +107,45 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    # paired DuckDB control, one pass per bench run (VERDICT r5 "What's
+    # wrong" #3): the same oracle SQL on the same host inside the same
+    # minutes, so a slow host draw shows up as a RATIO shift measurable
+    # per-run instead of a narrated noise envelope. Disable with
+    # SPARK_GRAFT_BENCH_DUCK=0 for quick iteration.
+    duck_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
+        from tools.oracle_check import duck_connection
+
+        con = duck_connection(sf_dir)
+        for name in sorted(specs):
+            spec = specs[name]
+            if not spec.oracle:
+                continue
+            try:
+                start = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                duck_timings[name] = round(time.perf_counter() - start, 4)
+            except Exception as exc:  # noqa: BLE001
+                duck_timings[name] = -1.0
+                print(f"# duck control error {name}: {exc}", file=sys.stderr)
+
+    def _family(name: str) -> str:
+        stem = name[2:] if name.startswith("z_") else name
+        return stem.split("_", 1)[0]
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    duck_total = round(sum(t for t in duck_timings.values() if t >= 0), 4)
+    per_family: dict[str, dict] = {}
+    for name, t in timings.items():
+        fam = per_family.setdefault(
+            _family(name), {"n": 0, "spark_sec": 0.0, "duck_sec": 0.0}
+        )
+        fam["n"] += 1
+        if t >= 0:
+            fam["spark_sec"] = round(fam["spark_sec"] + t, 4)
+        d = duck_timings.get(name, 0.0)
+        if d >= 0:
+            fam["duck_sec"] = round(fam["duck_sec"] + d, 4)
     record = {
         "metric": "declared_suite_total",
         "value": total,
@@ -114,9 +154,36 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "protocol": f"median_of_{n_runs}_after_1_warmup",
+        "duck_control_total": duck_total or None,
     }
     with open(os.path.join(REPO, "BENCH_SELF.json"), "w") as fh:
-        json.dump({**record, "samples": samples, "errors": errors}, fh, indent=1)
+        json.dump(
+            {**record, "samples": samples, "errors": errors, "duck_control": duck_timings},
+            fh,
+            indent=1,
+        )
+    # compact, truncation-proof headline artifact (VERDICT r5 item 4): the
+    # driver's stdout capture has clipped the one-line record's tail twice;
+    # this keeps suite totals + the paired control reconstructable from
+    # committed files alone
+    summary = {
+        "suite_total_sec": total,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "protocol": record["protocol"],
+        "duck_control_total_sec": duck_total or None,
+        "spark_over_duck": round(total / duck_total, 3) if duck_total else None,
+        "per_family": per_family,
+        "slowest_5": dict(
+            sorted(
+                ((n, t) for n, t in timings.items() if t >= 0),
+                key=lambda kv: -kv[1],
+            )[:5]
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_SELF_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
     print(json.dumps(record))
 
 

@@ -138,3 +138,95 @@ def test_statless_files_never_skip(rows, filters):
     assert file_may_match({}, filters)
     # stats for OTHER columns never justify skipping on these filters
     assert file_may_match({"rows": len(rows), "cols": {"zzz": {"min": 0, "max": 0}}}, filters)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: the SQL-condition pruner vs DuckDB as the SEMANTICS oracle
+# (VERDICT r5 item 6). One Spark-written table with real manifest stats +
+# Bloom bitsets; hypothesis generates raw SQL condition strings; for every
+# file the pruner skips, DuckDB must find zero matching rows in that file.
+# This checks parse_condition -> file_may_match against an independent SQL
+# engine rather than the in-repo row evaluator above.
+# ---------------------------------------------------------------------------
+
+import os
+
+import duckdb
+import pytest
+
+from connected_data_lake_spark.sources import rootfs as _R
+from connected_data_lake_spark.sources.manifest import LocalFsStore as _Store
+from connected_data_lake_spark.sources.manifest import latest_snapshot as _snap
+from connected_data_lake_spark.sources.zonemap import parse_condition
+
+#: adversarial names: numeric-looking, leading zeros, empty, case variants
+_NAMES = ["user-0001", "user-0009", "05", "5", "", "abc", "ABC", "zzz", "a b"]
+#: sizes: negative, boundary, NULL (a directory row)
+_SIZES = [-7, 0, 1, 5, 40, None]
+
+
+@pytest.fixture(scope="module")
+def pruning_table(spark, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("prune_duck") / "t")
+    rows_all = [
+        (n, "/p", None, None, None, 0o644, s, 0, 0, 0, None)
+        for n in _NAMES
+        for s in _SIZES
+    ]
+    # interleave across 4 files so zone maps overlap and blooms matter
+    for i in range(4):
+        part = [r for j, r in enumerate(rows_all) if j % 4 == i]
+        _R.write_table(
+            spark.createDataFrame(part, _R.ROOTFS_SCHEMA).coalesce(1),
+            uri,
+            mode="overwrite" if i == 0 else "append",
+            bloom_cols=["name", "size"],
+        )
+    _, files, stats = _snap(_Store(os.path.join(uri, _R._LOG_DIR)))
+    con = duckdb.connect()
+    return [(os.path.join(uri, f), stats[f]) for f in files], con
+
+
+_lit_str = st.sampled_from(_NAMES + ["user-0005", "06", "zz"])
+_lit_int = st.integers(min_value=-9, max_value=45)
+_num_op = st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "<>"])
+
+
+def _q(s: str) -> str:
+    return "'" + s + "'"
+
+
+_atom_st = st.one_of(
+    st.builds(lambda o, v: f"name {o} {_q(v)}", _num_op, _lit_str),
+    st.builds(lambda o, v: f"size {o} {v}", _num_op, _lit_int),
+    st.builds(lambda vs: "name IN (" + ", ".join(_q(v) for v in vs) + ")",
+              st.lists(_lit_str, min_size=1, max_size=3)),
+    st.builds(lambda vs: "size IN (" + ", ".join(str(v) for v in vs) + ")",
+              st.lists(_lit_int, min_size=1, max_size=3)),
+    st.sampled_from(["size IS NULL", "size IS NOT NULL", "name IS NOT NULL"]),
+)
+_cond_st = st.builds(lambda atoms: " AND ".join(atoms), st.lists(_atom_st, min_size=1, max_size=3))
+
+
+@settings(max_examples=300, deadline=None)
+@given(cond=_cond_st)
+def test_pruned_files_contain_no_duckdb_match(pruning_table, cond):
+    table, con = pruning_table
+    filters = parse_condition(cond)
+    if filters is None:
+        # unparseable -> no pruning -> trivially sound
+        return
+    for path, stats in table:
+        if not file_may_match(stats, filters):
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet(?) WHERE {cond}", [path]
+            ).fetchone()[0]
+            assert n == 0, f"UNSOUND SKIP vs DuckDB: cond={cond!r} file={path}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(cond=st.builds(lambda a, b: f"{a} OR {b}", _atom_st, _atom_st))
+def test_unparseable_conditions_never_prune(pruning_table, cond):
+    """ORs are outside the whitelisted conjunction grammar: the parser must
+    return None (no pruning) rather than mis-parse into filters."""
+    assert parse_condition(cond) is None
