@@ -480,6 +480,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     block_cols: tuple[str, ...] = (),
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted shingle index.
 
@@ -495,6 +496,16 @@ def ngram_jaccard_pairs(
     sharing only ultra-common shingles cost the most — at extreme scale add
     a prefix filter (index only each doc's (1-t)·|sh|+1 rarest shingles);
     df-skew here is mild (max df 14 at sf0.1) so the plain index wins.
+
+    ``max_df`` is the concrete scale lever: postings whose shingle appears
+    in more than ``max_df`` docs are dropped from the index (the classic
+    df-cap / stop-shingle cut). Default ``None`` = exact — right for this
+    corpus's mild skew. At web-corpus scale set it near the 99.9th df
+    percentile: a boilerplate shingle shared by 1e6 docs contributes 1e12
+    join rows but almost no Jaccard evidence, and a capped intersection
+    only ever UNDERcounts, so threshold precision is preserved (recall for
+    pairs glued solely by boilerplate is the explicit trade; the prefix
+    filter above is the recall-preserving upgrade).
     """
     assert threshold > 0, "inverted-index path requires a positive threshold"
     sh = spread(df, id_col).select(
@@ -507,6 +518,16 @@ def ngram_jaccard_pairs(
     postings = sh.select(
         "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()
+    if max_df is not None:
+        hot = (
+            postings.groupBy("tok", *block_cols)
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("tok", *block_cols)
+        )
+        # stop-shingle set is tiny by construction (the df distribution's
+        # extreme tail) — broadcast anti-join, no extra shuffle of postings
+        postings = postings.join(F.broadcast(hot), ["tok", *block_cols], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:

@@ -58,7 +58,13 @@ def connected_components(
 
     Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
     rounds (diameter-bound exceeded — see module scale notes).
+
+    Diagnostics: the returned DataFrame carries ``_cdl_cc_rounds`` (rounds
+    actually used — an operations dashboard should alert when this creeps
+    toward the cap long before a run ever dies on it), and a
+    ``RuntimeWarning`` fires once rounds exceed 80% of ``max_iter``.
     """
+    import warnings
     edges = _edge_list(pairs, src, dst).persist()
     # seed labels with the FIRST propagation folded in — min(self, direct
     # neighbors) — which saves one full round on every graph; lazy
@@ -75,7 +81,7 @@ def connected_components(
     checksum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy(F.col("u").alias("node"))
@@ -100,6 +106,16 @@ def connected_components(
         labels = new_labels
         if new_checksum == checksum:
             edges.unpersist()
+            if round_no > 0.8 * max_iter:
+                warnings.warn(
+                    f"connected_components converged in {round_no} of "
+                    f"{max_iter} rounds — the pair graph's diameter is "
+                    "approaching the bail-out cap; consider the "
+                    "large-star/small-star propagation (module notes)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            labels._cdl_cc_rounds = round_no
             return labels
         checksum = new_checksum
     edges.unpersist()

@@ -116,3 +116,26 @@ def test_embedding_near_duplicates_finds_planted_pair(spark):
     got = DD.embedding_near_duplicates(df, threshold=0.95).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
     assert got[0].cos > 0.99
+
+
+def test_ngram_jaccard_max_df_lever(docs, truth_pairs):
+    """df-cap semantics: a cap above the corpus's max shingle df is exact;
+    cap 0 drops every posting (no pairs); an intermediate cap only ever
+    UNDERcounts intersections, so capped pairs are a subset of exact."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10**6)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exact == truth_pairs
+    assert (
+        DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=0).count() == 0
+    )
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=2)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert capped <= truth_pairs
