@@ -1723,3 +1723,326 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("orders",),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: TPC-H-shaped compositions + relational surface widening
+# (pivot / unpivot / mode / histogram). All enter the driver window directly
+# (the round-6 rotation freed 41 slots — plans/__init__.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: segment-filtered customer dim
+    broadcast into orders, orders into lineitem, revenue per open order,
+    top 10. Scale shape: customer is the small filtered side (broadcast),
+    the orders⋈lineitem join shuffles on the orderkey, the top-10 is
+    TakeOrderedAndProject (no global sort materialization). Ordering uses
+    the ROUNDED revenue with (o_orderdate, l_orderkey) tiebreaks so the
+    engines' fp association order cannot flip ranks."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < CAST('1997-06-01' AS TIMESTAMP_NTZ)")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > CAST('1997-06-01' AS TIMESTAMP_NTZ)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "scan"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue: the pure pushdown showcase — a
+    selective conjunctive filter and a global 2-column aggregate, no
+    groupBy, no join. The plan must be scan(PushedFilters on shipdate) →
+    partial agg → single-row final agg; the scan reads only 4 columns of
+    lineitem (ReadSchema pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.expr(
+            "l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+            " AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)"
+        )
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q12_late_lines",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "agg", "datetime"),
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped late-shipment analysis (the fixture has no
+    l_shipmode/l_receiptdate, so lateness is shipdate ≥ orderdate + 60
+    days): join + cross-column INTERVAL predicate + conditional aggregate.
+    The date comparison is a residual on the equi-join (never a join
+    condition), so the plan stays a plain shuffled hash/merge join on the
+    orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate >= o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_late"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_promo_items,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share: month-sliced lineitem joined
+    to the part dim (broadcast — parts are dimension-sized), conditional
+    revenue ratio in one aggregate pass. Rounded at 4 decimals on a
+    ~percent-scale ratio so double association order can't flip a bit."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= CAST('1997-03-01' AS TIMESTAMP_NTZ)"
+            " AND l_shipdate < CAST('1997-04-01' AS TIMESTAMP_NTZ)"
+        )
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_promo_items"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+             AS f_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per (priority × status) as a wide matrix via
+    DataFrame.pivot with EXPLICIT pivot values — the at-scale discipline
+    (without them Spark runs an extra distinct-collect job over the pivot
+    column before planning). The oracle states the equivalent conditional
+    aggregation. One shuffle on the groupBy key; empty cells coalesce
+    to 0 to match COUNT(CASE)."""
+    orders = _t(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(lit(1)): Pivot rejects the star form
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.coalesce(F.col("F_total"), F.lit(0.0)).alias("f_total"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT n_nationkey, n_name,
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+               AS n_customers,
+             (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)
+               AS n_suppliers
+      FROM nation
+    )
+    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'n_suppliers' AS metric, n_suppliers AS value FROM wide
+    ORDER BY n_name, metric
+    """,
+    tags=("agg", "unpivot"),
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: a wide per-nation metric row folded to long
+    (n_name, metric, value) via DataFrame.unpivot — the inverse of pivot,
+    used to normalize wide feature tables before pipeline stages. The wide
+    relation itself comes from two broadcast-aggregate joins (counts per
+    nation key), not correlated subqueries — the oracle states those as
+    scalar subqueries because DuckDB decorrelates them to the same plan."""
+    nation = _t(spark, sf_dir, "nation")
+    ncust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    nsupp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    wide = (
+        nation.join(F.broadcast(ncust), nation.n_nationkey == ncust.k, "left")
+        .join(F.broadcast(nsupp), nation.n_nationkey == nsupp.k, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_customers", "n_suppliers"], "metric", "value"
+    ).orderBy("n_name", "metric")
+
+
+@query(
+    "agg_mode_pergroup",
+    oracle="""
+    SELECT p_brand, p_size AS mode_size, cnt AS n_parts
+    FROM (
+      SELECT p_brand, p_size, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY COUNT(*) DESC, p_size) AS rn
+      FROM part GROUP BY p_brand, p_size
+    )
+    WHERE rn = 1
+    ORDER BY p_brand
+    """,
+    tags=("agg", "window"),
+)
+def agg_mode_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group (most frequent p_size per brand, smallest size wins
+    ties): count-then-argmax — the distributed mode recipe, since a true
+    mode aggregate can't partial-combine. Shape: one shuffle for the
+    (brand, size) counts (map-side combine collapses duplicates first),
+    then a window over the tiny counted relation."""
+    part = _t(spark, sf_dir, "part")
+    counted = part.groupBy("p_brand", "p_size").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cnt"), "p_size")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_size").alias("mode_size"), F.col("cnt").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "agg_histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("agg",),
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics via FLOOR division):
+    the single-pass distributed histogram — bucket id is a scan-local
+    projection, the aggregate shuffles only |buckets| groups after map-side
+    combine. Bucket arithmetic is the same double division in both engines,
+    so boundary assignment is bit-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
