@@ -81,3 +81,51 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(f"{prefix}{c}", F.col(f"_m.{c}"))
     return out.drop("_ts", "_tb", "_side", "_r", "_m")
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 86_400,
+) -> DataFrame:
+    """Interval × point range join WITHOUT a nested-loop: bin both sides to
+    fixed time buckets, equality-join on the bucket, then apply the exact
+    range predicate as a residual filter.
+
+    Neither Spark nor the reference has a native range join (DuckDB's
+    IEJoin provides the oracle); the naive formulation
+    ``ON p.ts >= i.start AND p.ts < i.end`` plans as BroadcastNestedLoop —
+    O(|points| × |intervals|) and a scale-killer. Binning makes it an
+    equi-join: each interval explodes to its covered buckets
+    (len/bin_seconds + 1 rows — bounded when intervals are short relative
+    to the bin), each point maps to exactly ONE bucket (so matches are
+    never duplicated), and the shuffle key is the bucket id. Work is
+    O(Σ per-bucket points × per-bucket intervals) — the classic
+    time-binned spatial-join trade: pick ``bin_seconds`` near the typical
+    interval length so most intervals hit 1-2 buckets.
+
+    Semantics: inner join, ``start <= ts < end`` (end exclusive). All
+    columns from both inputs survive; inputs must not share column names.
+    Timestamps are compared on their unix-second value via an internal
+    cast, so DATE/TIMESTAMP/TIMESTAMP_NTZ inputs all work.
+    """
+    w = int(bin_seconds)
+    p_sec = F.unix_timestamp(F.col(point_ts).cast("timestamp"))
+    s_sec = F.unix_timestamp(F.col(start_col).cast("timestamp"))
+    e_sec = F.unix_timestamp(F.col(end_col).cast("timestamp"))
+    p = points.withColumn("_cdl_bin", F.floor(p_sec / w))
+    iv = intervals.withColumn(
+        "_cdl_bin",
+        F.explode(
+            # end-exclusive: the last covered second is end-1
+            F.sequence(F.floor(s_sec / w), F.floor((e_sec - 1) / w))
+        ),
+    )
+    out = p.join(iv, "_cdl_bin").filter(
+        (F.col(point_ts).cast("timestamp") >= F.col(start_col).cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp") < F.col(end_col).cast("timestamp"))
+    )
+    return out.drop("_cdl_bin")

@@ -2046,3 +2046,340 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ), c AS (
+      SELECT o_orderkey, COUNT(*) AS n_shipped
+      FROM iv JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+      GROUP BY o_orderkey
+    )
+    SELECT iv.o_orderkey, COALESCE(n_shipped, 0) AS n_shipped
+    FROM iv LEFT JOIN c ON iv.o_orderkey = c.o_orderkey
+    ORDER BY iv.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × point RANGE join, binned (operators.temporal.
+    interval_point_join): corpus-wide shipments falling inside each 1997
+    order's 3-day window — NO key equality, a pure time-range predicate.
+    The naive ON-range formulation plans as BroadcastNestedLoop
+    (O(orders × lineitem) — the scale-killer); binning to 3-day buckets
+    makes it an equi-join on the bucket id with the exact range as a
+    residual, the classic time-binned join. DuckDB's IEJoin provides the
+    oracle. Left join back to the interval side zero-fills empty windows."""
+    from connected_data_lake_spark.operators import temporal as TP
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+            " AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)"
+        )
+    )
+    iv = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        F.expr("o_orderdate + INTERVAL 3 DAYS").alias("w_end"),
+    )
+    pts = _t(spark, sf_dir, "lineitem").select("l_shipdate")
+    joined = TP.interval_point_join(
+        pts, iv, "l_shipdate", "w_start", "w_end", bin_seconds=3 * 86_400
+    )
+    counts = joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+    return (
+        iv.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), cal AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT CAST(cal.day AS VARCHAR) AS day, COALESCE(d.n_events, 0) AS n_events
+    FROM cal LEFT JOIN d ON cal.day = d.day
+    ORDER BY day
+    """,
+    tags=("datetime", "agg"),
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling / calendar resample: daily event counts
+    with missing days zero-filled from a generated calendar spine —
+    sequence(min_day, max_day) exploded, left-joined to the aggregate. No
+    driver-side date loop: bounds come from a 1-row aggregate crossJoined
+    (broadcast) into the explode, so the whole plan is distributed and the
+    spine's length is data-driven."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    d = ev.groupBy("day").agg(F.count("*").alias("n_events"))
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return (
+        cal.join(d, "day", "left")
+        # calendar outputs as strings (fn_datetime note): the engines'
+        # pandas/arrow DATE round-trips disagree on representation
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("agg", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered STRING_AGG / LISTAGG: per-region nation names joined in
+    sorted order. Spark has no ordered string_agg aggregate — the declared
+    recipe is collect_list → array_sort → array_join, which keeps the
+    aggregation partial-combinable (lists merge map-side) and makes the
+    ordering explicit rather than scan-order-dependent."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "window_cume_pctrank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)    AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("window",),
+)
+def window_cume_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST (SURVEY W1 family completion): relative
+    standing of each customer's balance WITHIN its market segment — the
+    partition keeps the window distributed (a global ORDER BY window would
+    be single-partition, the at-scale antipattern; global quantiles go
+    through approx_percentile instead). Unique (acctbal, custkey) ordering
+    makes both engines' tie handling irrelevant."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT lang, doc_id, n_chars, rnk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (3 longest documents per language): the windowed
+    rank-filter form. Unlike global top-k (TakeOrderedAndProject), per-
+    group top-k shuffles once on the group key and truncates within each
+    partition — with AQE the rank<=k filter prunes before the final sort,
+    so no partition ever materializes a full group ordering in memory."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars", F.row_number().over(w).cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    )
+
+
+@query(
+    "setop_symmetric_diff",
+    oracle="""
+    WITH y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ), y97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_custkey, 'only_1996' AS side
+    FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT o_custkey, 'only_1997' AS side
+    FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+    ORDER BY o_custkey, side
+    """,
+    tags=("setop",),
+)
+def setop_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference composed from EXCEPT + UNION ALL (customers
+    active in exactly one of 1996/1997), each side labeled. Both EXCEPTs
+    reuse the same two year-slice aggregates; the distinct sets are
+    produced by one scan each with the year predicate pushed down."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_keys(y: int):
+        return (
+            orders.filter(
+                F.expr(
+                    f"o_orderdate >= CAST('{y}-01-01' AS TIMESTAMP_NTZ)"
+                    f" AND o_orderdate < CAST('{y + 1}-01-01' AS TIMESTAMP_NTZ)"
+                )
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    only96 = y96.exceptAll(y97).withColumn("side", F.lit("only_1996"))
+    only97 = y97.exceptAll(y96).withColumn("side", F.lit("only_1997"))
+    return only96.unionAll(only97).orderBy("o_custkey", "side")
+
+
+@query(
+    "fn_levenshtein_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+    tags=("scalar", "string", "similarity"),
+)
+def fn_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string similarity (fuzzy entity matching): nation-name
+    pairs within Levenshtein distance 4. The self-join is dimension-sized
+    (25×25) so the quadratic pair space is fine HERE; corpus-scale fuzzy
+    matching goes through the n-gram/LSH blocking operators instead
+    (operators/dedup.py) with edit distance as the verify step."""
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "events_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "datetime", "events"),
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via LAG over the loader's int64
+    epoch-microsecond column (ts_us — float epochs would corrupt int64
+    precision): the arrival-pattern profile behind bot/burst detection.
+    One shuffle on user_id shared by the window and the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH                AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+           CAST(o_orderdate - INTERVAL 36 HOUR AS TIMESTAMP) AS cutoff_ts
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic family: month addition (calendar-aware),
+    LAST_DAY, day-difference from an anchor date, sub-day interval
+    subtraction — all scan-local projections."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return orders.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 3 MONTHS").alias("due_ts"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch0"),
+        F.expr("o_orderdate - INTERVAL 36 HOURS").alias("cutoff_ts"),
+    ).orderBy("o_orderkey")

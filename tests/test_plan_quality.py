@@ -11,16 +11,14 @@ from __future__ import annotations
 
 import pytest
 
-from connected_data_lake_spark.plans import all_specs
+from connected_data_lake_spark.plans import all_specs, spec_of
 
 SPECS = all_specs()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    # resolve through the round-2 window rotation (plans/__init__.py):
-    # r01-verified queries are registered as z_<name>, bodies unchanged
-    spec = SPECS.get(name) or SPECS[f"z_{name}"]
-    df = spec.spark(spark, sf_dir)
+    # spec_of resolves through the window rotation (plans/__init__.py)
+    df = spec_of(name).spark(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -172,13 +170,13 @@ def test_incremental_dedup_probes_persisted_index(spark, sf_dir):
 
 
 def test_bigram_logprob_head_join_broadcasts(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "zz_text_logprob_bigram")
+    plan = plan_of(spark, sf_dir, "text_logprob_bigram")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_repeated_spans_no_cartesian_and_partial_agg(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "zz_text_repeated_spans")
+    plan = plan_of(spark, sf_dir, "text_repeated_spans")
     assert "CartesianProduct" not in plan
     # chunk counting must partial-aggregate before its shuffle
     assert plan.count("HashAggregate") >= 2
@@ -188,7 +186,7 @@ def test_pq_probe_scans_code_index_not_cache(spark, sf_dir):
     from connected_data_lake_spark.plans import extensions as ext
 
     ext._pq_indexed(spark, sf_dir)  # offline build (bench warm-up step)
-    plan = plan_of(spark, sf_dir, "zz_knn_pq_probe")
+    plan = plan_of(spark, sf_dir, "knn_pq_probe")
     # the ADC scan reads the prewritten parquet code table; the float
     # corpus appears only as the pruned re-rank fetch
     assert "cdl_pq_" in plan
@@ -196,7 +194,7 @@ def test_pq_probe_scans_code_index_not_cache(spark, sf_dir):
 
 
 def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "zz_knn_centroid_classify")
+    plan = plan_of(spark, sf_dir, "knn_centroid_classify")
     # k x dim centroid relation joins broadcast; the n·dim·k distance rows
     # collapse map-side (partial_sum) before any exchange
     assert "BroadcastHashJoin" in plan
@@ -205,14 +203,14 @@ def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
 
 
 def test_retention_cohorts_no_cartesian(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "zz_events_retention_cohorts")
+    plan = plan_of(spark, sf_dir, "events_retention_cohorts")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # distinct + per-user min + final rollup all partial-aggregate map-side
     assert "partial_min" in plan or "partial_first" in plan
 
 
 def test_containment_reuses_postings_exchange(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "zz_dedup_containment")
+    plan = plan_of(spark, sf_dir, "dedup_containment")
     assert "CartesianProduct" not in plan
     # both sides of the postings self-join come from ONE cached/reused scan
     assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
@@ -222,6 +220,49 @@ def test_sketch_probe_scans_persisted_index(spark, sf_dir):
     from connected_data_lake_spark.plans import extensions as ext
 
     ext._sketch_indexed(spark, sf_dir)  # offline build (bench warm-up step)
-    plan = plan_of(spark, sf_dir, "zz_knn_sketch_probe")
+    plan = plan_of(spark, sf_dir, "knn_sketch_probe")
     assert "cdl_srp_" in plan
     assert "CartesianProduct" not in plan  # queries broadcast into one scan
+
+
+# ----------------------------------------------------------- round-6 queries
+
+
+def test_q3_topk_is_fused_and_customer_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_pushdown_prune_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the lineitem scan"
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(",") <= 4, f"scan too wide: {read_schema}"
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+
+
+def test_q14_part_dim_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_binned_equi_not_nested_loop(spark, sf_dir):
+    """The interval × point range join must go through the bucket equi-join
+    (operators.temporal.interval_point_join) — the naive ON-range form
+    plans as BroadcastNestedLoopJoin and dies at scale."""
+    plan = plan_of(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["topk_per_group", "window_cume_pctrank"])
+def test_new_windows_stay_partitioned(spark, sf_dir, name):
+    """Per-group windows must never collapse to a single partition — the
+    global-ORDER-BY-window antipattern."""
+    plan = plan_of(spark, sf_dir, name)
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
