@@ -2523,3 +2523,141 @@ def zz_knn_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     probe = SIM.knn_sketch_probe(idx, queries, k=10)
     return _knn_probe_contract(_gt_topk(spark, sf_dir), probe, min_hits=8)
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: corpus n-gram stats, Zipf diagnostics, embedding QA
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_top",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), p AS (
+      SELECT doc_id,
+             UNNEST([toks[i] || ' ' || toks[i+1]
+                     for i in generate_series(1, len(toks) - 1)]) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ), b AS (
+      SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM p GROUP BY bigram
+    ), r AS (
+      SELECT bigram, n, n_docs,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INT) AS rnk
+      FROM b
+    )
+    SELECT bigram, n, n_docs, rnk FROM r WHERE rnk <= 20 ORDER BY rnk
+    """,
+    tags=("text",),
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams with document frequency — the n-gram
+    statistics pass behind boilerplate detection and stop-phrase lists.
+    Shape: one shingling pass (functions.text.shingles n=2 — the zip_with
+    form, no per-element re-tokenization), one shuffle for the (bigram)
+    count with map-side combine absorbing the Zipf head, then a global
+    top-20 via TakeOrderedAndProject; the rank window runs AFTER the
+    limit, over 20 rows — never over the full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select("doc_id", F.explode(TX.shingles("text", 2)).alias("bigram"))
+    counts = big.groupBy("bigram").agg(
+        F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    top = counts.orderBy(F.desc("n"), "bigram").limit(20)
+    w = Window.orderBy(F.desc("n"), "bigram")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy("rnk")
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH t AS (
+      SELECT UNNEST(string_split({_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ), v AS (
+      SELECT tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY tok
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM v
+    ), top AS (
+      SELECT * FROM r WHERE rank <= 1000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(log2(c), log2(rank)), 6) AS zipf_slope,
+           ROUND(regr_r2(log2(c), log2(rank)), 6) AS zipf_r2
+    FROM top
+    """,
+    tags=("text", "pipeline"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope + R² of
+    log2(freq) vs log2(rank) on the top-1000 tokens — the cheap corpus
+    health diagnostic (natural language sits near slope −1; machine spam
+    and template floods bend it). Shape: one token-count shuffle, global
+    top-1000 via TakeOrderedAndProject (the rank window then runs over
+    1000 rows, never the whole vocabulary), one regr_slope/regr_r2
+    aggregate — both engines run the same Welford-style kernels and the
+    result is rounded in-query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    v = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    top = v.orderBy(F.desc("c"), "tok").limit(1000)
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(F.log2("c"), F.log2("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log2("c"), F.log2("rank")), 6).alias("zipf_r2"),
+    )
+
+
+@query(
+    "embedding_outlier_zscore",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    ), s AS (
+      SELECT label, AVG(nrm) AS mu, STDDEV_POP(nrm) AS sd
+      FROM n GROUP BY label
+    )
+    SELECT n.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN ABS((nrm - mu) / sd) > 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(ABS((nrm - mu) / sd)), 6) AS max_abs_z
+    FROM n JOIN s ON n.label = s.label
+    GROUP BY n.label
+    ORDER BY n.label
+    """,
+    tags=("embeddings", "pipeline"),
+)
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm outlier screen: z-score of each vector's
+    L2 norm against its label cohort, counting |z| > 2 — the embedding QA
+    pass that flags collapsed or exploded vectors before they poison ANN
+    index training. Two-pass shape: per-label moments (tiny aggregate,
+    broadcast back), then a scan-local z projection — the norm fold is the
+    same left-to-right double arithmetic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", VX.norm("embedding").alias("nrm"))
+    s = n.groupBy("label").agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
+    )
+    z = F.abs((F.col("nrm") - F.col("mu")) / F.col("sd"))
+    return (
+        n.join(F.broadcast(s), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+        .orderBy("label")
+    )
