@@ -69,3 +69,46 @@ def test_asof_preserves_left_rows_and_columns(spark, sf_dir):
     assert set(p.columns) <= set(out.columns)
     # no matched view timestamp may exceed its purchase timestamp
     assert out.filter(F.col("asof_ts") > F.col("purchase_ts")).count() == 0
+
+
+def test_interval_point_join_matches_brute_force(spark):
+    """Binned range join == naive cross-join filter on seeded random data,
+    including intervals shorter/longer than the bin, bin-boundary-straddling
+    spans, empty intervals, and points exactly at start (inclusive) and
+    end (exclusive)."""
+    import random
+
+    from connected_data_lake_spark.operators.temporal import interval_point_join
+
+    rng = random.Random(42)
+    base = 1_700_000_000
+    points = [(i, base + rng.randrange(0, versus := 40_000)) for i in range(300)]
+    ivs = []
+    for j in range(80):
+        s = base + rng.randrange(0, 40_000)
+        ivs.append((j, s, s + rng.choice([0, 1, 600, 3600, 7200, 20_000])))
+    # exact boundary probes: one point at an interval start, one at an end
+    points.append((998, ivs[0][1]))
+    points.append((999, ivs[1][2]))
+    p = spark.createDataFrame(points, "pid int, sec long").select(
+        "pid", F.timestamp_seconds("sec").alias("pt")
+    )
+    iv = spark.createDataFrame(ivs, "iid int, s long, e long").select(
+        "iid",
+        F.timestamp_seconds("s").alias("ws"),
+        F.timestamp_seconds("e").alias("we"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_point_join(p, iv, "pt", "ws", "we", bin_seconds=3600).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in p.crossJoin(iv)
+        .filter((F.col("pt") >= F.col("ws")) & (F.col("pt") < F.col("we")))
+        .collect()
+    }
+    assert got == want and want
+    # boundary semantics explicit: start inclusive, end exclusive
+    assert (998, ivs[0][0]) in got or ivs[0][1] == ivs[0][2]
+    assert (999, ivs[1][0]) not in got
