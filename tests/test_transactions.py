@@ -61,8 +61,10 @@ def test_readers_never_see_partial_writes(spark, tmp_path):
     crashed = os.path.join(uri, "txn-deadbeef")
     _rows(spark, "crash").write.format("parquet").mode("overwrite").save(crashed)
     assert R.read_table(spark, uri).count() == 10  # crash rows invisible
-    # vacuum removes the orphaned files
-    removed = R.vacuum_table(uri)
+    # default retention shields the young orphan (it may be an in-flight
+    # writer's staged dir); retention 0 (exclusive access) reclaims it
+    assert R.vacuum_table(uri) == 0
+    removed = R.vacuum_table(uri, retention_hours=0)
     assert removed > 0
     assert not os.path.isdir(crashed)
     assert R.read_table(spark, uri).count() == 10
@@ -72,7 +74,7 @@ def test_vacuum_keeps_current_snapshot(spark, tmp_path):
     uri = str(tmp_path / "tbl")
     R.write_table(_rows(spark, "a"), uri, mode="overwrite")
     R.write_table(_rows(spark, "b"), uri, mode="overwrite")  # supersedes a
-    assert R.vacuum_table(uri) > 0  # a's files collected
+    assert R.vacuum_table(uri, retention_hours=0) > 0  # a's files collected
     assert R.read_table(spark, uri).count() == 10
     with pytest.raises(Exception):
         # time travel to a vacuumed version now fails on missing files
