@@ -2661,3 +2661,45 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "text_dup_rate_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, md5({_NORM.format(c='text')}) AS f
+      FROM documents
+    ), per AS (
+      SELECT source, f, COUNT(*) AS n FROM fp GROUP BY source, f
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "text", "pipeline"),
+)
+def text_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate telemetry: docs, distinct fingerprints,
+    duplicate count and rate — the curation dashboard row that decides
+    which ingest source gets aggressive dedup. One shuffle on
+    (source, fingerprint) with map-side combine, then a tiny per-source
+    rollup; at 100 TB this is the cheapest dedup signal there is."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", TX.fingerprint("text").alias("f")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            (F.sum("n") - F.count("*")).cast("bigint").alias("n_dup_docs"),
+            F.round((F.sum("n") - F.count("*")) / F.sum("n"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -2389,3 +2389,112 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch0"),
         F.expr("o_orderdate - INTERVAL 36 HOURS").alias("cutoff_ts"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "join_cooccurrence",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_orders
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_orders,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, brand_a, brand_b)
+                AS INT) AS rnk
+    FROM pairs
+    QUALIFY rnk <= 15
+    ORDER BY rnk
+    """,
+    tags=("join", "agg"),
+)
+def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top brand pairs appearing in the same
+    order — the classic association-mining self-join. Shape: dedupe to
+    (order, brand) FIRST (shrinks the self-join quadratically — an order
+    with 5 lines of one brand contributes once, not 25 pairs), self-join
+    on the orderkey with brand_a < brand_b cutting the symmetric half,
+    count per pair, global top-15 via TakeOrderedAndProject with the rank
+    window after the limit. Per-order fanout is bounded by basket size, so
+    pair volume is O(orders × basket²) — the standard co-occurrence cost,
+    partition-parallel on the orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    lines = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    top = pairs.orderBy(F.desc("n_orders"), "brand_a", "brand_b").limit(15)
+    w = Window.orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy("rnk")
+
+
+@query(
+    "events_funnel_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+      FROM events WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT v.user_id, v.view_id, c.click_id,
+             CAST(c.cus - v.vus AS BIGINT) AS latency_us
+      FROM v JOIN c ON v.user_id = c.user_id
+         AND c.cus >= v.vus AND c.cus <= v.vus + 600000000
+    )
+    SELECT user_id,
+           COUNT(*) AS n_attributed,
+           CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+    FROM j
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("join", "events", "range"),
+)
+def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click funnel attribution, batch form — the batch twin of
+    streaming/joins.py::attribute_conversions (same semantics the
+    stream-stream join computes live, so backfills and the live path
+    agree). The user-key equality dominates selectivity, so this is an
+    equi-join on user_id with the 10-minute window as a residual — no
+    binning needed (contrast join_range_binned, where NO key exists).
+    Latency arithmetic on int64 epoch micros — exact, no float epochs."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts_us").alias("vus")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("cus"),
+    )
+    j = v.join(
+        c,
+        (v.user_id == c.cu)
+        & (c.cus >= v.vus)
+        & (c.cus <= v.vus + 600 * 1_000_000),
+    ).select("user_id", ((F.col("cus") - F.col("vus")).cast("bigint")).alias("latency_us"))
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.min("latency_us").cast("bigint").alias("min_latency_us"),
+            F.max("latency_us").cast("bigint").alias("max_latency_us"),
+        )
+        .orderBy("user_id")
+    )
