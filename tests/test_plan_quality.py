@@ -266,3 +266,13 @@ def test_new_windows_stay_partitioned(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
     assert "Exchange SinglePartition" not in window_part
+
+
+@pytest.mark.parametrize("name", ["join_cooccurrence", "events_funnel_attribution"])
+def test_batch4_joins_are_hash_equality(spark, sf_dir, name):
+    """Co-occurrence self-join and funnel attribution must both be hash
+    equi-joins (orderkey / user_id) with residual predicates — never
+    nested-loop."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
