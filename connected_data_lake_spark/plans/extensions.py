@@ -2703,3 +2703,88 @@ def text_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value * weight), 6) AS weighted_value
+    FROM events
+    JOIN (VALUES ('click', 2.0), ('view', 1.0), ('purchase', 5.0),
+                 ('signup', 3.0), ('error', 0.0)) AS d(event_type, weight)
+      USING (event_type)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew lever as a VERIFIED query: events (a 5-value
+    join key — every key is a hot key) joined to a weight dim through
+    operators.skew.salted_join. The salt spreads each hot key across 8
+    buckets — (key, salt) becomes the shuffle key, the dim is exploded
+    8× (tiny) — and the salt never escapes, so the result set is
+    salt-independent and the plain-join oracle verifies it exactly.
+    This is the fallback for skew AQE can't fix: the build side's
+    hot-key rows land in ONE task's hash table however AQE splits the
+    probe side."""
+    from connected_data_lake_spark.operators import skew as SK
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    j = SK.salted_join(ev, dim, on=["event_type"], buckets=8)
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             16 + doc_id % 64 AS w,
+             16 + doc_id % 32 AS h,
+             octet_length(encode(text)) AS plen
+      FROM documents
+    )
+    SELECT doc_id,
+           'img' AS fmt,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS n_frames,
+           CAST(FLOOR(plen * LEAST(256.0 / (w * h), 1.0)) AS BIGINT) AS n_bytes
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the binary-rewrite batch shape (mapInPandas over
+    Arrow batches): header rewritten to 16×16, payload truncated pro-rata
+    by the area ratio, then decoded back to typed metadata. The oracle
+    recomputes the truncation arithmetic from the generator — the same
+    double product and floor in both engines — verifying the whole
+    rewrite→decode round trip. A real codec slots into the same batch
+    shape (the stub raises NotImplementedError on non-fake magic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resized = MM.resize_media(MM.attach_fake_media(docs), 16, 16)
+    decoded = MM.decode_media(resized)
+    return decoded.select(
+        "doc_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
