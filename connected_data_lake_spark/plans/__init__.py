@@ -233,6 +233,15 @@ ROTATED_GREEN_R05 = frozenset(
     }
 )
 
+#: NEXT-ROUND ROTATION RECIPE (mechanical, follow CORRECTNESS_r06.json):
+#: add every name that passed all three gates to a new ROTATED_GREEN_R06
+#: frozenset (FINAL names — promotion applies before the green check in
+#: all_specs, so list names as the driver saw them), wire it into the
+#: membership test in all_specs(), and confirm the freed window slots pull
+#: the next unverified tail inside the first 50 alphabetical names.
+#: Cross-round union stays monotone because rotation renames keys only —
+#: bodies and oracles never change in a rotation commit.
+
 #: Round-6 promotions: drop the ``zz_`` window-deferral prefix from the
 #: round-5 additions that never received a driver correctness row (VERDICT
 #: r5 "What's missing" #1). Registry-level rename only — bodies, oracles

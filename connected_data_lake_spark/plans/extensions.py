@@ -2788,3 +2788,115 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
         F.col("meta.n_bytes").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@query(
+    "pipeline_rag_corpus",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_NORM.format(c='text')} AS nrm,
+             string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), pass AS (
+      SELECT doc_id, lang, toks FROM q
+      WHERE len(toks) BETWEEN 5 AND 100000
+        AND len(list_filter(toks, t -> list_contains(
+              ['the','a','of','and','to','in','is','that','it','for'], t)))
+            * 1.0 / len(toks) BETWEEN 0.01 AND 0.9
+        AND (length(nrm) = 0 OR
+             (length(nrm) - length(regexp_replace(nrm, '[^a-z0-9 ]', '', 'g')))
+             * 1.0 / length(nrm) <= 0.3)
+    ), c AS (
+      SELECT doc_id, lang,
+             UNNEST([ {{'i': i, 'chunk': array_to_string(toks[i:i+63], ' ')}}
+                      for i in generate_series(1, len(toks), 48)
+                      if len(toks) - i >= 8 or i = 1 ]) AS u
+      FROM pass
+    ), ch AS (
+      SELECT doc_id, lang, CAST((u.i - 1) // 48 AS INT) AS chunk_id,
+             md5(u.chunk) AS fp,
+             len(string_split(u.chunk, ' ')) AS n_toks
+      FROM c
+    ), surv AS (
+      SELECT * FROM ch
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                 ORDER BY doc_id, chunk_id) = 1
+    ), docs_per AS (
+      SELECT lang, COUNT(*) AS n_docs FROM pass GROUP BY lang
+    ), chunks_per AS (
+      SELECT lang, COUNT(*) AS n_chunks FROM ch GROUP BY lang
+    ), uniq_per AS (
+      SELECT lang, COUNT(*) AS n_unique_chunks,
+             CAST(SUM(n_toks) AS BIGINT) AS unique_chunk_tokens
+      FROM surv GROUP BY lang
+    )
+    SELECT d.lang AS lang, d.n_docs, c2.n_chunks,
+           COALESCE(u.n_unique_chunks, 0) AS n_unique_chunks,
+           COALESCE(u.unique_chunk_tokens, 0) AS unique_chunk_tokens
+    FROM docs_per d
+    JOIN chunks_per c2 ON d.lang = c2.lang
+    LEFT JOIN uniq_per u ON d.lang = u.lang
+    ORDER BY lang
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus build, end to end in ONE job — the second composed
+    flagship beside pipeline_training_data: quality gate → overlapping
+    64/48 token chunking → CHUNK-level exact dedup (the span-granular
+    dedup a RAG index needs: two docs sharing a boilerplate paragraph
+    keep ONE copy of that chunk) → per-language corpus budget.
+
+    Shape: the gate is a scan-local filter; chunking is scan-local
+    sequence+transform+posexplode (zero shuffle to produce the chunk
+    relation); dedup is one shuffle on the chunk fingerprint with a
+    min-(doc,chunk) survivor window; the three per-lang rollups reuse the
+    chunk relation (persisted once) and join on the 5-row lang key
+    (broadcast). Survivor attribution is deterministic — the oracle's
+    QUALIFY row_number mirrors the same (doc_id, chunk_id) ordering."""
+    window, stride, min_tail = 64, 48, 8
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "lang", TX.normalize_text("text").alias("nrm"))
+    s = s.select("doc_id", "lang", "nrm", F.split("nrm", " ").alias("toks"))
+    passed = s.filter(TX.quality_score_from("toks", "nrm") == 1.0).select(
+        "doc_id", "lang", "toks", F.size("toks").alias("n")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("n"), F.lit(stride)),
+        lambda i: (F.col("n") - i >= min_tail) | (i == 1),
+    )
+    chunks = passed.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice("toks", i, window), " "))
+        ).alias("chunk_id", "chunk"),
+    )
+    ch = chunks.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5("chunk").alias("fp"),
+        F.size(F.split("chunk", " ")).alias("n_toks"),
+    ).persist()
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    surv = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    docs_per = passed.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    chunks_per = ch.groupBy("lang").agg(F.count("*").alias("n_chunks"))
+    uniq_per = surv.groupBy("lang").agg(
+        F.count("*").alias("n_unique_chunks"),
+        F.sum("n_toks").cast("bigint").alias("unique_chunk_tokens"),
+    )
+    out = (
+        docs_per.join(F.broadcast(chunks_per), "lang")
+        .join(F.broadcast(uniq_per), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_chunks",
+            F.coalesce("n_unique_chunks", F.lit(0)).alias("n_unique_chunks"),
+            F.coalesce("unique_chunk_tokens", F.lit(0)).alias("unique_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+    return DD._with_persisted(out, ch)
