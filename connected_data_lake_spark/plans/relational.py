@@ -2498,3 +2498,42 @@ def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT)       AS set_bit,
+           CAST(xor(o_orderkey, 1365) AS BIGINT)   AS xored,
+           CAST(o_orderkey << 3 AS BIGINT)         AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT)         AS shr2,
+           CAST(bit_count(o_orderkey) AS INT)      AS popcount
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "math"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (§2.8 math completion): AND/OR/XOR, shifts,
+    popcount — all exact integer ops, each engine spelling its own
+    operator dialect (Spark ^ vs DuckDB xor(); shiftleft() vs <<)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT)          AS low_byte,
+               CAST(o_orderkey | 4096 AS BIGINT)         AS set_bit,
+               CAST(o_orderkey ^ 1365 AS BIGINT)         AS xored,
+               CAST(SHIFTLEFT(o_orderkey, 3) AS BIGINT)  AS shl3,
+               CAST(SHIFTRIGHT(o_orderkey, 2) AS BIGINT) AS shr2,
+               CAST(BIT_COUNT(o_orderkey) AS INT)        AS popcount
+        FROM orders
+        WHERE o_orderkey <= 5000
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )
