@@ -2537,3 +2537,51 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("orders",),
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, r_name,
+             ROUND(SUM(c_acctbal), 2) AS nation_balance
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, nation_balance,
+           ROUND(nation_balance / SUM(nation_balance) OVER (PARTITION BY r_name), 6)
+             AS share_in_region
+    FROM rev
+    ORDER BY r_name, n_name
+    """,
+    tags=("window", "agg"),
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of its
+    region's customer balance — an UNORDERED partition-total window over
+    an already-aggregated relation. The window input is |nations| rows
+    (the aggregate ran first), so the window cost is trivial by
+    construction — the at-scale discipline for share-of-total is always
+    aggregate-then-window, never a window over raw fact rows. The share
+    divides the ROUNDED balances on both sides, so the quotient's inputs
+    are bit-identical across engines before the output rounding."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("nation_balance"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "n_name",
+        "r_name",
+        "nation_balance",
+        F.round(F.col("nation_balance") / F.sum("nation_balance").over(w), 6).alias(
+            "share_in_region"
+        ),
+    ).orderBy("r_name", "n_name")
