@@ -514,20 +514,24 @@ def ngram_jaccard_pairs(
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)
     # persist: both sides of the postings self-join would otherwise re-run
-    # shingling + explode (same index-build-once pattern as the LSH ops)
-    postings = sh.select(
+    # shingling + explode (same index-build-once pattern as the LSH ops).
+    # ``base`` stays bound to the persisted relation even when the df-cap
+    # anti-join rebinds ``postings`` below, so release_index() unpersists
+    # the relation that actually holds cached blocks.
+    base = sh.select(
         "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()
+    postings = base
     if max_df is not None:
         hot = (
-            postings.groupBy("tok", *block_cols)
+            base.groupBy("tok", *block_cols)
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("tok", *block_cols)
         )
         # stop-shingle set is tiny by construction (the df distribution's
         # extreme tail) — broadcast anti-join, no extra shuffle of postings
-        postings = postings.join(F.broadcast(hot), ["tok", *block_cols], "left_anti")
+        postings = base.join(F.broadcast(hot), ["tok", *block_cols], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:
@@ -552,7 +556,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _with_persisted(out, postings)
+    return _with_persisted(out, base)
 
 
 def ngram_containment_pairs(

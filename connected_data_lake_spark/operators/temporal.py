@@ -117,7 +117,13 @@ def interval_point_join(
     s_sec = F.unix_timestamp(F.col(start_col).cast("timestamp"))
     e_sec = F.unix_timestamp(F.col(end_col).cast("timestamp"))
     p = points.withColumn("_cdl_bin", F.floor(p_sec / w))
-    iv = intervals.withColumn(
+    # Degenerate intervals (end <= start) match nothing under the
+    # end-exclusive predicate, but sequence(lo, hi) with hi < lo generates a
+    # DESCENDING sequence — one malformed row on dirty data would explode to
+    # every bucket between its endpoints before the residual filter discards
+    # them. Drop such rows before the explode so fan-out is bounded by the
+    # true interval length.
+    iv = intervals.filter(e_sec > s_sec).withColumn(
         "_cdl_bin",
         F.explode(
             # end-exclusive: the last covered second is end-1

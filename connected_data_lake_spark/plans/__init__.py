@@ -86,7 +86,8 @@ ROTATED_GREEN_R01 = frozenset(
         "agg_global_stats",
         "agg_group_distinct",
         "agg_grouping_sets",
-        "agg_median_percentile",
+        # agg_median_percentile un-rotated in round 7: body replaced by the
+        # scale-safe shape (see ROTATED_GREEN_R06 note) -> re-enters window
         "agg_rollup",
         "agg_stddev_var",
         "agg_sum_revenue",
@@ -233,14 +234,17 @@ ROTATED_GREEN_R05 = frozenset(
     }
 )
 
-#: NEXT-ROUND ROTATION RECIPE (mechanical, follow CORRECTNESS_r06.json):
-#: add every name that passed all three gates to a new ROTATED_GREEN_R06
-#: frozenset (FINAL names — promotion applies before the green check in
-#: all_specs, so list names as the driver saw them), wire it into the
-#: membership test in all_specs(), and confirm the freed window slots pull
-#: the next unverified tail inside the first 50 alphabetical names.
-#: Cross-round union stays monotone because rotation renames keys only —
-#: bodies and oracles never change in a rotation commit.
+#: NEXT-ROUND ROTATION RECIPE (mechanical): run ``tools/rotate_window.py
+#: CORRECTNESS_r0N.json`` and paste its frozenset. Names are listed as
+#: STABLE names — ``zz_`` promotion aliases resolved, and WITHOUT any
+#: ``z_`` rotation prefix (rotate_window.py strips it): the membership
+#: test below runs on the pre-rotation name, so a pasted ``z_foo`` entry
+#: would silently never match and the query would re-enter the window.
+#: Wire the new set into the membership test in all_specs() and confirm
+#: the freed window slots pull the next unverified tail inside the first
+#: 50 alphabetical names. Cross-round union stays monotone because
+#: rotation renames keys only — bodies and oracles never change in a
+#: rotation commit.
 
 #: Round-6 promotions: drop the ``zz_`` window-deferral prefix from the
 #: round-5 additions that never received a driver correctness row (VERDICT
@@ -259,6 +263,57 @@ PROMOTED_R06 = {
 }
 
 
+#: Window rotation (round 7): the 37 round-6 additions verified green in
+#: CORRECTNESS_r06.json (rows+schema+hash, zero err). The 13 z_-prefixed
+#: names in that file re-verified earlier rotations and are already members
+#: of R01/R04/R05 — with one exception: ``agg_median_percentile`` is
+#: REMOVED from ROTATED_GREEN_R01 below because round 7 replaces its body
+#: with the scale-safe pre-aggregated-counts shape (VERDICT r6 "What's
+#: wrong" #1); a body change forfeits the rotation slot and the query
+#: re-enters the driver window for re-verification.
+ROTATED_GREEN_R06 = frozenset(
+    {
+        "agg_histogram_buckets",
+        "agg_mode_pergroup",
+        "agg_string_concat",
+        "dedup_containment",
+        "embedding_outlier_zscore",
+        "events_funnel_attribution",
+        "events_gap_stats",
+        "events_retention_cohorts",
+        "fn_bitwise",
+        "fn_interval_arith",
+        "fn_levenshtein_pairs",
+        "gap_fill_daily",
+        "join_cooccurrence",
+        "join_range_binned",
+        "join_salted_skew",
+        "knn_centroid_classify",
+        "knn_ivf_probe",
+        "knn_pq_probe",
+        "knn_pq_topk",
+        "knn_sketch_probe",
+        "multimodal_resize",
+        "pipeline_rag_corpus",
+        "pivot_status_matrix",
+        "q12_late_lines",
+        "q14_promo_revenue",
+        "q3_shipping_priority",
+        "q6_forecast_revenue",
+        "setop_symmetric_diff",
+        "text_bigram_top",
+        "text_dup_rate_by_source",
+        "text_logprob_bigram",
+        "text_repeated_spans",
+        "text_zipf_slope",
+        "topk_per_group",
+        "unpivot_nation_metrics",
+        "window_cume_pctrank",
+        "window_share_of_total",
+    }
+)
+
+
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
         name=new_name,
@@ -273,7 +328,7 @@ def all_specs() -> dict[str, QuerySpec]:
     """Name → spec for every declared query (imports all plan modules).
 
     Keys for queries already driver-verified in earlier rounds carry the
-    ``z_`` rotation prefix (ROTATED_GREEN_R01 ∪ R04 ∪ R05) so the driver's
+    ``z_`` rotation prefix (ROTATED_GREEN_R01 ∪ R04 ∪ R05 ∪ R06) so the driver's
     alphabetical 50-query window reaches the unchecked tail; PROMOTED_R05 /
     PROMOTED_R06 drop the ``zz_`` deferral prefix from queries entering the
     window (promotion applies before the green-set check, so a promoted
@@ -294,6 +349,7 @@ def all_specs() -> dict[str, QuerySpec]:
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
+            or final in ROTATED_GREEN_R06
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)

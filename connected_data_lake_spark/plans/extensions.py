@@ -733,6 +733,7 @@ _GT_CACHE: dict[str, DataFrame] = {}
 
 def _gt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     key = f"{id(spark)}:{sf_dir}"
@@ -741,10 +742,24 @@ def _gt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             tempfile.gettempdir(),
             f"cdl_knngt_{_artifact_token(sf_dir, 'embeddings')}",
         )
-        if not os.path.isdir(path):  # offline build step, once per corpus
+        # Trust the artifact only when Spark's _SUCCESS commit marker is
+        # present: a crashed brute-force build leaves a partial directory
+        # that would otherwise silently corrupt every probe contract built
+        # on it. Build into a pid-suffixed temp dir and rename into place so
+        # concurrent bench runs can't observe (or race on) a half-written
+        # ground truth — rename is atomic within the temp filesystem, and
+        # the loser of a race keeps the winner's complete artifact.
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            tmp = f"{path}.build.{os.getpid()}"
             emb = load_table(spark, sf_dir, "embeddings")
             queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
-            SIM.knn_brute_force(emb, queries, k=10).write.parquet(path)
+            SIM.knn_brute_force(emb, queries, k=10).write.mode("overwrite").parquet(tmp)
+            try:
+                if os.path.isdir(path):  # stale partial artifact
+                    shutil.rmtree(path)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _GT_CACHE[key] = spark.read.parquet(path)
     return _GT_CACHE[key]
 
@@ -2629,9 +2644,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CASE WHEN ABS((nrm - mu) / sd) > 2 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers,
-           ROUND(MAX(ABS((nrm - mu) / sd)), 6) AS max_abs_z
+           CAST(SUM(CASE WHEN sd > 0 AND ABS((nrm - mu) / sd) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(CASE WHEN sd > 0 THEN ABS((nrm - mu) / sd)
+                          ELSE 0 END), 6) AS max_abs_z
     FROM n JOIN s ON n.label = s.label
     GROUP BY n.label
     ORDER BY n.label
@@ -2650,7 +2666,13 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = n.groupBy("label").agg(
         F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sd")
     )
-    z = F.abs((F.col("nrm") - F.col("mu")) / F.col("sd"))
+    # sd == 0 (degenerate cohort: every norm identical) must not divide by
+    # zero — Spark yields NULL there while DuckDB yields NaN (which sorts
+    # GREATER than everything), so an unguarded z diverges between engine
+    # and oracle. Both sides define z = 0 for that cohort.
+    z = F.when(
+        F.col("sd") > 0, F.abs((F.col("nrm") - F.col("mu")) / F.col("sd"))
+    ).otherwise(F.lit(0.0))
     return (
         n.join(F.broadcast(s), "label")
         .groupBy("label")
