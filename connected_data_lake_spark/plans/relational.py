@@ -679,15 +679,31 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (A7's exact cousin — approx variants are never
-    hash-compared). Spark percentile() and DuckDB quantile_cont() both use
-    linear interpolation."""
+    hash-compared), in the scale-safe shape: Spark's ``percentile()``
+    buffers a per-group value→count map in the aggregation buffer, and
+    grouping a near-all-distinct column (l_extendedprice) by a 3-value key
+    concentrates a whole group's distinct set in one reducer's memory —
+    an executor OOM at 100×, not a slow query. The
+    :mod:`operators.percentile` plan pre-aggregates (group, value)→count
+    (shuffle bounded by per-partition distinct values, map-side combine)
+    and interpolates over an external-sort window, so the plan's only
+    per-group state is spillable sort runs. Result is bit-identical to
+    ``percentile()`` / DuckDB ``quantile_cont()`` (same type-7 linear
+    interpolation)."""
+    from connected_data_lake_spark.operators.percentile import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
+    qty = exact_percentiles(li, ["l_returnflag"], "l_quantity", [0.5], ["_mq"])
+    price = exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.95], ["_p25", "_p95"]
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        qty.join(price, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("_mq", 6).alias("median_qty"),
+            F.round("_p25", 6).alias("p25_price"),
+            F.round("_p95", 6).alias("p95_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -2536,6 +2552,240 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """,
         ("orders",),
+    )
+
+
+@query(
+    "fn_string_extras",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#0123456789', '-abcdefghij')      AS brand_coded,
+           array_to_string(list_transform(string_split(p_name, ' '),
+             x -> CASE WHEN length(x) > 0
+                       THEN upper(substr(x, 1, 1)) || substr(x, 2)
+                       ELSE x END), ' ')                          AS name_title,
+           substr(p_type, 1, 2) || 'XY' || substr(p_type, 5)     AS type_overlaid,
+           repeat(substr(p_brand, 1, 5), 2)                      AS brand_twice,
+           trim('##' || p_brand || '##', '#')                    AS brand_trimmed,
+           rpad(p_brand, 12, '*')                                AS brand_padded,
+           reverse(p_name)                                       AS name_rev,
+           CAST(strpos(p_type, 'ED') AS INT)                     AS pos_ed,
+           CAST(bit_length(p_name) AS INT)                       AS name_bits,
+           starts_with(p_type, 'STANDARD')                       AS is_standard,
+           ends_with(p_type, 'TIN')                              AS is_tin
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def fn_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-family completion (§2.8): translate, initcap, overlay,
+    repeat, btrim(chars), rpad, reverse, instr/strpos, bit_length,
+    startswith/endswith. p_name is lowercase single-spaced words, so
+    DuckDB's per-word title-case emulation (it has no initcap) matches
+    Spark initcap exactly; overlay is emulated in the oracle as the
+    substr/concat identity it is defined by."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               TRANSLATE(p_brand, '#0123456789', '-abcdefghij')   AS brand_coded,
+               INITCAP(p_name)                                    AS name_title,
+               OVERLAY(p_type PLACING 'XY' FROM 3 FOR 2)          AS type_overlaid,
+               REPEAT(SUBSTR(p_brand, 1, 5), 2)                   AS brand_twice,
+               BTRIM('##' || p_brand || '##', '#')                AS brand_trimmed,
+               RPAD(p_brand, 12, '*')                             AS brand_padded,
+               REVERSE(p_name)                                    AS name_rev,
+               CAST(INSTR(p_type, 'ED') AS INT)                   AS pos_ed,
+               CAST(BIT_LENGTH(p_name) AS INT)                    AS name_bits,
+               STARTSWITH(p_type, 'STANDARD')                     AS is_standard,
+               ENDSWITH(p_type, 'TIN')                            AS is_tin
+        FROM part
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
+
+
+@query(
+    "fn_math_extras",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+                  ELSE o_totalprice END AS maybe_nan
+      FROM orders WHERE o_orderkey <= 5000
+    )
+    SELECT o_orderkey,
+           CAST(gcd(o_orderkey, o_custkey) AS BIGINT)             AS gcd_keys,
+           CAST(lcm(o_orderkey % 1000, o_custkey % 1000) AS BIGINT) AS lcm_keys,
+           CAST(factorial(CAST(o_orderkey % 20 AS INT)) AS BIGINT) AS fact_mod,
+           ROUND(CASE WHEN isnan(maybe_nan) THEN -1.0
+                      ELSE maybe_nan END, 2)                       AS nan_repaired,
+           ROUND(cbrt(o_totalprice), 6)                            AS price_cbrt,
+           CAST(sign(o_totalprice - 150000) AS INT)                AS above_mid,
+           ROUND(atan2(o_totalprice, o_orderkey + 1), 6)           AS angle,
+           ROUND((exp(o_totalprice/100000) - exp(-o_totalprice/100000))/2, 6) AS p_sinh,
+           ROUND((exp(o_totalprice/100000) + exp(-o_totalprice/100000))/2, 6) AS p_cosh,
+           ROUND((exp(2*o_totalprice/100000) - 1)/(exp(2*o_totalprice/100000) + 1), 6) AS p_tanh
+    FROM v
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "math"),
+)
+def fn_math_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-family completion (§2.8): gcd/lcm (Spark lacks both — the
+    bounded Euclid fold in :mod:`functions.numeric` runs as a constant-
+    length JVM higher-order function, no UDF), factorial, nanvl (DuckDB
+    spells it CASE/isnan), cbrt, signum, atan2, and the hyperbolic trio
+    (DuckDB lacks sinh/cosh/tanh — the oracle states their exp
+    definitions; both sides round to 1e-6)."""
+    from connected_data_lake_spark.functions import numeric as NX
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    x = F.col("o_totalprice") / 100000
+    maybe_nan = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit(float("nan"))
+    ).otherwise(F.col("o_totalprice"))
+    return (
+        o.select(
+            "o_orderkey",
+            NX.gcd(F.col("o_orderkey"), F.col("o_custkey")).alias("gcd_keys"),
+            NX.lcm(F.col("o_orderkey") % 1000, F.col("o_custkey") % 1000).alias(
+                "lcm_keys"
+            ),
+            F.factorial((F.col("o_orderkey") % 20).cast("int")).alias("fact_mod"),
+            F.round(F.nanvl(maybe_nan, F.lit(-1.0)), 2).alias("nan_repaired"),
+            F.round(F.cbrt("o_totalprice"), 6).alias("price_cbrt"),
+            F.signum(F.col("o_totalprice") - 150000).cast("int").alias("above_mid"),
+            F.round(F.atan2(F.col("o_totalprice"), F.col("o_orderkey") + 1), 6).alias(
+                "angle"
+            ),
+            F.round(F.sinh(x), 6).alias("p_sinh"),
+            F.round(F.cosh(x), 6).alias("p_cosh"),
+            F.round(F.tanh(x), 6).alias("p_tanh"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fn_datetime_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                      AS iso_day,
+           strftime(o_orderdate, '%m/%d/%Y')                      AS us_day,
+           strftime(o_orderdate, '%Y-%j')                         AS year_doy,
+           strftime(to_timestamp(1500000000 + o_orderkey),
+                    '%Y-%m-%d %H:%M:%S')                          AS epoch_ts
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime formatting completion (§2.8): date_format / to_char
+    (Spark 4 accepts both names; the reference's DataFusion ``to_char``
+    maps here) and from_unixtime — numeric-only format tokens so the
+    Java and strftime pattern dialects agree byte-for-byte ('DDD'/%j is
+    the zero-padded day-of-year in both)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')             AS iso_day,
+               TO_CHAR(o_orderdate, 'MM/dd/yyyy')                 AS us_day,
+               DATE_FORMAT(o_orderdate, 'yyyy-DDD')               AS year_doy,
+               FROM_UNIXTIME(1500000000 + o_orderkey)             AS epoch_ts
+        FROM orders
+        WHERE o_orderkey <= 5000
+        ORDER BY o_orderkey
+        """,
+        ("orders",),
+    )
+
+
+@query(
+    "fn_array_extras",
+    oracle="""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             [l_linenumber, CAST(l_suppkey % 10 AS INT),
+              CAST(l_partkey % 10 AS INT)] AS arr,
+             l_returnflag
+      FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_position(arr, l_linenumber) AS INT)          AS pos_first,
+           list_filter(arr, x -> x != 0)                          AS no_zeros,
+           [l_returnflag FOR i IN range(3)]                       AS flag_thrice,
+           arr[2]                                                 AS second_elem
+    FROM v
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "array"),
+)
+def fn_array_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-family completion (§2.8): array_position, array_remove,
+    array_repeat, element_at (1-based in both engines; DuckDB spells
+    remove as list_filter and repeat as a list comprehension)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    arr = F.array(
+        F.col("l_linenumber"),
+        (F.col("l_suppkey") % 10).cast("int"),
+        (F.col("l_partkey") % 10).cast("int"),
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.array_position(arr, F.col("l_linenumber")).cast("int").alias("pos_first"),
+            F.array_remove(arr, 0).alias("no_zeros"),
+            F.array_repeat(F.col("l_returnflag"), 3).alias("flag_thrice"),
+            F.element_at(arr, 2).alias("second_elem"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "fn_misc_null",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_nationkey, 10)                                AS not_ten,
+           ifnull(nullif(c_nationkey, 10), -1)                    AS repaired,
+           coalesce(nullif(c_nationkey, 10), -1)                  AS repaired_nvl,
+           CASE WHEN nullif(c_nationkey, 10) IS NOT NULL
+                THEN 'present' ELSE 'was10' END                   AS presence,
+           TRUE                                                   AS key_is_bigint
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "misc"),
+)
+def fn_misc_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling misc family (§2.8): nullif, ifnull, nvl, nvl2, and
+    typeof — the last as an in-query contract (engines render type names
+    differently, so the DECLARED output is the boolean
+    ``typeof(cast) = 'bigint'`` which the oracle states as TRUE, the
+    same contract pattern as agg_approx_distinct)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               NULLIF(c_nationkey, 10)                            AS not_ten,
+               IFNULL(NULLIF(c_nationkey, 10), -1)                AS repaired,
+               NVL(NULLIF(c_nationkey, 10), -1)                   AS repaired_nvl,
+               NVL2(NULLIF(c_nationkey, 10), 'present', 'was10')  AS presence,
+               TYPEOF(CAST(c_custkey AS BIGINT)) = 'bigint'       AS key_is_bigint
+        FROM customer
+        ORDER BY c_custkey
+        """,
+        ("customer",),
     )
 
 
