@@ -261,3 +261,155 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts"),
         F.round("view_value", 6).alias("view_value"),
     ).orderBy("purchase_id")
+
+
+@query(
+    "events_trending_topk",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+             event_type AS key,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start_us, key, n_events,
+           CAST(ROW_NUMBER() OVER (PARTITION BY window_start_us
+                                   ORDER BY n_events DESC, key) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 5
+    ORDER BY window_start_us, rank
+    """,
+    tags=("events", "topk", "streaming-twin"),
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CMS trending operator
+    (streaming/trending.py::trending_topk): per-window EXACT top-5 keys by
+    count, with the stream's own int64-microsecond bucketing
+    (``ts_us - ts_us % window_us`` — identical arithmetic, so the batch
+    window_start_us values equal the stream's emission keys bit-for-bit).
+    The stream's count-min sketch approximates exactly these counts — the
+    pytest parity assertion (tests/test_streaming.py) pins stream == batch
+    when sketch width >> distinct keys, the same contract pattern the ANN
+    probe queries use for recall. Tie-break (count DESC, key ASC) is
+    declared on both sides so ranks are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    win_us = 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    counts = (
+        ev.select((us - us % win_us).alias("window_start_us"), F.col("event_type").alias("key"))
+        .groupBy("window_start_us", "key")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("window_start_us").orderBy(F.desc("n_events"), "key")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("window_start_us", "rank")
+    )
+
+
+@query(
+    "events_sessionize_alerts",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, value, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), e AS (
+      SELECT user_id, sid, us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY us, event_id) AS rn,
+             SUM(value) OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_sum,
+             MIN(us) OVER (PARTITION BY user_id, sid) AS s_start
+      FROM s
+    )
+    SELECT user_id, 'session' AS kind,
+           MIN(us) AS session_start_us, MAX(us) AS last_ts_us,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM e GROUP BY user_id, sid
+    UNION ALL
+    SELECT user_id, 'alert' AS kind,
+           s_start AS session_start_us, us AS last_ts_us,
+           CAST(5 AS BIGINT) AS n_events, ROUND(run_sum, 6) AS sum_value
+    FROM e WHERE rn = 5
+    ORDER BY user_id, session_start_us, kind
+    """,
+    tags=("events", "session", "streaming-twin"),
+)
+def events_sessionize_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming sessionizer
+    (streaming/stateful.py::sessionize_with_alerts), emitting the SAME
+    output relation: one 'session' summary row per 30-minute-gap session
+    plus one 'alert' row per session that reaches 5 events, carrying the
+    state AS OF the crossing (5th event's timestamp and running value
+    sum) — exactly what the streaming operator emits early. Session rule
+    mirrors the operator's strict gap (same session while
+    ``ts - prev <= gap``; note ``events_session_gap30m`` pins Spark's
+    session_window half-open rule, which differs at the exact boundary).
+    Gaps-and-islands + per-session running windows; both engines order
+    ties by (ts, event_id)."""
+    gap_us = 1_800_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", "value", us.alias("us"))
+        .withColumn("_prev", F.lag("us").over(w_ord))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("_prev").isNull() | (F.col("us") - F.col("_prev") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    w_sess_all = Window.partitionBy("user_id", "sid")
+    enriched = (
+        marked.withColumn("rn", F.row_number().over(w_sess))
+        .withColumn(
+            "run_sum",
+            F.sum("value").over(
+                w_sess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("s_start", F.min("us").over(w_sess_all))
+    )
+    sessions = enriched.groupBy("user_id", "sid").agg(
+        F.lit("session").alias("kind"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("last_ts_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    alerts = enriched.filter(F.col("rn") == 5).select(
+        "user_id",
+        F.lit("alert").alias("kind"),
+        F.col("s_start").alias("session_start_us"),
+        F.col("us").alias("last_ts_us"),
+        F.lit(5).cast("long").alias("n_events"),
+        F.round("run_sum", 6).alias("sum_value"),
+    )
+    cols = ["user_id", "kind", "session_start_us", "last_ts_us", "n_events", "sum_value"]
+    return (
+        sessions.select(*cols)
+        .unionAll(alerts.select(*cols))
+        .orderBy("user_id", "session_start_us", "kind")
+    )

@@ -221,3 +221,87 @@ def test_trending_topk_matches_exact_counts(spark, tmp_path):
     assert {("y", 7, 1), ("x", 5, 2), ("z", 1, 3)} <= finals
     # batch-1 emission existed too (early emission, x still leading)
     assert ("x", 5, 1) in finals
+
+
+def _twin_fixture_dir(spark, tmp_path) -> str:
+    """Write a deterministic raw-ns events.parquet usable BOTH as a batch
+    sf_dir (load_table) and as a stream source — the shared input for the
+    stream/batch twin parity assertions below."""
+    sf = str(tmp_path / "twin_sf")
+    os.makedirs(sf)
+    t0 = 1_700_000_000
+    rows = []
+    # user 1: one 7-event session, distinct values -> alert at the 5th
+    for i in range(7):
+        rows.append((100 + i, (t0 + 60 * i) * 10**9, 1, "click", float(i + 1), "{}"))
+    # user 2: a 3-event session, then (after a 40-min gap) a 6-event session
+    for i in range(3):
+        rows.append((200 + i, (t0 + 60 * i) * 10**9, 2, "view", 0.5, "{}"))
+    for i in range(6):
+        rows.append(
+            (210 + i, (t0 + 2400 + 60 * i) * 10**9, 2, "view", float(i), "{}")
+        )
+    # user 3: exactly 5 events (alert and session carry the same count)
+    for i in range(5):
+        rows.append((300 + i, (t0 + 30 * i) * 10**9, 3, "purchase", 2.0, "{}"))
+    # sentinel user far in the future: drives the final watermark past every
+    # real session's end + gap so the stateful operator closes them all; its
+    # own 1-event session stays open and is excluded from the comparison
+    rows.append((999, (t0 + 10 * 86_400) * 10**9, 99, "click", 0.0, "{}"))
+    spark.createDataFrame(rows, SE.EVENTS_RAW_SCHEMA).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    return sf
+
+
+def test_sessionize_alerts_stream_matches_batch_twin(spark, tmp_path):
+    """Row-level parity: the stateful streaming sessionizer's closed
+    sessions AND early alerts == the declared batch twin
+    (events_sessionize_alerts), on the same fixture."""
+    from connected_data_lake_spark.plans import spec_of
+
+    sf = _twin_fixture_dir(spark, tmp_path)
+    streamed = {
+        (r.user_id, r.kind, r.session_start_us, r.last_ts_us, r.n_events, r.sum_value)
+        for r in _drain(
+            ST.sessionize_with_alerts(
+                SE.read_events_stream(spark, f"{sf}/events.parquet"),
+                gap_minutes=30,
+                alert_after=5,
+            )
+        ).collect()
+        if r.user_id != 99
+    }
+    batch = {
+        (r.user_id, r.kind, r.session_start_us, r.last_ts_us, r.n_events, r.sum_value)
+        for r in spec_of("events_sessionize_alerts").spark(spark, sf).collect()
+        if r.user_id != 99
+    }
+    assert streamed == batch and len(batch) == 7  # 4 sessions + 3 alerts
+
+
+def test_trending_topk_stream_matches_batch_twin(spark, tmp_path):
+    """Final CMS emissions == the declared exact batch twin
+    (events_trending_topk) when the sketch is collision-free: same
+    windows, same keys, same counts, same ranks."""
+    from connected_data_lake_spark.plans import spec_of
+    from connected_data_lake_spark.streaming import trending as TR
+
+    sf = _twin_fixture_dir(spark, tmp_path)
+    out = _drain(
+        TR.trending_topk(SE.read_events_stream(spark, f"{sf}/events.parquet"), k=5),
+        mode="update",
+    ).collect()
+    # update-mode re-emits per batch: the FINAL estimate per (window, key)
+    # is the last (= max, counts are monotone) emission
+    final: dict = {}
+    for r in out:
+        key = (r.window_start_us, r.key)
+        if r.est_count >= final.get(key, (0, 0))[0]:
+            final[key] = (r.est_count, r.rank)
+    streamed = {(w, k, c, rk) for (w, k), (c, rk) in final.items()}
+    batch = {
+        (r.window_start_us, r.key, r.n_events, r.rank)
+        for r in spec_of("events_trending_topk").spark(spark, sf).collect()
+    }
+    assert streamed == batch and batch

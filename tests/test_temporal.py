@@ -86,7 +86,13 @@ def test_interval_point_join_matches_brute_force(spark):
     ivs = []
     for j in range(80):
         s = base + rng.randrange(0, 40_000)
-        ivs.append((j, s, s + rng.choice([0, 1, 600, 3600, 7200, 20_000])))
+        # zero AND negative lengths: a malformed end<start interval must
+        # match nothing and must not explode (sequence(lo, hi) with hi<lo
+        # generates a descending sequence — the operator filters these rows
+        # before the explode)
+        ivs.append(
+            (j, s, s + rng.choice([-30_000, -600, -1, 0, 1, 600, 3600, 7200, 20_000]))
+        )
     # exact boundary probes: one point at an interval start, one at an end
     points.append((998, ivs[0][1]))
     points.append((999, ivs[1][2]))
@@ -109,6 +115,36 @@ def test_interval_point_join_matches_brute_force(spark):
         .collect()
     }
     assert got == want and want
-    # boundary semantics explicit: start inclusive, end exclusive
-    assert (998, ivs[0][0]) in got or ivs[0][1] == ivs[0][2]
+    # boundary semantics explicit: start inclusive (unless the interval is
+    # empty or reversed), end exclusive
+    assert (998, ivs[0][0]) in got or ivs[0][2] <= ivs[0][1]
     assert (999, ivs[1][0]) not in got
+
+
+def test_interval_point_join_degenerate_fanout_bounded(spark):
+    """A reversed interval spanning many bins contributes ZERO exploded rows:
+    without the pre-explode guard, sequence(floor(s/w), floor((e-1)/w)) on
+    end < start descends across every bucket between the endpoints — on
+    dirty data one bad row multiplies into thousands before the residual
+    filter discards them."""
+    from connected_data_lake_spark.operators.temporal import interval_point_join
+
+    base = 1_700_000_000
+    p = spark.createDataFrame(
+        [(1, base + 50)], "pid int, sec long"
+    ).select("pid", F.timestamp_seconds("sec").alias("pt"))
+    # one well-formed interval + one reversed interval spanning ~10k bins
+    iv = spark.createDataFrame(
+        [(1, base, base + 3600), (2, base + 3_600_000, base)],
+        "iid int, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("s").alias("ws"),
+        F.timestamp_seconds("e").alias("we"),
+    )
+    out = interval_point_join(p, iv, "pt", "ws", "we", bin_seconds=3600)
+    assert [r.iid for r in out.collect()] == [1]
+    # the guard removes the degenerate row BEFORE the explode: the physical
+    # plan's generator input carries the e>s filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
