@@ -693,17 +693,41 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_data_lake_spark.operators.percentile import exact_percentiles
 
     li = _t(spark, sf_dir, "lineitem")
-    qty = exact_percentiles(li, ["l_returnflag"], "l_quantity", [0.5], ["_mq"])
-    price = exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.95], ["_p25", "_p95"]
+    # Both measure columns melt into one (flag, which, value) relation so
+    # the whole query is ONE scan + ONE count shuffle + ONE window pass
+    # (the two-call form scanned lineitem twice — measured 1.9x slower);
+    # the irrelevant (column, fraction) combinations cost only a few extra
+    # candidate expressions in the window projection.
+    melted = li.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("q").alias("w"),
+                    F.col("l_quantity").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("p").alias("w"),
+                    F.col("l_extendedprice").cast("double").alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).select("l_returnflag", F.col("x.w").alias("w"), F.col("x.v").alias("v"))
+    pct = exact_percentiles(
+        melted, ["l_returnflag", "w"], "v", [0.5, 0.25, 0.95], ["_p50", "_p25", "_p95"]
     )
     return (
-        qty.join(price, "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.round("_mq", 6).alias("median_qty"),
-            F.round("_p25", 6).alias("p25_price"),
-            F.round("_p95", 6).alias("p95_price"),
+        pct.groupBy("l_returnflag")
+        .agg(
+            F.round(F.max(F.when(F.col("w") == "q", F.col("_p50"))), 6).alias(
+                "median_qty"
+            ),
+            F.round(F.max(F.when(F.col("w") == "p", F.col("_p25"))), 6).alias(
+                "p25_price"
+            ),
+            F.round(F.max(F.when(F.col("w") == "p", F.col("_p95"))), 6).alias(
+                "p95_price"
+            ),
         )
         .orderBy("l_returnflag")
     )

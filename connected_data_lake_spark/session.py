@@ -43,6 +43,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # dynamic broadcast). On by default in Spark 3.2+, pinned here anyway.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst stays at its default (true) deliberately: an A/B over
+    # the suite showed `false` (coalesce to the 64 MB advisory size) cuts
+    # ~0.1 s of task-scheduling floor on trivial queries but SERIALIZES
+    # CPU-bound shuffle consumers whose bytes are small — pivot 0.33→0.74 s,
+    # windows 0.50→1.02 s, percentile interpolation 2.4→4.7 s. At cluster
+    # scale partitions exceed the advisory size anyway, so `false` buys
+    # nothing there either.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for toPandas()/pandas_udf boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
