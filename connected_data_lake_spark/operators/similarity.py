@@ -94,6 +94,46 @@ def knn_brute_force(
     )
 
 
+def range_search(
+    df: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_emb_col: str = "embedding",
+    q_id_col: str = "vec_id",
+) -> DataFrame:
+    """Radius / range similarity search: EVERY corpus vector with
+    ``cosine >= threshold`` per query row — (query_id, neighbor_id, cos),
+    unbounded result size, the retrieval mode top-k cannot express (a
+    query may have 0 or 10⁶ in-radius neighbors; dedup-style "find all
+    near matches" wants all of them).
+
+    This is the exact brute-force formulation: broadcast queries, one
+    corpus scan, the threshold filter fused into the scan projection so
+    non-qualifying pairs never reach a shuffle (there is none — output is
+    scan-local). The scale path for self-similarity range search over the
+    whole corpus is the banded-LSH bucketed join
+    (operators/dedup.py::embedding_neardup_pairs) which probabilistically
+    prunes the same predicate; this operator is its exact per-query
+    counterpart and the recall oracle for it."""
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_emb_col).alias("q_emb")
+    )
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("emb"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(VX.cosine("emb", "q_emb"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_sketch(emb_col: Column | str, planes: list[list[float]]) -> Column:
     """Packed sign sketch (array<bigint>, 64 planes per word): word w bit p
     = 1 iff emb · plane_{w*64+p} > 0.

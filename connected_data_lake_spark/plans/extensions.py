@@ -792,6 +792,37 @@ def _knn_probe_contract(gt: DataFrame, approx: DataFrame, min_hits: int) -> Data
 
 
 @query(
+    "knn_threshold_search",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    )
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+      AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) >= 0.25
+    ORDER BY query_id, cos DESC, neighbor_id
+    """,
+    tags=("similarity",),
+)
+def knn_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search — every neighbor with
+    cosine >= 0.25 per pinned query, NOT a top-k: the result size is
+    data-dependent (0..N per query), which is the retrieval mode dedup
+    and recall-oriented search need. One broadcast + one scan, filter
+    fused scan-side, no shuffle (operators/similarity.py::range_search);
+    the corpus-wide self-join variant of the same predicate is the
+    banded-LSH `dedup_embedding_neardup`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return SIM.range_search(emb, queries, threshold=0.25).orderBy(
+        "query_id", F.desc("cos"), "neighbor_id"
+    )
+
+
+@query(
     "knn_sketch_topk",
     oracle=_KNN_CONTRACT_ORACLE,
     tags=("similarity",),

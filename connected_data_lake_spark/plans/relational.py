@@ -784,6 +784,50 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's sketch half for quantiles: percentile_approx (GK summary,
+    accuracy 10000 → rank error ≤ 0.01% of the group) next to the exact
+    interpolated median, shipping the error contract as a boolean the
+    oracle states as TRUE — the same pattern as agg_approx_distinct.
+    At scale the sketch is the default: O(accuracy) state per group in
+    the aggregation buffer regardless of distinct values, where the
+    exact form needs the counts+window plan (operators/percentile.py).
+    The exact side here reuses that scale-safe operator, so this one
+    query exhibits both halves of the trade."""
+    from connected_data_lake_spark.operators.percentile import exact_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    exact = exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5], ["_exact"]
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx")
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("_exact", 6).alias("exact_p50"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact")) <= 0.01 * F.abs(F.col("_exact"))
+            ).alias("approx_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -2810,6 +2854,255 @@ def fn_misc_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """,
         ("customer",),
+    )
+
+
+@query(
+    "q4_priority_late",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    with at least one line shipped >60 days after the order date —
+    correlated EXISTS planned as a LEFT SEMI join on the order key, with
+    the date-window filter pushed to the orders scan. (The test schema
+    has no l_commitdate/l_receiptdate; the ship-lag predicate keeps Q4's
+    semi-join-with-residual-comparison shape.)"""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        ("orders", "lineitem"),
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue on returned lines in one quarter. Customer and nation
+    broadcast into the fact join; the final top-20 fuses to
+    TakeOrderedAndProject — no global sort materializes."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        # decimal arithmetic: the per-line product and the group sum are
+        # EXACT (and therefore order-independent), so the rounded revenue
+        # can't flip a cent on float association order — this query's
+        # per-customer sums landed exactly on a .xx5 boundary once at
+        # sf0.01, which double summation resolves differently per engine
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    quantities sum past a threshold, joined back to orders + customer.
+    The HAVING aggregate runs FIRST (map-side combined on l_orderkey) so
+    only qualifying keys flow into the joins — the classic
+    reduce-before-join discipline; at scale the `big` relation is tiny
+    and broadcasts into the orders fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs across both join sides. Catalyst extracts the common
+    join key (equi-join on partkey, broadcast part) and keeps the
+    disjunction as a post-join residual, while the single-side
+    conjuncts it can factor (brand IN, size ranges) push into the part
+    scan — the predicate shape this query exists to exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): customers with
+    above-average positive balance and NO recent orders, rolled up per
+    market segment. A scalar subquery (the global average broadcasts as
+    a literal after its 1-row aggregate) plus an anti join against the
+    date-filtered orders — the filter pushes below the anti join's
+    build side. (The test schema has no c_phone, so the original
+    country-code grouping becomes the market segment.)"""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH avg_bal AS (
+          SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.a
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """,
+        ("customer", "orders"),
     )
 
 
