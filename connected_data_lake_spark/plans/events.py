@@ -413,3 +413,57 @@ def events_sessionize_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(alerts.select(*cols))
         .orderBy("user_id", "session_start_us", "kind")
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, AVG(c) AS mu, STDDEV_POP(c) AS sd
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(s.mu), 6) AS mean_hourly,
+           CAST(SUM(CASE WHEN s.sd > 0 AND ABS((h.c - s.mu) / s.sd) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           ROUND(MAX(CASE WHEN s.sd > 0 THEN ABS((h.c - s.mu) / s.sd)
+                          ELSE 0 END), 6) AS max_abs_z
+    FROM h JOIN s ON h.event_type = s.event_type
+    GROUP BY h.event_type
+    ORDER BY h.event_type
+    """,
+    tags=("events", "anomaly"),
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly screen per event type: z-score of each
+    hour's count against the type's own hourly distribution, counting
+    |z| > 2 hours — the telemetry burst/outage detector. Two-pass shape
+    (tiny per-type moments broadcast back over the hourly rollup, the
+    same discipline as embedding_outlier_zscore); the sd = 0 degenerate
+    cohort is pinned to z = 0 on both engines. The hourly rollup is the
+    only fact-sized shuffle; everything after is |types × hours|."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_pop("c").alias("sd")
+    )
+    z = F.when(
+        F.col("sd") > 0, F.abs((F.col("c") - F.col("mu")) / F.col("sd"))
+    ).otherwise(F.lit(0.0))
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.round(F.max("mu"), 6).alias("mean_hourly"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).cast("bigint").alias("n_anomalous"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

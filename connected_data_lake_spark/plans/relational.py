@@ -3058,6 +3058,74 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("join", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): cross-border revenue between two
+    nations per ship year — the same dimension table joined TWICE under
+    different roles (supplier's nation, customer's nation), both
+    broadcast, with the inequality between the two roles as a post-join
+    residual. Decimal-exact revenue (see q10) so year buckets can't flip
+    a cent on sum order."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
     "q22_dormant_customers",
     oracle="""
     WITH avg_bal AS (

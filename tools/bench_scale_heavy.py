@@ -10,10 +10,17 @@ plan were secretly quadratic in corpus size would show a ~100x ratio;
 bucketed plans land near 10x (modulo fixed overhead amortizing DOWN).
 
 The replicated corpus is bench-only derived data written under /tmp —
-the driver's immutable sf dirs are never touched. Offsets keep doc/vec
-ids unique so dedup pair semantics stay valid (replicas ARE near-dup
-partners by construction, which is fine: the measurement is plan-shape
-scaling, not result parity — correctness is the driver gate's job).
+the driver's immutable sf dirs are never touched. Replicas are
+PERTURBED, not verbatim: each replica's text gets a per-replica vowel
+rotation (so its shingles, and therefore MinHash/SimHash signatures,
+differ from every other replica's) and each embedding a per-replica
+cyclic index shift (cosine of a random vector with its shift ≈ 0).
+A verbatim copy would make every original doc a 10-way duplicate
+group, growing candidate PAIRS quadratically in the replica count —
+the first run of this harness measured exactly that (LSH ratios ~16×
+at 10× rows, all of it real pair output, none of it plan shape).
+Perturbation keeps the within-replica duplicate structure identical to
+the base corpus, so 10× rows means 10× work for a linear plan.
 
 Usage: python tools/bench_scale_heavy.py [out.json]
 """
@@ -62,12 +69,35 @@ def _build_scaled_dir(spark) -> str:
     n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
     n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
     reps = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    # per-replica vowel rotation: replica k's words (hence shingles) differ
+    # from every other replica's, so no cross-replica LSH collisions
+    vowel_perms = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+                   "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu"]
+    text_perturbed = F.col("text")
+    for k, perm in enumerate(vowel_perms[:REPLICAS]):
+        if k == 0:
+            continue
+        text_perturbed = F.when(
+            F.col("_rep") == k, F.translate(F.col("text"), "aeiou", perm)
+        ).otherwise(text_perturbed)
     docs.crossJoin(reps).withColumn(
         "doc_id", F.col("doc_id") + F.col("_rep") * n_docs
-    ).drop("_rep").write.parquet(os.path.join(out, "documents.parquet"))
+    ).withColumn("text", text_perturbed).drop("_rep").write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    # per-replica cyclic shift: a random vector is ~orthogonal to its own
+    # shift, so replicas never form cross-replica near-dup pairs while the
+    # within-replica pairwise structure is preserved exactly
+    shifted = F.expr(
+        "transform(sequence(0, size(embedding) - 1), "
+        "i -> element_at(embedding, "
+        "CAST((i + _rep * 7) % size(embedding) AS INT) + 1))"
+    )
     emb.crossJoin(reps).withColumn(
         "vec_id", F.col("vec_id") + F.col("_rep") * n_vecs
-    ).drop("_rep").write.parquet(os.path.join(out, "embeddings.parquet"))
+    ).withColumn("embedding", shifted).drop("_rep").write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
     # non-corpus tables pass through so load_table resolves every name
     for name in TABLE_NAMES:
         if name in ("documents", "embeddings"):
