@@ -2241,6 +2241,75 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split({_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), dlen AS (
+      SELECT doc_id, COUNT(*) AS len_d FROM t GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(len_d) AS avg_len FROM dlen
+    ), tfq AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t
+      WHERE term IN ('table', 'spark', 'value') GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
+    ), scored AS (
+      SELECT tfq.doc_id,
+             SUM(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                 * (tfq.tf * 2.2)
+                 / (tfq.tf + 1.2 * (0.25 + 0.75 * dlen.len_d / stats.avg_len)))
+               AS s
+      FROM tfq
+      JOIN dfq USING (term)
+      JOIN dlen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tfq.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "pipeline"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1 = 1.2, b = 0.75, the Robertson idf with
+    +1 smoothing) for a pinned 3-term query — the lexical half of a RAG
+    retrieval stack next to the ANN probes. Only the query terms' postings
+    flow past the first filter, so per-query cost is O(matching docs), not
+    corpus-sized; doc lengths and the global (N, avg_len) are one rollup +
+    a broadcast 1-row relation. The per-doc sum spans ≤3 terms and the
+    score rounds at 1e-6 before the ORDER BY on both engines, so libm
+    last-ulp drift can't reorder the top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dlen = t.groupBy("doc_id").agg(F.count("*").alias("len_d"))
+    stats = dlen.agg(
+        F.count("*").alias("n"), F.avg("len_d").alias("avg_len")
+    )
+    tfq = (
+        t.filter(F.col("term").isin("table", "spark", "value"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("len_d") / F.col("avg_len"))
+    return (
+        tfq.join(F.broadcast(dfq), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * 2.2) / norm).alias("s"))
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
     "text_tfidf_keywords",
     oracle=f"""
     WITH t AS (
