@@ -314,6 +314,70 @@ ROTATED_GREEN_R06 = frozenset(
 )
 
 
+#: Window rotation (round 8): verified green in CORRECTNESS_r07.json
+#: (rows+schema+hash). The 17 round-7 newcomers (q4/q7/q10/q18/q19/q22,
+#: BM25, range search, the fn_* extras, the stream batch twins, and the
+#: re-verified scale-safe ``agg_median_percentile``) join the re-verified
+#: earlier rotations (already members of R01/R04/R05/R06 — membership is an
+#: OR, duplicates are harmless). ``fn_array_extras`` stays in the window:
+#: its r7 row was ``err`` (raw array columns broke the driver canonicalizer)
+#: and its body was repaired this round, so it re-presents for
+#: verification. Bodies and oracles unchanged by this rotation commit.
+ROTATED_GREEN_R07 = frozenset(
+    {
+        "agg_approx_distinct",
+        "agg_array_sorted",
+        "agg_corr_covar",
+        "agg_cube",
+        "agg_filter_having",
+        "agg_global_stats",
+        "agg_group_distinct",
+        "agg_grouping_sets",
+        "agg_histogram_buckets",
+        "agg_median_percentile",
+        "agg_mode_pergroup",
+        "agg_percentile_approx",
+        "agg_rollup",
+        "agg_stddev_var",
+        "agg_string_concat",
+        "agg_sum_revenue",
+        "contamination_overlap",
+        "dedup_cluster_assign",
+        "dedup_containment",
+        "dedup_embedding_neardup",
+        "dedup_exact_survivors",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "distinct_projection",
+        "embedding_outlier_zscore",
+        "embedding_quantize_int8",
+        "embedding_stats",
+        "events_daily_top_users",
+        "events_funnel_attribution",
+        "events_funnel_transitions",
+        "events_gap_stats",
+        "events_rate_anomaly",
+        "events_retention_cohorts",
+        "events_sessionize_alerts",
+        "events_trending_topk",
+        "fn_datetime_format",
+        "fn_math_extras",
+        "fn_misc_null",
+        "fn_string_extras",
+        "knn_threshold_search",
+        "q10_returned_revenue",
+        "q18_big_orders",
+        "q19_disjunctive_revenue",
+        "q22_dormant_customers",
+        "q4_priority_late",
+        "q7_nation_volume",
+        "text_bm25_topk",
+    }
+)
+
+
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
         name=new_name,
@@ -350,6 +414,7 @@ def all_specs() -> dict[str, QuerySpec]:
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
             or final in ROTATED_GREEN_R06
+            or final in ROTATED_GREEN_R07
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)

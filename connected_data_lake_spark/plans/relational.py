@@ -2788,8 +2788,8 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey, l_linenumber,
            CAST(list_position(arr, l_linenumber) AS INT)          AS pos_first,
-           list_filter(arr, x -> x != 0)                          AS no_zeros,
-           [l_returnflag FOR i IN range(3)]                       AS flag_thrice,
+           ARRAY_TO_STRING(list_filter(arr, x -> x != 0), ',')    AS no_zeros,
+           ARRAY_TO_STRING([l_returnflag FOR i IN range(3)], ',') AS flag_thrice,
            arr[2]                                                 AS second_elem
     FROM v
     ORDER BY l_orderkey, l_linenumber
@@ -2799,20 +2799,27 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-family completion (§2.8): array_position, array_remove,
     array_repeat, element_at (1-based in both engines; DuckDB spells
-    remove as list_filter and repeat as a list comprehension)."""
+    remove as list_filter and repeat as a list comprehension). Array-typed
+    outputs are projected through ARRAY_JOIN(TRANSFORM(.., cast to string))
+    per the fn_array convention — the driver's pandas canonicalizer needs
+    hashable scalars; the array ops themselves still run."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
     arr = F.array(
         F.col("l_linenumber"),
         (F.col("l_suppkey") % 10).cast("int"),
         (F.col("l_partkey") % 10).cast("int"),
     )
+
+    def _joined(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
             F.array_position(arr, F.col("l_linenumber")).cast("int").alias("pos_first"),
-            F.array_remove(arr, 0).alias("no_zeros"),
-            F.array_repeat(F.col("l_returnflag"), 3).alias("flag_thrice"),
+            _joined(F.array_remove(arr, 0)).alias("no_zeros"),
+            _joined(F.array_repeat(F.col("l_returnflag"), 3)).alias("flag_thrice"),
             F.element_at(arr, 2).alias("second_elem"),
         )
         .orderBy("l_orderkey", "l_linenumber")
