@@ -37,10 +37,14 @@ def gcd(a: Column, b: Column) -> Column:
 def lcm(a: Column, b: Column) -> Column:
     """Least common multiple (non-negative BIGINT; lcm(0, x) = 0).
 
-    Computed as ``(|a| / gcd) · |b|`` — dividing before multiplying keeps
+    Computed as ``(|a| div gcd) · |b|`` — dividing before multiplying keeps
     the intermediate within range whenever the true lcm fits in BIGINT.
+    The division uses Spark's ``div`` (IntegralDivide, exact on LONG), not
+    ``/`` (DoubleType): gcd divides |a| exactly, but a double quotient
+    rounds for |a| ≥ 2^53 (e.g. a = 2^53+1, b = 2 would return 2^54
+    instead of 2^54+2).
     """
     g = gcd(a, b)
     return F.when(g == 0, F.lit(0).cast("long")).otherwise(
-        (F.abs(a.cast("long")) / g).cast("long") * F.abs(b.cast("long"))
+        F.call_function("div", F.abs(a.cast("long")), g) * F.abs(b.cast("long"))
     )

@@ -314,7 +314,12 @@ ROTATED_GREEN_R06 = frozenset(
 )
 
 
-#: Window rotation (round 8): verified green in CORRECTNESS_r07.json
+#: Window rotation (round 8): verified green in CORRECTNESS_r07.json.
+#: ``fn_math_extras`` and ``fn_datetime_format`` are NOT members despite
+#: their r7 green rows: round 8 changed their bodies (lcm now uses exact
+#: integer division; the epoch_ts oracle is now TZ-independent), and a
+#: body/oracle change forfeits the rotation slot - both re-enter the
+#: driver window for re-verification.
 #: (rows+schema+hash). The 17 round-7 newcomers (q4/q7/q10/q18/q19/q22,
 #: BM25, range search, the fn_* extras, the stream batch twins, and the
 #: re-verified scale-safe ``agg_median_percentile``) join the re-verified
@@ -362,8 +367,6 @@ ROTATED_GREEN_R07 = frozenset(
         "events_retention_cohorts",
         "events_sessionize_alerts",
         "events_trending_topk",
-        "fn_datetime_format",
-        "fn_math_extras",
         "fn_misc_null",
         "fn_string_extras",
         "knn_threshold_search",

@@ -2745,7 +2745,8 @@ def fn_math_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate, '%Y-%m-%d')                      AS iso_day,
            strftime(o_orderdate, '%m/%d/%Y')                      AS us_day,
            strftime(o_orderdate, '%Y-%j')                         AS year_doy,
-           strftime(to_timestamp(1500000000 + o_orderkey),
+           strftime(make_timestamp((1500000000 + o_orderkey)::BIGINT
+                                   * 1000000),
                     '%Y-%m-%d %H:%M:%S')                          AS epoch_ts
     FROM orders
     WHERE o_orderkey <= 5000
@@ -2758,7 +2759,11 @@ def fn_datetime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark 4 accepts both names; the reference's DataFusion ``to_char``
     maps here) and from_unixtime — numeric-only format tokens so the
     Java and strftime pattern dialects agree byte-for-byte ('DDD'/%j is
-    the zero-padded day-of-year in both)."""
+    the zero-padded day-of-year in both). The epoch_ts oracle formats a
+    NAIVE timestamp built with make_timestamp (micros in UTC) so the
+    comparison is independent of the oracle host's session TimeZone —
+    to_timestamp returns TIMESTAMPTZ, which strftime renders in local
+    time; Spark's side is pinned to UTC by prepare_session."""
     return _sql(
         spark,
         sf_dir,

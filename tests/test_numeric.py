@@ -35,6 +35,18 @@ def test_gcd_lcm_match_math_module(spark):
         assert r.l == math.lcm(rem(r.a), rem(r.b)), (r.a, r.b, r.l)
 
 
+def test_lcm_exact_above_double_mantissa(spark):
+    """lcm must use exact integer division: |a|/gcd through DoubleType
+    rounds for |a| >= 2^53 (lcm(2^53+1, 2) would return 2^54 instead of
+    2^54+2)."""
+    big = 2**53 + 1
+    rows = [(big, 2), (2**62 - 1, 1), (big, big), (3**33, 2 * 3**33)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select("a", "b", lcm(F.col("a"), F.col("b")).alias("l")).collect()
+    for r in out:
+        assert r.l == math.lcm(r.a, r.b), (r.a, r.b, r.l)
+
+
 def test_fold_stays_jvm_side(spark):
     """The whole point of the fold: no Python UDF in the plan."""
     df = spark.range(100).select(

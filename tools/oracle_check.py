@@ -100,6 +100,10 @@ class CheckResult:
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Spark's side is pinned to UTC (prepare_session); pin the oracle too so
+    # TIMESTAMPTZ rendering can't diverge on a non-UTC host. Oracles are
+    # also written TZ-independent where possible (naive make_timestamp).
+    con.sql("SET TimeZone='UTC'")
     for t in TABLES:
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
