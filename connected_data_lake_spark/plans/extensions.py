@@ -745,21 +745,28 @@ def _gt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Trust the artifact only when Spark's _SUCCESS commit marker is
         # present: a crashed brute-force build leaves a partial directory
         # that would otherwise silently corrupt every probe contract built
-        # on it. Build into a pid-suffixed temp dir and rename into place so
-        # concurrent bench runs can't observe (or race on) a half-written
-        # ground truth — rename is atomic within the temp filesystem, and
-        # the loser of a race keeps the winner's complete artifact.
+        # on it. Build into a pid-suffixed temp dir; at install time,
+        # re-check _SUCCESS (a concurrent builder may have won — never
+        # replace a complete artifact, so readers mid-scan can't see it
+        # vanish), rename any stale partial ASIDE (atomic) rather than
+        # rmtree-ing in place (a crash between rmtree and rename must not
+        # leave no artifact), then rename the build into place.
         if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             tmp = f"{path}.build.{os.getpid()}"
             emb = load_table(spark, sf_dir, "embeddings")
             queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
             SIM.knn_brute_force(emb, queries, k=10).write.mode("overwrite").parquet(tmp)
-            try:
-                if os.path.isdir(path):  # stale partial artifact
-                    shutil.rmtree(path)
-                os.rename(tmp, path)
-            except OSError:
+            if os.path.isfile(os.path.join(path, "_SUCCESS")):
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            else:
+                try:
+                    if os.path.isdir(path):  # stale PARTIAL (no _SUCCESS)
+                        stale = f"{path}.stale.{os.getpid()}"
+                        os.rename(path, stale)
+                        shutil.rmtree(stale, ignore_errors=True)
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _GT_CACHE[key] = spark.read.parquet(path)
     return _GT_CACHE[key]
 
