@@ -3232,3 +3232,273 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_in_region"
         ),
     ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H stragglers (round 8): q13 / q15 / q17 schema-feasible without
+# partsupp, plus q8 and q21 (also feasible — q2/q9/q11/q16/q20 remain
+# blocked on the missing partsupp fixture). Reference parity: DataFusion
+# runs the full TPC-H suite (datafusion/benchmarks), so each feasible
+# query shape is a coverage row for §2's join/subquery/agg families.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the filter ON THE JOIN CONDITION (not a WHERE — customers
+    whose only orders are urgent must still appear with c_count = 0),
+    then a two-level aggregation. The test schema has no o_comment, so
+    the priority predicate stands in for Q13's NOT LIKE comment filter;
+    the plan shape — filtered outer join, COUNT of the nullable side,
+    re-aggregation of the counts — is Q13's. At scale both sides are
+    large: this is a shuffle join on the customer key, and the second
+    aggregation input is |customers| rows, trivially small after the
+    first."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    suppliers whose revenue equals the global max (the view + scalar
+    subquery form). Revenue sums in DECIMAL(18,2) so the max-equality
+    compare is exact — double sums would make `= MAX(..)` association-
+    order-dependent. The revenue relation is |suppliers| rows after one
+    map-side-combining aggregation over the date-sliced fact, so both the
+    MAX and the self-join are trivially small; supplier broadcast into
+    the final join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+            " AND l_shipdate < CAST('1997-04-01' AS TIMESTAMP_NTZ)"
+        )
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(18,2)")
+        ).alias("total_revenue")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    max_rev = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev._mx)
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines below half
+    the part's average quantity, for one brand+type slice. Written as the
+    decorrelated plan you'd want at 100 TB: broadcast the filtered part
+    dim into ONE scan of lineitem, compute the per-part average over that
+    already-part-filtered subset (identical to the correlated per-part
+    AVG, since the subquery groups by the same key), then filter — the
+    fact table is read once, not once per part, and only lines of the
+    ~|brand ∩ type| parts survive past the broadcast join. (0.5×AVG
+    rather than TPC-H's 0.2× — the synthetic uniform quantity domain has
+    nothing below 0.2×mean.)"""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "PROMO")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        lines.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND p_type = 'PROMO') t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    PROMO-part volume sold into one region's customers, by order year.
+    Seven-way star: the only fact-fact shuffle is lineitem ⨝ orders;
+    part (type-filtered), supplier, both nation legs, and region all
+    broadcast, so the nation label and region filter ride the broadcast
+    hash joins. Share = conditional-sum / sum in a single aggregate pass
+    (no self-join), rounded at 6 on the ~percent-scale ratio. The
+    customer side joins AFTER the fact shuffle on o_custkey — at SF100k
+    customer no longer broadcasts, making that the second shuffle; both
+    keys are near-uniform so no salt lever is needed."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 75 DAY)
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): the sole supplier
+    late on a multi-supplier finalized order — EXISTS(another supplier on
+    the order) AND NOT EXISTS(another LATE supplier on the order), the
+    semi+anti self-join pair on the fact table. The test schema has no
+    l_commitdate/l_receiptdate, so "late" is shipped >75 days after the
+    order date (the q4_priority_late adaptation); the correlated
+    subqueries reference the outer order's o_orderdate, which Catalyst
+    decorrelates into semi/anti hash joins keyed on l_orderkey. At scale
+    all three lineitem legs shuffle on the same l_orderkey — co-located
+    exchanges Spark reuses rather than three independent scans'
+    worth of shuffle keys."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 75 DAY)
+          AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """,
+        ("supplier", "lineitem", "orders", "nation"),
+    )

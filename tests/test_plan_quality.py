@@ -276,3 +276,42 @@ def test_batch4_joins_are_hash_equality(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q17_part_dim_broadcasts_and_window_stays_partitioned(spark, sf_dir):
+    """Q17's decorrelated plan: the brand+type part slice broadcasts into
+    ONE lineitem scan, and the per-part AVG window is partitioned by
+    p_partkey (never a single-partition global window)."""
+    plan = plan_of(spark, sf_dir, "q17_small_quantity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
+
+
+def test_q8_star_dims_broadcast(spark, sf_dir):
+    """Q8's seven-way star: part/supplier/nation(x2)/region broadcast —
+    the only shuffles are the two fact joins (orderkey, custkey)."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_anti_are_hash_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate to hash semi/anti
+    joins on l_orderkey, never nested-loop (the correlated o_orderdate
+    comparison rides as a residual join condition)."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Semi" in plan and "Anti" in plan
+
+
+def test_q15_revenue_agg_is_partial_then_final(spark, sf_dir):
+    """Q15's revenue view aggregates the date-sliced fact with a map-side
+    partial combine; the max-equality join is broadcast."""
+    plan = plan_of(spark, sf_dir, "q15_top_supplier")
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
