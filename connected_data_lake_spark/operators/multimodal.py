@@ -5,18 +5,24 @@ pattern as rootfs payloads (SURVEY §1.1): metadata prunes independently of
 bytes, so planning/filtering never touches payload pages.
 
 The decode/resize/frame-sample kernels run as Arrow-batched ``mapInPandas``
-transforms (the only place Python belongs: per-byte codec work). The real
-codec libraries (PIL/ffmpeg/librosa) are NOT installed in this environment,
-so decodes are STUBBED:
+transforms (the only place Python belongs: per-byte codec work). Formats
+are dispatched on magic bytes:
 
-- payloads carrying the deterministic FAKE header (see make_fake_media) are
-  "decoded" from the header — full plumbing (schema, batching, partitioning)
-  is real and tested;
-- any other payload raises NotImplementedError naming the missing codec.
+- FAKE (see make_fake_media): deterministic stub header — full plumbing
+  (schema, batching, partitioning) exercised without any codec library;
+- PNG: REAL decode of IHDR metadata (width/height) via struct — pure
+  stdlib, no optional dependency;
+- RIFF/WAVE: REAL decode (channels / sample rate / PCM frame count) and
+  REAL per-second frame demux+remux via the stdlib ``wave`` module;
+- JPEG (and pixel-level PNG resize): gated behind an optional Pillow
+  import (the to_lance/to_torch optional-dep pattern, filesystem.py);
+  absent Pillow, these raise NotImplementedError naming the package;
+- anything else raises NotImplementedError naming the sniffed magic.
 """
 
 from __future__ import annotations
 
+import io
 import struct
 from collections.abc import Iterator
 
@@ -25,6 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency: real JPEG decode + pixel-level resize
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in the test environment
+    _PILImage = None
 
 #: FAKE media header: magic(4s) + format(4s) + width(u32 BE) + height(u32 BE)
 #: + n_frames(u32 BE); payload follows.
@@ -48,6 +59,70 @@ def make_fake_media(fmt: str, width: int, height: int, n_frames: int, payload: b
     return struct.pack(_HEADER, _MAGIC, fmt.encode()[:4].ljust(4), width, height, n_frames) + payload
 
 
+def _sniff(blob: bytes) -> str:
+    """Container format from magic bytes."""
+    if blob[:4] == _MAGIC:
+        return "fake"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return "unknown"
+
+
+def _decode_one(blob: bytes) -> dict:
+    """One blob → MEDIA_META_SCHEMA dict (the codec kernel proper)."""
+    kind = _sniff(blob)
+    if kind == "fake":
+        _, fmt, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
+        return {
+            "format": fmt.decode().strip(),
+            "width": w,
+            "height": h,
+            "n_frames": nf,
+            "n_bytes": len(blob) - _HEADER_LEN,
+        }
+    if kind == "png":
+        # REAL decode: IHDR is always the first chunk — width/height are
+        # big-endian u32 at bytes 16..24 (PNG spec §11.2.2); no library
+        # needed for metadata.
+        w, h = struct.unpack(">II", blob[16:24])
+        return {"format": "png", "width": w, "height": h, "n_frames": 1, "n_bytes": len(blob)}
+    if kind == "wav":
+        # REAL decode via the stdlib wave module: audio maps onto the same
+        # meta struct as n_frames = PCM frame count (width/height null).
+        import wave
+
+        with wave.open(io.BytesIO(blob)) as wf:
+            return {
+                "format": f"wav/{wf.getnchannels()}ch@{wf.getframerate()}",
+                "width": None,
+                "height": None,
+                "n_frames": wf.getnframes(),
+                "n_bytes": len(blob),
+            }
+    if kind == "jpeg":
+        if _PILImage is None:
+            raise NotImplementedError(
+                "JPEG decoding requires the optional Pillow package "
+                "(pip install Pillow); PNG/WAV/FAKE decode without it"
+            )
+        img = _PILImage.open(io.BytesIO(blob))
+        return {
+            "format": "jpeg",
+            "width": img.width,
+            "height": img.height,
+            "n_frames": getattr(img, "n_frames", 1),
+            "n_bytes": len(blob),
+        }
+    raise NotImplementedError(
+        f"unrecognized media container (magic={blob[:4]!r}); "
+        "supported: FAKE, PNG, RIFF/WAVE, JPEG (Pillow)"
+    )
+
+
 def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Decode header metadata from a binary media column → adds a ``meta``
     struct column. Arrow-batched mapInPandas; schema = input + meta."""
@@ -56,31 +131,9 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
-            for blob in pdf.iloc[:, idx]:
-                if blob is None:
-                    metas.append(None)
-                    continue
-                blob = bytes(blob)
-                if blob[:4] == _MAGIC:
-                    _, fmt, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
-                    metas.append(
-                        {
-                            "format": fmt.decode().strip(),
-                            "width": w,
-                            "height": h,
-                            "n_frames": nf,
-                            "n_bytes": len(blob) - _HEADER_LEN,
-                        }
-                    )
-                else:
-                    # real codecs (PIL / ffmpeg / librosa) are not available
-                    # in this environment — the Spark-side plumbing is real,
-                    # the codec call is the single stubbed line.
-                    raise NotImplementedError(
-                        "real media decoding requires an image/audio codec "
-                        "library not present in this environment"
-                    )
+            metas = [
+                None if blob is None else _decode_one(bytes(blob)) for blob in pdf.iloc[:, idx]
+            ]
             pdf = pdf.copy()
             pdf["meta"] = metas
             yield pdf
@@ -88,30 +141,43 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(_decode, schema=out_schema)
 
 
+def _resize_one(blob: bytes, width: int, height: int) -> bytes:
+    kind = _sniff(blob)
+    if kind == "fake":
+        # stub leg: rewrite the FAKE header with new dimensions and
+        # deterministically truncate the payload pro-rata — exercising the
+        # binary-rewrite batch shape a real resize kernel uses.
+        _, fmt, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
+        payload = blob[_HEADER_LEN:]
+        scale = (width * height) / max(w * h, 1)
+        new_len = max(int(len(payload) * min(scale, 1.0)), 0)
+        return struct.pack(_HEADER, _MAGIC, fmt, width, height, nf) + payload[:new_len]
+    if kind in ("png", "jpeg"):
+        if _PILImage is None:
+            raise NotImplementedError(
+                f"pixel-level {kind} resize requires the optional Pillow "
+                "package (pip install Pillow)"
+            )
+        img = _PILImage.open(io.BytesIO(blob))
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format=img.format)
+        return buf.getvalue()
+    raise NotImplementedError(f"resize not supported for container {blob[:4]!r}")
+
+
 def resize_media(df: DataFrame, width: int, height: int, media_col: str = "media") -> DataFrame:
-    """'Resize' stub: rewrites the FAKE header with new dimensions and
-    deterministically truncates the payload pro-rata — exercising the
-    binary-rewrite batch shape a real resize kernel would use."""
+    """Resize a binary media column in place: FAKE blobs via the
+    deterministic header-rewrite stub; PNG/JPEG via the optional Pillow
+    codec (real pixel resample, re-encoded in the source format)."""
     schema = df.schema
     idx = df.columns.index(media_col)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for blob in pdf.iloc[:, idx]:
-                if blob is None:
-                    out.append(None)
-                    continue
-                blob = bytes(blob)
-                if blob[:4] != _MAGIC:
-                    raise NotImplementedError("real resize requires a codec library")
-                _, fmt, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
-                payload = blob[_HEADER_LEN:]
-                scale = (width * height) / max(w * h, 1)
-                new_len = max(int(len(payload) * min(scale, 1.0)), 0)
-                out.append(
-                    struct.pack(_HEADER, _MAGIC, fmt, width, height, nf) + payload[:new_len]
-                )
+            out = [
+                None if blob is None else _resize_one(bytes(blob), width, height)
+                for blob in pdf.iloc[:, idx]
+            ]
             pdf = pdf.copy()
             pdf.iloc[:, idx] = out
             yield pdf
@@ -126,8 +192,11 @@ def sample_frames(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Frame sampling: one output row per kept frame (id, frame_id, frame).
-    Payload is interpreted as n_frames equal slices (a real video kernel
-    would demux; the slicing/explode plumbing is identical)."""
+    FAKE blobs slice the payload into n_frames equal chunks (the stub leg);
+    RIFF/WAVE blobs get a REAL demux+remux — every ``every_n``-th one-second
+    PCM block, re-wrapped by the stdlib wave codec so each emitted frame is
+    itself a playable WAV clip. Video containers would need ffmpeg (not an
+    optional Python dep) and raise NotImplementedError."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -138,24 +207,48 @@ def sample_frames(
     id_idx = df.columns.index(id_col)
     m_idx = df.columns.index(media_col)
 
+    def _frames_of(blob: bytes, every_n: int):
+        kind = _sniff(blob)
+        if kind == "fake":
+            _, _, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
+            payload = blob[_HEADER_LEN:]
+            if nf <= 0:
+                return
+            frame_len = len(payload) // nf
+            for fid in range(0, nf, every_n):
+                yield fid, payload[fid * frame_len : (fid + 1) * frame_len]
+            return
+        if kind == "wav":
+            import wave
+
+            with wave.open(io.BytesIO(blob)) as wf:
+                rate = wf.getframerate()
+                n_secs = -(-wf.getnframes() // max(rate, 1))
+                params = wf.getparams()
+                for sec in range(0, n_secs, every_n):
+                    wf.setpos(sec * rate)
+                    pcm = wf.readframes(rate)
+                    out = io.BytesIO()
+                    with wave.open(out, "wb") as clip:
+                        clip.setparams(params)
+                        clip.writeframes(pcm)
+                    yield sec, out.getvalue()
+            return
+        raise NotImplementedError(
+            f"frame demux not supported for container {blob[:4]!r} "
+            "(video would require ffmpeg)"
+        )
+
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fids, frames = [], [], []
             for rid, blob in zip(pdf.iloc[:, id_idx], pdf.iloc[:, m_idx]):
                 if blob is None:
                     continue
-                blob = bytes(blob)
-                if blob[:4] != _MAGIC:
-                    raise NotImplementedError("real demux requires a codec library")
-                _, _, w, h, nf = struct.unpack(_HEADER, blob[:_HEADER_LEN])
-                payload = blob[_HEADER_LEN:]
-                if nf <= 0:
-                    continue
-                frame_len = len(payload) // nf
-                for fid in range(0, nf, every_n):
+                for fid, frame in _frames_of(bytes(blob), every_n):
                     ids.append(int(rid))
                     fids.append(fid)
-                    frames.append(payload[fid * frame_len : (fid + 1) * frame_len])
+                    frames.append(frame)
             yield pd.DataFrame({"id": ids, "frame_id": fids, "frame": frames})
 
     return df.mapInPandas(_sample, schema=out_schema)
