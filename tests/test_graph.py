@@ -106,3 +106,71 @@ def test_components_match_union_find_on_random_graphs(spark):
         assert got == expected
 
     check()
+
+
+# --- large-star/small-star variant (round 8) ---------------------------------
+
+
+def test_star_matches_label_on_small_graphs(spark):
+    cases = [
+        [(1, 2), (2, 3), (7, 9)],
+        [(5, 4), (4, 5), (4, 5), (6, 5)],
+        [(10, 20), (20, 30), (40, 50), (30, 40)],
+    ]
+    for edges in cases:
+        label = connected_components(_pairs(spark, edges))
+        star = connected_components(_pairs(spark, edges), algorithm="star")
+        assert {(r.node, r.component) for r in label.collect()} == {
+            (r.node, r.component) for r in star.collect()
+        }
+        label.unpersist()
+
+
+def test_star_converges_logarithmically_on_10k_path(spark):
+    """The adversarial case for label propagation: a 10k-node path has
+    diameter 10k, but large-star/small-star must converge in O(log n)
+    alternations — well under the default 25-round cap that would make
+    propagation bail with RuntimeError."""
+    edges = [(i, i + 1) for i in range(9_999)]
+    cc = connected_components(_pairs(spark, edges), algorithm="star")
+    assert cc._cdl_cc_rounds < 25
+    rows = cc.collect()
+    assert len(rows) == 10_000
+    assert {r.component for r in rows} == {0}
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(5)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u), parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    expected = {n: roots[find(n)] for n in parent}
+
+    cc = connected_components(_pairs(spark, edges), algorithm="star")
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == expected
+
+
+def test_star_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
