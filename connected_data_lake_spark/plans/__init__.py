@@ -222,7 +222,9 @@ ROTATED_GREEN_R05 = frozenset(
         "text_quality_score",
         "text_repetition",
         "text_stats",
-        "text_tfidf_keywords",
+        # text_tfidf_keywords un-rotated in round 8: persists removed from
+        # its body (measured regression fix, VERDICT r7 next-round #6) ->
+        # re-enters the window for re-verification
         # round-4 greens that sorted past round 5's window tail
         "text_token_estimate",
         "topk_orders",

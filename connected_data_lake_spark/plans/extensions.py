@@ -2354,14 +2354,24 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-term count, term df), then the df join splits Zipf-aware exactly
     like text_logprob_unigram — top-1024 head terms (most of the (doc,term)
     rows) via broadcast, rare tail via shuffle join — and a per-doc top-k
-    window; AQE turns rank<=5 into a partial top-k per partition."""
+    window; AQE turns rank<=5 into a partial top-k per partition.
+
+    The tf relation has three consumers (n_docs, head leg, tail leg) and
+    is deliberately NOT persisted: the legs prune different columns, so
+    Spark can't reuse the exchange, and a measured A/B at sf0.1 put
+    recompute at 1.27 s vs 1.94 s MEMORY_AND_DISK / 2.11 s DISK_ONLY —
+    the cache write+read costs more than three passes over a scan-local
+    tokenize + map-side-combined count. At 100 TB the trade flips
+    (re-tokenizing the corpus 3x dwarfs a DISK_ONLY persist of the narrow
+    (doc, term, c) relation); reinstate ``tf.persist(StorageLevel.
+    DISK_ONLY)`` there."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("c")).persist()
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     # N as a broadcast one-row relation, not a driver count(): keeps the
     # whole query one lazy job (no eager action materializing tf early)
     n_rel = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
-    df_rel = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
     head = df_rel.orderBy(F.desc("df"), "term").limit(1024)
     with_df = (
         tf.join(F.broadcast(head), "term")
@@ -2396,7 +2406,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
-    return DD._with_persisted(out, tf, df_rel)
+    return out
 
 
 @query(
