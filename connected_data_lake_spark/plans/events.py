@@ -467,3 +467,40 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_user_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS total_value,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "streaming-twin"),
+)
+def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming lifetime-profile operator
+    (streaming/stateful.py::running_user_profile): the FINAL per-user
+    state after the whole stream — event count, total value, last-seen
+    microsecond timestamp. The streaming side emits this row in update
+    mode every micro-batch that touches the user; replaying all batches
+    and keeping each user's last emission equals this one aggregation
+    (the applyInPandasWithState fold is commutative-summable, so batch
+    order can't change the fixpoint). One map-side-combined shuffle on
+    user_id; sum rounded at 6 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select("user_id", "value", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("us").alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )

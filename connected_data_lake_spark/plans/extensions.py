@@ -1727,9 +1727,10 @@ def zz_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_cluster_assign",
-    oracle=f"""
+#: transitive-closure oracle shared by both connected-components variants
+#: (label propagation and large-star/small-star): same edge set, same
+#: fixpoint, so one recursive CTE verifies either algorithm.
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              string_split({_NORM.format(c='text')}, ' ') AS toks,
@@ -1767,7 +1768,12 @@ def zz_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=_CLUSTER_ORACLE,
     tags=("dedup", "graph"),
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,6 +1806,40 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return DD._with_persisted(out, comp, *getattr(near_pairs, "_cdl_persisted", ()))
+
+
+@query(
+    "dedup_cluster_star",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment via the ALTERNATING large-star/
+    small-star algorithm (operators/graph.py, Kiveris et al. SoCC'14 §3)
+    — the O(log n)-round variant that survives adversarial chain-shaped
+    pair graphs where min-label propagation needs diameter rounds. Same
+    edge set, same fixpoint, same output relation as
+    ``dedup_cluster_assign``, so the same transitive-closure CTE is the
+    oracle; a driver-green row here verifies the star kernel end-to-end
+    against exact SQL semantics, not just against the sibling."""
+    docs = load_table(spark, sf_dir, "documents")
+    near_pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5)
+    near = near_pairs.select("id_a", "id_b")
+    fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    exact = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    comp = GR.connected_components(near.unionAll(exact), algorithm="star")
+    w = Window.partitionBy("cluster_id")
+    out = (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+    return DD._with_persisted(out, *getattr(near_pairs, "_cdl_persisted", ()))
 
 
 @query(
