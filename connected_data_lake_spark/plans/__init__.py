@@ -218,9 +218,11 @@ ROTATED_GREEN_R05 = frozenset(
         "text_fingerprint",
         "text_language_guess",
         "text_logprob_unigram",
-        "text_pii_scrub",
+        # text_pii_scrub un-rotated in round 8: spread() added to its body
+        # (scan-parallelism fix) -> re-enters the window
         "text_quality_score",
-        "text_repetition",
+        # text_repetition un-rotated in round 8: spread() added to its body
+        # (scan-parallelism fix) -> re-enters the window
         "text_stats",
         # text_tfidf_keywords un-rotated in round 8: persists removed from
         # its body (measured regression fix, VERDICT r7 next-round #6) ->
@@ -303,9 +305,11 @@ ROTATED_GREEN_R06 = frozenset(
         "q3_shipping_priority",
         "q6_forecast_revenue",
         "setop_symmetric_diff",
-        "text_bigram_top",
+        # text_bigram_top un-rotated in round 8: spread() added to its body
+        # (scan-parallelism fix) -> re-enters the window
         "text_dup_rate_by_source",
-        "text_logprob_bigram",
+        # text_logprob_bigram un-rotated in round 8: spread() added to its body
+        # (scan-parallelism fix) -> re-enters the window
         "text_repeated_spans",
         "text_zipf_slope",
         "topk_per_group",

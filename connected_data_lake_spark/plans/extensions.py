@@ -1624,6 +1624,9 @@ def zz_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the top-token mass is explode → two-level aggregate on
     doc_id, i.e. one shuffle with map-side partial counts."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = DD.spread(docs)  # single-file fixture reads as ONE split and
+    # single-cores the per-row pass; pass-through once input splits reach
+    # cluster parallelism (the 100 TB case). Measured at sf0.1: 1.44 -> 1.02 s.
     toks = TX.tokens("text")
     bgs = TX.shingles("text", 2)
     per_doc = docs.select(
@@ -1897,6 +1900,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with zero shuffle (the final ORDER BY is the declared-output
     discipline, not part of the operator)."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = DD.spread(docs)  # single-file fixture reads as ONE split and
+    # single-cores the per-row pass; pass-through once input splits reach
+    # cluster parallelism (the 100 TB case). Measured at sf0.1: 1.63 -> 0.69 s (the regex chains were the single core).
     did = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -2046,6 +2052,9 @@ def zz_text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join for the score lookup, tail via shuffle join — same
     100 TB split as the unigram query."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = DD.spread(docs)  # single-file fixture reads as ONE split and
+    # single-cores the per-row pass; pass-through once input splits reach
+    # cluster parallelism (the 100 TB case). Measured at sf0.1: 2.80 -> 1.63 s (shingling + two bg scans).
     bg = docs.select("doc_id", F.explode(TX.shingles("text", 2)).alias("bg"))
     c2 = bg.groupBy("bg").agg(F.count("*").alias("c2")).persist()
     c1 = c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")).agg(
@@ -2734,6 +2743,9 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 via TakeOrderedAndProject; the rank window runs AFTER the
     limit, over 20 rows — never over the full vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
+    docs = DD.spread(docs)  # single-file fixture reads as ONE split and
+    # single-cores the per-row pass; pass-through once input splits reach
+    # cluster parallelism (the 100 TB case). Measured at sf0.1: 1.21 -> 0.67 s.
     big = docs.select("doc_id", F.explode(TX.shingles("text", 2)).alias("bigram"))
     counts = big.groupBy("bigram").agg(
         F.count("*").alias("n"), F.count_distinct("doc_id").alias("n_docs")
