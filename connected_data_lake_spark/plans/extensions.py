@@ -427,24 +427,45 @@ def _dedup_corpus_index(
     import os
     import tempfile
 
+    import shutil
+
     key = f"{id(spark)}:{sf_dir}"
     if key not in _DEDUP_IDX_CACHE:
         path = os.path.join(
             tempfile.gettempdir(),
             f"cdl_dedupidx_v1_{_artifact_token(sf_dir, 'documents')}",
         )
-        if not os.path.isdir(path):  # offline build step, once per corpus
+        # Same commit discipline as _gt_topk below: a crashed build must
+        # not leave a half-written index a later process trusts (the three
+        # relations are written sequentially, so "fp exists" proves nothing
+        # about "shingles"). Build into a pid-suffixed dir, install with an
+        # atomic rename, trust only a directory carrying the final
+        # relation's _SUCCESS; never replace a complete artifact.
+        done = os.path.join(path, "shingles", "_SUCCESS")
+        if not os.path.isfile(done):  # offline build step, once per corpus
+            tmp = f"{path}.build.{os.getpid()}"
             docs = load_table(spark, sf_dir, "documents")
             corpus = docs.filter((F.col("doc_id") % 5) != 0)
             corpus.groupBy(TX.fingerprint("text").alias("fp")).agg(
                 F.min("doc_id").alias("e_match")
-            ).write.parquet(os.path.join(path, "fp"))
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "fp"))
             sh_c = DD.shingle_relation(corpus)
-            DD.minhash_bands(sh_c, num_hashes=128, bands=32).write.parquet(
-                os.path.join(path, "bands")
-            )
-            sh_c.write.parquet(os.path.join(path, "shingles"))
+            DD.minhash_bands(sh_c, num_hashes=128, bands=32).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, "bands"))
+            sh_c.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
             sh_c.unpersist()
+            if os.path.isfile(done):
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            else:
+                try:
+                    if os.path.isdir(path):  # stale partial
+                        stale = f"{path}.stale.{os.getpid()}"
+                        os.rename(path, stale)
+                        shutil.rmtree(stale, ignore_errors=True)
+                    os.rename(tmp, path)
+                except OSError:
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         _DEDUP_IDX_CACHE[key] = (
             spark.read.parquet(os.path.join(path, "fp")),
             spark.read.parquet(os.path.join(path, "bands")),
