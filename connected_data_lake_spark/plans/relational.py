@@ -3502,3 +3502,294 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("supplier", "lineitem", "orders", "nation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H partsupp family (round 8): q2 / q9 / q11 / q16 / q20. The test
+# schema ships no partsupp fixture, so both engines DERIVE the same
+# partsupp relation from the shipped part x supplier tables with identical
+# integer arithmetic — 4 suppliers per part ((partkey*7 + i*13 + 1) mod
+# |supplier|, distinct for every shipped supplier count), integer availqty
+# and integer cost so every predicate, equality and aggregate in the five
+# query shapes is float-free until the rounded output. The relation is a
+# *query-defined view over driver inputs*, not synthesized data: the
+# oracle recomputes it from the same parquet, so the correctness gate
+# still verifies the join/subquery machinery end-to-end.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SPARK = """
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i * 13 + 1) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey,
+             CAST((p_partkey * 11 + i * 17) % 9999 + 1 AS INT) AS ps_availqty,
+             CAST((p_partkey * 31 + i * 19) % 1000 + 1 AS INT) AS ps_supplycost
+      FROM part LATERAL VIEW EXPLODE(ARRAY(0, 1, 2, 3)) t AS i
+"""
+
+_PARTSUPP_DUCK = """
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i * 13 + 1) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey,
+             CAST((p_partkey * 11 + i.i * 17) % 9999 + 1 AS INT) AS ps_availqty,
+             CAST((p_partkey * 31 + i.i * 19) % 1000 + 1 AS INT) AS ps_supplycost
+      FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+"""
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_DUCK})
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           p_brand, ps_supplycost
+    FROM part, supplier, partsupp, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps_supplycost)
+        FROM partsupp ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each selected part, the
+    EUROPE supplier(s) offering the region's minimum supply cost — a
+    correlated scalar MIN subquery over the same dimensional join as the
+    outer block, which Catalyst decorrelates into an aggregate + re-join
+    on p_partkey. Integer costs make the min-equality exact; top-100 by
+    balance fuses to TakeOrderedAndProject. (p_brand stands in for the
+    missing p_mfgr output column.)"""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH partsupp AS ({_PARTSUPP_SPARK})
+        SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+               p_brand, ps_supplycost
+        FROM part, supplier, partsupp, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size IN (5, 15, 25, 35, 45)
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT MIN(ps_supplycost)
+            FROM partsupp ps2, supplier s2, nation n2, region r2
+            WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+        ("part", "supplier", "nation", "region"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_DUCK})
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))
+               - CAST(ps_supplycost * l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%') t
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per order year over one product family — the classic 6-way join where
+    lineitem matches partsupp on BOTH keys (partkey, suppkey). Amounts
+    subtract in DECIMAL(18,2) so the per-group sums are association-order
+    exact; the name filter ('%gear%' — the corpus has no 'green') prunes
+    the broadcast part dim before it reaches the fact scan."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH partsupp AS ({_PARTSUPP_SPARK})
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,2))
+                   - CAST(ps_supplycost * l_quantity AS DECIMAL(18,2)) AS amount
+          FROM part, supplier, lineitem, partsupp, orders, nation
+          WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+            AND ps_partkey = l_partkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%gear%') t
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """,
+        ("part", "supplier", "lineitem", "orders", "nation"),
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_DUCK})
+    SELECT ps_partkey,
+           CAST(SUM(ps_supplycost * ps_availqty) AS BIGINT) AS stock_value
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_7', 'NATION_8')
+    GROUP BY ps_partkey
+    HAVING SUM(ps_supplycost * ps_availqty) > (
+      SELECT SUM(ps_supplycost * ps_availqty) * 0.001
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_7', 'NATION_8'))
+    ORDER BY stock_value DESC, ps_partkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part stock
+    value held by two nations' suppliers, kept only when it exceeds a
+    fraction of the GLOBAL total — a HAVING over an uncorrelated scalar
+    subquery that re-runs the same aggregate. Integer cost x integer qty
+    keeps both sums exact (BIGINT); the 0.001 threshold comparison is one
+    identical int-x-double op per group on both engines."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH partsupp AS ({_PARTSUPP_SPARK})
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost * ps_availqty) AS BIGINT) AS stock_value
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_7', 'NATION_8')
+        GROUP BY ps_partkey
+        HAVING SUM(ps_supplycost * ps_availqty) > (
+          SELECT SUM(ps_supplycost * ps_availqty) * 0.001
+          FROM partsupp, supplier, nation
+          WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name IN ('NATION_7', 'NATION_8'))
+        ORDER BY stock_value DESC, ps_partkey
+        """,
+        ("part", "supplier", "nation"),
+    )
+
+
+@query(
+    "q16_parts_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_DUCK})
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#4'
+      AND p_type NOT LIKE 'PRO%'
+      AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) cell, excluding one brand, a type
+    prefix, and a NOT-IN supplier denylist (negative balance stands in
+    for the missing s_comment complaints filter) — COUNT(DISTINCT) over
+    a null-rejecting anti-join, the exact Q16 plan.
+    """
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH partsupp AS ({_PARTSUPP_SPARK})
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp, part
+        WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#4'
+          AND p_type NOT LIKE 'PRO%'
+          AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        ("part", "supplier"),
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle=f"""
+    WITH partsupp AS ({_PARTSUPP_DUCK})
+    SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                             WHERE l_partkey = ps_partkey
+                               AND l_suppkey = ps_suppkey
+                               AND l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate <  TIMESTAMP '1998-01-01'))
+      AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+    ORDER BY s_name
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers holding more
+    than half a year's shipped quantity of any 'small%' part — a
+    three-level nested IN whose innermost member is a TWO-COLUMN
+    correlated aggregate over the fact table (l_partkey AND l_suppkey),
+    the hardest decorrelation in the suite. Pairs with no 1997 shipments
+    yield a NULL sum, which `>` rejects identically in both engines.
+
+    The Spark side hand-decorrelates the inner aggregate into a grouped
+    join on (partkey, suppkey) — Spark 4's automatic decorrelation of a
+    two-column correlated aggregate nested inside IN trips an AQE
+    subquery-ordering assertion ("Subquery has not finished"), and the
+    grouped-join form is the plan a 100 TB run wants anyway: ONE
+    map-side-combined pass over the date-sliced fact instead of a
+    re-aggregation per outer pair; the inner join drops no-shipment pairs
+    exactly as the NULL comparison does."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH partsupp AS ({_PARTSUPP_SPARK}),
+        shipped AS (
+          SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey
+            FROM partsupp JOIN shipped
+              ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'small%')
+              AND ps_availqty > half_qty)
+          AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+        ORDER BY s_name
+        """,
+        ("part", "supplier", "lineitem", "nation"),
+    )
