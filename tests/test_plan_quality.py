@@ -315,3 +315,22 @@ def test_q15_revenue_agg_is_partial_then_final(spark, sf_dir):
     assert "partial_" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q16_parts_suppliers",
+        "q20_promotion_suppliers",
+    ],
+)
+def test_partsupp_family_joins_are_hash_equality(spark, sf_dir, name):
+    """The derived-partsupp TPC-H five must plan as hash equi-joins with
+    broadcast dims — the correlated subqueries (q2 min-cost, q20 grouped
+    shipped join) decorrelate to joins, never nested-loop re-execution."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
