@@ -3793,3 +3793,62 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("part", "supplier", "lineitem", "nation"),
     )
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey, p_brand, p_size,
+             MAP([p_brand, 'sentinel'], [p_size, -1]) AS pm,
+             struct_pack(brand := p_brand, half := p_size // 2) AS st
+      FROM part
+    )
+    SELECT p_partkey,
+           map_extract(pm, p_brand)[1]                          AS own_size,
+           map_extract(pm, 'sentinel')[1]                       AS sentinel_v,
+           CAST(cardinality(pm) AS INT)                         AS n_keys,
+           array_to_string(list_sort(map_keys(pm)), ',')        AS keys_sorted,
+           array_to_string(list_sort(map_values(pm)), ',')      AS vals_sorted,
+           st.half                                              AS half_size,
+           'brand=' || st.brand || '|half=' || CAST(st.half AS VARCHAR)
+                                                                AS struct_str
+    FROM m
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "nested"),
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + struct nested family (§2.8, the nested-type rows arrays/
+    explode/JSON don't cover): map construction, element_at lookup,
+    cardinality, map_keys/map_values, named_struct construction and field
+    access. Map iteration order is an implementation detail in BOTH
+    engines, so key/value lists are sorted before joining to strings, and
+    the struct is rendered through an explicit field-by-field concat
+    (engine-native struct-to-string formats differ)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH m AS (
+          SELECT p_partkey, p_brand, p_size,
+                 MAP(p_brand, p_size, 'sentinel', -1)             AS pm,
+                 NAMED_STRUCT('brand', p_brand,
+                              'half', p_size DIV 2)               AS st
+          FROM part
+        )
+        SELECT p_partkey,
+               ELEMENT_AT(pm, p_brand)                            AS own_size,
+               ELEMENT_AT(pm, 'sentinel')                         AS sentinel_v,
+               SIZE(pm)                                           AS n_keys,
+               ARRAY_JOIN(ARRAY_SORT(MAP_KEYS(pm)), ',')          AS keys_sorted,
+               ARRAY_JOIN(TRANSFORM(ARRAY_SORT(MAP_VALUES(pm)),
+                                    x -> CAST(x AS STRING)), ',') AS vals_sorted,
+               st.half                                            AS half_size,
+               CONCAT('brand=', st.brand, '|half=',
+                      CAST(st.half AS STRING))                    AS struct_str
+        FROM m
+        ORDER BY p_partkey
+        """,
+        ("part",),
+    )
