@@ -630,3 +630,53 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
     hit = e.intersect(a).count()
     total = e.count()
     return hit / total if total else math.nan
+
+
+def pca_train(
+    df: DataFrame,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train a PCA projection: (mean (d,), components (k, d)) from an SVD
+    of the centered deterministic sample (first ``sample_n`` rows by id —
+    the same bounded driver-side recipe as :func:`pq_train`; the corpus
+    never visits the driver, projection is executor-side BLAS via
+    :func:`pca_project`). Each component's sign is normalized so its
+    largest-magnitude coordinate is positive — SVD signs are otherwise
+    LAPACK-implementation-defined, and a deterministic basis keeps the
+    projection reproducible across sessions."""
+    rows = df.select(id_col, emb_col).orderBy(id_col).limit(sample_n).collect()
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    mu = X.mean(0)
+    _, _, vt = np.linalg.svd(X - mu, full_matrices=False)
+    comps = vt[:k].copy()
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto trained principal components:
+    ``out = (x - mean) @ components.T`` — one Arrow-batched BLAS matmul
+    per pandas batch (the signature-kernel pattern: whole-batch numpy,
+    never per-row Python). Adds ``out_col`` as array<double> of dim k."""
+    mu = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(components, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _proj(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy())
+        Y = (X - mu) @ comps.T
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, _proj(F.col(emb_col)))

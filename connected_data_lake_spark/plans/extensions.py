@@ -3112,3 +3112,61 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return DD._with_persisted(out, ch)
+
+
+@query(
+    "embedding_pca_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           16 AS k_dims,
+           TRUE AS var_monotone,
+           TRUE AS energy_bounded
+    FROM embeddings
+    """,
+    tags=("embedding", "pipeline"),
+)
+def embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction (64 → 16) as an explicit-contract
+    query — the embedding-hygiene step that makes downstream ANN scans
+    4× cheaper. Training is driver-side SVD on the bounded deterministic
+    sample (the pq_train recipe, sign-normalized basis); projection is
+    one Arrow-batched BLAS matmul per pandas batch
+    (operators/similarity.py::pca_project).
+
+    DuckDB cannot recompute an SVD, so the oracle is the contract the
+    projection must satisfy (the agg_approx_distinct pattern), and every
+    clause is checked from the PROJECTED relation in Spark: per-component
+    variances are non-increasing (the defining property of a principal
+    basis — computed as 16 JVM-side aggregates, no second Python pass),
+    and their sum is bounded by the mean total centered energy
+    E[‖x − μ‖²] (Parseval for an orthonormal basis; strict at k < d).
+    n_vecs proves the projection is a per-row map that drops nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 16
+    mu, comps = SIM.pca_train(emb, k=k)
+    proj = SIM.pca_project(emb, mu, comps)
+    var_cols = [
+        F.var_pop(F.element_at("pca", i + 1)).alias(f"_v{i}") for i in range(k)
+    ]
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    total_sq = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), mu_lit, lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    agg = proj.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.avg(total_sq).alias("_tot"),
+        *var_cols,
+    )
+    monotone = None
+    for i in range(k - 1):
+        c = F.col(f"_v{i}") >= F.col(f"_v{i+1}")
+        monotone = c if monotone is None else (monotone & c)
+    energy = sum((F.col(f"_v{i}") for i in range(k)), F.lit(0.0))
+    return agg.select(
+        "n_vecs",
+        F.lit(k).cast("int").alias("k_dims"),
+        monotone.alias("var_monotone"),
+        (energy <= F.col("_tot")).alias("energy_bounded"),
+    )

@@ -164,3 +164,27 @@ def test_pq_prebuilt_codes_path_matches_inline_path(spark, sf_dir):
         for r in knn_pq(emb, q, books, k=10, codes=codes).collect()
     }
     assert inline == viacodes
+
+
+def test_pca_train_project_properties(spark, sf_dir):
+    """PCA basis: orthonormal rows, deterministic signs, projection =
+    centered matmul, variance non-increasing across components."""
+    import numpy as np
+
+    from connected_data_lake_spark.operators import similarity as SIM
+    from connected_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, comps = SIM.pca_train(emb, k=8)
+    assert comps.shape[0] == 8 and comps.shape[1] == len(mu)
+    # orthonormal basis
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    # deterministic sign convention: largest-|coord| positive
+    for row in comps:
+        assert row[np.abs(row).argmax()] > 0
+    rows = SIM.pca_project(emb, mu, comps).select("vec_id", "embedding", "pca").collect()
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    P = np.asarray([r.pca for r in rows])
+    assert np.allclose(P, (X - mu) @ comps.T, atol=1e-8)
+    v = P.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-9 for i in range(len(v) - 1))
