@@ -1,0 +1,77 @@
+"""Generic table profiling: one aggregation pass → per-column stats rows.
+
+The data-quality step every ingest pipeline runs before training jobs
+trust a table: row count, null count/rate, exact distinct count, min/max
+— one row PER COLUMN, computed in ONE wide aggregate over a single scan
+(never a per-column job loop; at 100 TB a 20-column profile is one pass,
+not 20). Min/max are rendered as canonical strings so heterogeneous
+column types share one output schema — the same boundary discipline as
+the array family's ARRAY_JOIN projection.
+
+The reference has no profiling surface; this extends the maintenance
+family (stats collection in ``sources/zonemap.py`` profiles FILES for
+skipping; this profiles COLUMNS for quality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def _canon(col: F.Column) -> F.Column:
+    """Render a min/max value as the canonical cross-engine string:
+    floats fixed at 6 decimals, timestamps ISO via CAST, NULL stays NULL."""
+    return col.cast("string")
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, null_rate, n_distinct, min_str, max_str)
+    for each requested column — one aggregate pass, exact counts.
+
+    ``n_distinct`` counts non-NULL distinct values (COUNT(DISTINCT col)
+    semantics in both Spark and ANSI SQL). Spark plans the multi-distinct
+    aggregate with one EXPAND + partial/final pass — still a single scan
+    of the input."""
+    names = list(cols) if cols is not None else list(df.columns)
+    n_rows = F.count("*")
+    aggs = [n_rows.alias("_n")]
+    for c in names:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(_canon(F.min(c)).alias(f"_min_{c}"))
+        aggs.append(_canon(F.max(c)).alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    # melt the single wide row into per-column rows with STACK (JVM-side,
+    # no Python): stack(n, name1, null1, nd1, min1, max1, name2, ...)
+    parts = []
+    for c in names:
+        parts.extend(
+            [
+                F.lit(c),
+                F.col(f"_null_{c}"),
+                F.col(f"_nd_{c}"),
+                F.col(f"_min_{c}"),
+                F.col(f"_max_{c}"),
+            ]
+        )
+    stacked = wide.select(
+        F.col("_n").alias("n_rows"),
+        F.stack(
+            F.lit(len(names)),
+            *parts,
+        ).alias("column", "n_nulls", "n_distinct", "min_str", "max_str"),
+    )
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_rate"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    ).orderBy("column")

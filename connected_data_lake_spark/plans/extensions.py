@@ -3170,3 +3170,66 @@ def embedding_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         monotone.alias("var_monotone"),
         (energy <= F.col("_tot")).alias("energy_bounded"),
     )
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    WITH p AS (
+      SELECT 'o_custkey' AS col, COUNT(*) AS n,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+             COUNT(DISTINCT o_custkey) AS nd,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn, CAST(MAX(o_custkey) AS VARCHAR) AS mx
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*),
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*),
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderkey),
+             CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*),
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT o_totalprice),
+             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders
+    )
+    SELECT col AS "column", CAST(n AS BIGINT) AS n_rows,
+           CAST(nn AS BIGINT) AS n_nulls,
+           ROUND(nn * 1.0 / n, 6) AS null_rate,
+           CAST(nd AS BIGINT) AS n_distinct,
+           mn AS min_str, mx AS max_str
+    FROM p ORDER BY col
+    """,
+    tags=("profile", "pipeline"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py::profile_table): per-column
+    row/null/exact-distinct counts and canonical-string min/max for the
+    orders table, computed in ONE wide aggregate over a single scan —
+    Spark plans the multi-distinct aggregate with one EXPAND + two-level
+    hash aggregation, so the profile stays one pass at any column count,
+    where the oracle's didactic UNION-ALL form re-scans per column. The
+    min/max string rendering is confined to value domains both engines
+    print identically (integers, sub-1e7 decimals, timestamps)."""
+    from connected_data_lake_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))

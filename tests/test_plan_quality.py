@@ -334,3 +334,11 @@ def test_partsupp_family_joins_are_hash_equality(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """profile_table computes every column's stats in ONE pass: exactly
+    one parquet scan of orders in the plan (the oracle's UNION-ALL form
+    re-scans per column; the operator must not)."""
+    plan = plan_of(spark, sf_dir, "profile_orders")
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
