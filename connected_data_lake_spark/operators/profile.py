@@ -29,20 +29,27 @@ def _canon(col: F.Column) -> F.Column:
     return col.cast("string")
 
 
-def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
     """(column, n_rows, n_nulls, null_rate, n_distinct, min_str, max_str)
-    for each requested column — one aggregate pass, exact counts.
+    for each requested column — one aggregate pass.
 
     ``n_distinct`` counts non-NULL distinct values (COUNT(DISTINCT col)
-    semantics in both Spark and ANSI SQL). Spark plans the multi-distinct
-    aggregate with one EXPAND + partial/final pass — still a single scan
-    of the input."""
+    semantics in both Spark and ANSI SQL). Exact multi-distinct plans as
+    one EXPAND + two-level hash aggregation — a single scan, but the
+    EXPAND multiplies shuffled rows by the column count; at 100 TB pass
+    ``approx=True`` to swap in HyperLogLog ``approx_count_distinct``
+    (bounded sketch state per column, no row expansion, ~2% error). The
+    declared oracle query keeps the exact default — approximate counts
+    aren't value-comparable across engines."""
     names = list(cols) if cols is not None else list(df.columns)
     n_rows = F.count("*")
+    nd = F.approx_count_distinct if approx else F.count_distinct
     aggs = [n_rows.alias("_n")]
     for c in names:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"_nd_{c}"))
         aggs.append(_canon(F.min(c)).alias(f"_min_{c}"))
         aggs.append(_canon(F.max(c)).alias(f"_max_{c}"))
     wide = df.agg(*aggs)

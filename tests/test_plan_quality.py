@@ -342,3 +342,19 @@ def test_profile_is_single_scan(spark, sf_dir):
     re-scans per column; the operator must not)."""
     plan = plan_of(spark, sf_dir, "profile_orders")
     assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+
+
+def test_profile_approx_path_has_no_expand(spark, sf_dir):
+    """profile_table(approx=True) is the 100 TB path: HLL sketches per
+    column, no EXPAND row multiplication in the plan."""
+    from connected_data_lake_spark.operators.profile import profile_table
+    from connected_data_lake_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    plan = (
+        profile_table(df, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan

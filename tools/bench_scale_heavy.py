@@ -51,6 +51,12 @@ QUERIES = (
     "knn_sketch_probe",
     "text_quality_score",
     "pipeline_training_data",
+    # round 8: the star-CC kernel (O(log n) rounds — time should grow ~
+    # linearly in edges, rounds only logarithmically), a spread()-patched
+    # scan-parallel text query, and the single-pass profiler
+    "dedup_cluster_star",
+    "text_pii_scrub",
+    "embedding_pca_contract",
 )
 
 
