@@ -168,13 +168,22 @@ def _connected_components_star(
     no row-level diff join); same lineage-truncation discipline as the
     propagation loop (lazy localCheckpoint per round, stale blocks freed).
     """
-    e = (
-        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    # Materialize the input pair relation ONCE (it is typically the
+    # expensive output of an LSH/shingle pipeline): both the edge set and
+    # the trailing all-nodes relation derive from these checkpointed
+    # blocks, never from the original lineage — without this, the final
+    # left join re-ran the whole pair generation a second time (measured:
+    # over half the query's cost at sf0.1).
+    base = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).localCheckpoint(eager=False)
+    e = base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+    all_nodes = (
+        base.select("u")
+        .unionAll(base.select(F.col("v").alias("u")))
+        .select(F.col("u").alias("node"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    all_nodes = _edge_list(pairs, src, dst).select(F.col("u").alias("node")).distinct()
 
     def _checksum(df: DataFrame):
         row = df.agg(
@@ -190,11 +199,14 @@ def _connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no distinct here: duplicate (v, m) rows cannot change the
+        # small-star phase (mins2 is a MIN aggregate; duplicate attach
+        # rows collapse in the final distinct) and dropping it saves a
+        # full shuffle per round
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: key every edge by its larger endpoint
         directed = large.select(

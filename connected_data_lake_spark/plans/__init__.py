@@ -290,7 +290,8 @@ ROTATED_GREEN_R06 = frozenset(
         "fn_levenshtein_pairs",
         "gap_fill_daily",
         "join_cooccurrence",
-        "join_range_binned",
+        # join_range_binned un-rotated in round 8: point-side span
+        # pre-filter added to its body -> re-enters the window
         "join_salted_skew",
         "knn_centroid_classify",
         "knn_ivf_probe",

@@ -2166,7 +2166,13 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(orders × lineitem) — the scale-killer); binning to 1-day buckets
     makes it an equi-join on the bucket id with the exact range as a
     residual, the classic time-binned join. DuckDB's IEJoin provides the
-    oracle. Left join back to the interval side zero-fills empty windows."""
+    oracle. Left join back to the interval side zero-fills empty windows.
+    The point side is pre-filtered to the intervals' total span (every
+    interval lies in [1997-01-01, 1998-01-02)) — a semantics-free
+    predicate that reaches the parquet scan and keeps out-of-span points
+    (7x the span's rows here) off the shuffle entirely; at 100 TB this is
+    the partition-pruning predicate an interval join should always
+    carry."""
     from connected_data_lake_spark.operators import temporal as TP
 
     orders = _t(spark, sf_dir, "orders").filter(
@@ -2180,7 +2186,12 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("w_start"),
         F.expr("o_orderdate + INTERVAL 1 DAYS").alias("w_end"),
     )
-    pts = _t(spark, sf_dir, "lineitem").select("l_shipdate")
+    pts = _t(spark, sf_dir, "lineitem").select("l_shipdate").filter(
+        F.expr(
+            "l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)"
+            " AND l_shipdate < CAST('1998-01-02' AS TIMESTAMP_NTZ)"
+        )
+    )
     joined = TP.interval_point_join(
         pts, iv, "l_shipdate", "w_start", "w_end", bin_seconds=86_400
     )

@@ -336,12 +336,15 @@ def test_partsupp_family_joins_are_hash_equality(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan
 
 
-def test_profile_is_single_scan(spark, sf_dir):
-    """profile_table computes every column's stats in ONE pass: exactly
-    one parquet scan of orders in the plan (the oracle's UNION-ALL form
-    re-scans per column; the operator must not)."""
+def test_profile_exact_is_two_clean_scans(spark, sf_dir):
+    """profile_table's exact path is two single-row aggregates (plain
+    stats + multi-distinct) joined back together — two scans, NEVER the
+    mixed-aggregate plan whose EXPAND evaluates the plain aggregates
+    over (n_cols+1)x the rows, and never the oracle's per-column
+    re-scan (6 columns -> 6 scans)."""
     plan = plan_of(spark, sf_dir, "profile_orders")
-    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    n_scans = max(plan.count("Scan parquet"), plan.count("FileScan"))
+    assert n_scans == 2, n_scans
 
 
 def test_profile_approx_path_has_no_expand(spark, sf_dir):
