@@ -169,3 +169,82 @@ def test_decode_jpeg_without_pillow_names_the_package(spark):
     )
     with pytest.raises(Exception, match="Pillow"):
         MM.decode_media(df).collect()
+
+
+# -- success-path coverage of the Pillow-gated legs WITHOUT the real
+# library (the test_optional_deps.py fake-module pattern): a minimal fake
+# exposes exactly the entry points the gated kernels touch, so the
+# dispatch, buffer handling and re-encode logic run in this sandbox.
+
+HAS_PIL = __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(HAS_PIL, reason="real Pillow would shadow the fake")
+def test_jpeg_decode_and_png_resize_with_fake_pillow(monkeypatch):
+    import struct
+    import zlib
+
+    class FakeImg:
+        def __init__(self, w, h, fmt):
+            self.width, self.height, self.format = w, h, fmt
+            self.n_frames = 1
+
+        def resize(self, wh):
+            return FakeImg(wh[0], wh[1], self.format)
+
+        def save(self, buf, format):
+            # emit a REAL minimal PNG so the round-trip decode (pure
+            # struct, no Pillow) can verify the new dimensions
+            assert format == "PNG"
+
+            def chunk(tag, body):
+                return (
+                    struct.pack(">I", len(body))
+                    + tag
+                    + body
+                    + struct.pack(">I", zlib.crc32(tag + body))
+                )
+
+            ihdr = struct.pack(">IIBBBBB", self.width, self.height, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(self.width) for _ in range(self.height))
+            buf.write(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+    class FakePIL:
+        @staticmethod
+        def open(bio):
+            blob = bio.read()
+            if blob[:3] == b"\xff\xd8\xff":
+                return FakeImg(10, 6, "JPEG")
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+            import struct as _s
+
+            w, h = _s.unpack(">II", blob[16:24])
+            return FakeImg(w, h, "PNG")
+
+    monkeypatch.setattr(MM, "_PILImage", FakePIL)
+    # JPEG metadata decode rides the gate
+    meta = MM._decode_one(b"\xff\xd8\xff\xe0rest")
+    assert meta == {
+        "format": "jpeg",
+        "width": 10,
+        "height": 6,
+        "n_frames": 1,
+        "n_bytes": 8,
+    }
+    # PNG pixel-level resize: open -> resize -> re-encode, then verify the
+    # new dims through the REAL (struct-based) PNG metadata decoder
+    from tests.test_multimodal import _tiny_png
+
+    out = MM._resize_one(_tiny_png(5, 3), 2, 2)
+    assert MM._decode_one(out) == {
+        "format": "png",
+        "width": 2,
+        "height": 2,
+        "n_frames": 1,
+        "n_bytes": len(out),
+    }
