@@ -3233,3 +3233,101 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_data_lake_spark.operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# corpus clustering (k-means)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """DuckDB mirror of operators/clustering.py::kmeans — the same fixed
+    Lloyd iterations as chained CTEs (init = k lowest vec_ids, centroid
+    coordinates rounded to 6 dp between rounds on both engines, distance
+    ties to the smaller cluster id)."""
+    parts = [
+        f"""
+    WITH u AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), seed AS (
+      SELECT vec_id,
+             CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT s.cid, u.pos, ROUND(u.val, 6) AS cval
+      FROM u JOIN seed s USING (vec_id)
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", d{i} AS (
+      SELECT u.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY SUM((u.val - c.cval) * (u.val - c.cval)), c.cid
+             ) AS rn
+      FROM u JOIN {prev} c ON u.pos = c.pos
+      GROUP BY u.vec_id, c.cid
+    ), a{i} AS (SELECT vec_id, cid FROM d{i} WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, u.pos, ROUND(AVG(u.val), 6) AS cval
+      FROM u JOIN a{i} a USING (vec_id)
+      GROUP BY a.cid, u.pos
+    )"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f""", df_ AS (
+      SELECT u.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY SUM((u.val - c.cval) * (u.val - c.cval)), c.cid
+             ) AS rn
+      FROM u JOIN {prev} c ON u.pos = c.pos
+      GROUP BY u.vec_id, c.cid
+    ), af_ AS (SELECT vec_id, cid FROM df_ WHERE rn = 1
+    ), sizes AS (
+      SELECT cid AS cluster_id, COUNT(*) AS n_members FROM af_ GROUP BY 1
+    ), norms AS (
+      SELECT cid AS cluster_id,
+             ROUND(SQRT(SUM(cval * cval)), 4) AS centroid_norm
+      FROM {prev} GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_members, n.centroid_norm
+    FROM sizes s JOIN norms n USING (cluster_id)
+    ORDER BY s.cluster_id"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "cluster_kmeans_embeddings",
+    oracle=_kmeans_oracle(k=8, n_iter=3),
+    tags=("clustering", "embeddings", "pipeline"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 3 Lloyd rounds, deterministic lowest-id
+    init) over the embeddings corpus — the cluster-then-sample backbone of
+    semantic dedup / diversity curation. Declared output: per-cluster
+    member count + rounded centroid L2 norm (counts and rounded norms are
+    fp-drift-safe; raw centroid coordinates are not declared). Plan: each
+    round is a broadcast join of the long-form (id,pos,val) relation
+    against the k*dim centroid relation with map-side combine, argmin as a
+    per-id window; only k*dim centroid doubles visit the driver between
+    rounds (operators/clustering.py)."""
+    from connected_data_lake_spark.operators import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cent = KM.kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=8, n_iter=3
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    norms = cent.groupBy("cluster_id").agg(
+        F.round(F.sqrt(F.sum(F.col("cval") * F.col("cval"))), 4).alias(
+            "centroid_norm"
+        )
+    )
+    return sizes.join(norms, "cluster_id").orderBy("cluster_id")
