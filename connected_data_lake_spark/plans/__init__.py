@@ -411,6 +411,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from connected_data_lake_spark.plans import (  # noqa: F401
         events,
         extensions,
+        lakeops,
         relational,
         rootfs_queries,
     )

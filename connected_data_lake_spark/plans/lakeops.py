@@ -1,0 +1,244 @@
+"""Declared lakehouse-mutation and data-quality queries.
+
+The reference's write path is append-only chunk batches behind a manifest
+swap (cdl-fs lib.rs append sink); row-level curation semantics — MERGE a
+changeset, build slowly-changing history, gate a table on expectations —
+live above that layer. These queries declare those semantics as pure
+relational transforms (operators/lakeops.py) so the driver's DuckDB
+oracle can value-verify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.operators import lakeops as LK
+from connected_data_lake_spark.plans import query
+from connected_data_lake_spark.sources.tables import load_table
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_custkey
+      FROM orders WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', 999.99, o_custkey
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(DISTINCT o_custkey) AS n_cust
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "merge"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over orders: a deterministic changeset (delete keys
+    ≡0 mod 31, update keys ≡0 mod 7 → status 'F' / price +50, insert new
+    keys for keys ≡0 mod 13) applied through the generic full-outer MERGE
+    operator (operators/lakeops.py::merge_into), summarized per status.
+    The oracle derives the merged relation INDEPENDENTLY (filter + CASE +
+    UNION ALL) rather than mirroring the join, so the merge operator's
+    matched/delete/insert routing is what's actually under test. The +50
+    update is exact double arithmetic — no rounding drift can enter the
+    per-status sums."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    date_t = dict(o.dtypes)["o_orderdate"]  # timestamp vs timestamp_ntz
+    nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
+    deletes = o.filter(key % 31 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        nulls("bigint").alias("s_custkey"),
+        nulls("string").alias("s_status"),
+        nulls("double").alias("s_price"),
+        nulls(date_t).alias("s_date"),
+        nulls("string").alias("s_priority"),
+    )
+    updates = o.filter((key % 7 == 0) & (key % 31 != 0)).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        nulls("bigint").alias("s_custkey"),
+        F.lit("F").alias("s_status"),
+        (F.col("o_totalprice") + F.lit(50.0)).alias("s_price"),
+        nulls(date_t).alias("s_date"),
+        nulls("string").alias("s_priority"),
+    )
+    inserts = o.filter(key % 13 == 0).select(
+        (key + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.col("o_custkey").alias("s_custkey"),
+        F.lit("N").alias("s_status"),
+        F.lit(999.99).alias("s_price"),
+        F.col("o_orderdate").alias("s_date"),
+        F.col("o_orderpriority").alias("s_priority"),
+    )
+    src = deletes.unionByName(updates).unionByName(inserts)
+    merged = LK.merge_into(
+        o,
+        src,
+        on=["o_orderkey"],
+        update_set={
+            "o_orderstatus": F.col("s.s_status"),
+            "o_totalprice": F.col("s.s_price"),
+        },
+        delete_when=F.col("s.op") == "D",
+        insert_values={
+            "o_orderkey": F.col("s.o_orderkey"),
+            "o_custkey": F.col("s.s_custkey"),
+            "o_orderstatus": F.col("s.s_status"),
+            "o_totalprice": F.col("s.s_price"),
+            "o_orderdate": F.col("s.s_date"),
+            "o_orderpriority": F.col("s.s_priority"),
+        },
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "scd2_event_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  = event_type THEN 0 ELSE 1 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, event_type, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM e
+    ), isl AS (
+      SELECT user_id, grp, ANY_VALUE(event_type) AS event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM g GROUP BY user_id, grp
+    ), v AS (
+      SELECT user_id, event_type, valid_from, n_events,
+             CAST(ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY grp) AS INT) AS version_n,
+             LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY grp) AS valid_to
+      FROM isl
+    )
+    SELECT user_id, version_n, event_type, valid_from, valid_to, n_events,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    ORDER BY user_id, version_n
+    """,
+    tags=("lakeops", "scd2", "window"),
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history of each user's event_type: collapse
+    consecutive equal-type runs (gaps-and-islands) into validity intervals
+    with an open-ended current version — the SCD2 build a curated dim
+    table needs from a raw event stream. Two window passes, one shuffle on
+    user_id, no self-join (operators/lakeops.py::scd2_history)."""
+    ev = load_table(spark, sf_dir, "events")
+    return LK.scd2_history(
+        ev, key="user_id", change_col="event_type", ts_col="ts",
+        tiebreak="event_id",
+    ).orderBy("user_id", "version_n")
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'events_value_finite' AS expectation, COUNT(*) AS n_violations
+      FROM events WHERE value IS NULL OR isnan(value)
+      UNION ALL
+      SELECT 'fk_lineitem_orders', COUNT(*)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'fk_orders_customer', COUNT(*)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'documents_nchars_consistent', COUNT(*)
+      FROM documents WHERE length(text) <> n_chars
+      UNION ALL
+      SELECT 'orders_price_positive', COUNT(*)
+      FROM orders WHERE o_totalprice <= 0
+    )
+    SELECT expectation, CAST(n_violations AS BIGINT) AS n_violations,
+           (n_violations = 0) AS pass
+    FROM checks ORDER BY expectation
+    """,
+    tags=("lakeops", "quality"),
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: one row per expectation (referential integrity
+    via anti-joins, value-domain and consistency predicates via
+    conditional counts) with its violation count and verdict — the
+    pre-publish validation a curated lake table runs before the manifest
+    swap commits it. Each FK check is a left-anti join (shuffle on the
+    key, no broadcast assumption — both sides are fact-sized at 100 TB);
+    the predicate checks ride single scans."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, viol: DataFrame) -> DataFrame:
+        return viol.agg(
+            F.lit(name).alias("expectation"),
+            F.count("*").alias("n_violations"),
+        )
+
+    checks = (
+        check(
+            "events_value_finite",
+            ev.filter(F.col("value").isNull() | F.isnan("value")),
+        )
+        .unionByName(
+            check(
+                "fk_lineitem_orders",
+                li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "fk_orders_customer",
+                o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+            )
+        )
+        .unionByName(
+            check(
+                "documents_nchars_consistent",
+                docs.filter(F.length("text") != F.col("n_chars")),
+            )
+        )
+        .unionByName(
+            check(
+                "orders_price_positive",
+                o.filter(F.col("o_totalprice") <= 0),
+            )
+        )
+    )
+    return checks.select(
+        "expectation",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    ).orderBy("expectation")
