@@ -3331,3 +3331,141 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sizes.join(norms, "cluster_id").orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency curation signals (boilerplate + novelty)
+# ---------------------------------------------------------------------------
+
+#: shared CTE prefix: per-doc DISTINCT 3-gram shingles in long form — the
+#: same spelling every Jaccard/dedup oracle uses
+_DOC_SHINGLES_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]) AS sh
+      FROM t
+    ), p AS (
+      SELECT doc_id, UNNEST(sh) AS tok FROM s WHERE len(sh) > 0
+    )"""
+
+
+def _doc_shingle_rel(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok): each doc's DISTINCT 3-gram shingles, one row each."""
+    docs = DD.spread(docs)  # single-file fixture reads as ONE split and
+    # single-cores the shingling pass; pass-through at cluster parallelism
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles("text", 3))).alias("tok"),
+    )
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle=_DOC_SHINGLES_SQL
+    + """, d AS (
+      SELECT tok, COUNT(*) AS df_ FROM p GROUP BY tok
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), per AS (
+      SELECT p.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN d.df_ > 0.25 * nd.n_docs
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM p JOIN d USING (tok) CROSS JOIN nd
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           ROUND(n_boiler * 1.0 / n_shingles, 6) AS boilerplate_ratio
+    FROM per ORDER BY doc_id
+    """,
+    tags=("text", "curation", "pipeline"),
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate score (the CCNet/C4-style signal): the
+    share of a doc's distinct 3-gram shingles that occur in more than 25%
+    of all docs — headers, navigation chrome, and license blurbs light
+    up; novel prose scores near zero. Shape: one shingling pass, one
+    (shingle) document-frequency aggregate with map-side combine, one
+    shuffle join back, per-doc aggregate; N arrives as a broadcast
+    one-row relation (the tf-idf convention), never a driver count()."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = _doc_shingle_rel(docs)
+    d = p.groupBy("tok").agg(F.count("*").alias("df_"))
+    n_rel = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        p.join(d, "tok")
+        .crossJoin(F.broadcast(n_rel))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(
+                    F.col("df_") > 0.25 * F.col("n_docs"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=_DOC_SHINGLES_SQL
+    + """, d AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM p GROUP BY tok
+    ), per AS (
+      SELECT p.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN d.first_doc = p.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM p JOIN d USING (tok)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           ROUND(n_novel * 1.0 / n_shingles, 6) AS novelty_ratio
+    FROM per ORDER BY doc_id
+    """,
+    tags=("text", "curation", "dedup", "pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in corpus ingestion order (doc_id):
+    the share of a doc's distinct 3-gram shingles whose FIRST corpus
+    occurrence is this doc — the incremental-contribution signal a
+    dedup-aware sampler caps low-novelty docs on (a doc that is pure
+    recombination of earlier shingles scores 0). Same two-aggregate
+    shape as the boilerplate signal with MIN(doc_id) as the per-shingle
+    reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = _doc_shingle_rel(docs)
+    d = p.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        p.join(d, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(
+                    F.col("first_doc") == F.col("doc_id"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
