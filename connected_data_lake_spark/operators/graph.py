@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def _edge_list(pairs: DataFrame, src: str, dst: str) -> DataFrame:
@@ -238,3 +238,80 @@ def _connected_components_star(
         f"large-star/small-star did not converge in {max_iter} rounds - "
         "at O(log n) rounds this indicates > 2^{max_iter} nodes or a bug"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank; returns ``(node, rank)``.
+
+    Each round is one shuffle join of the transition relation
+    ``(src, dst, p)`` against the rank relation plus a dst-keyed aggregate
+    with map-side combine — the standard MapReduce PageRank shape (Page et
+    al. 1999; the Spark-idiomatic form of GraphX's Pregel loop). Dangling
+    mass (nodes with no out-edges) is folded back uniformly via a one-row
+    broadcast relation — never a driver scalar. Rank state is
+    ``localCheckpoint``-ed per round to truncate lineage, exactly like the
+    connected-components loop above (each round references the previous
+    rank relation twice — contributions and dangling mass — so an unbroken
+    lazy plan doubles per round).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionAll(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("out_w"))
+    trans = e.join(outw, "e_src").select(
+        "e_src", "e_dst", (F.col("e_w") / F.col("out_w")).alias("p")
+    ).persist()
+    n_rel = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_rel))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .localCheckpoint()
+    )
+    has_out = trans.select(F.col("e_src").alias("node")).distinct()
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                trans.join(ranks, trans.e_src == ranks.node)
+                .groupBy(F.col("e_dst").alias("node"))
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+            )
+            dang = (
+                ranks.join(has_out, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+            )
+            new_ranks = (
+                ranks.select("node")
+                .join(contrib, "node", "left_outer")
+                .crossJoin(F.broadcast(dang))
+                .crossJoin(F.broadcast(n_rel))
+                .select(
+                    "node",
+                    (
+                        (1.0 - damping) / F.col("n_nodes")
+                        + damping
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dang") / F.col("n_nodes")
+                        )
+                    ).alias("rank"),
+                )
+            )
+            old = ranks
+            ranks = new_ranks.localCheckpoint()
+            old.unpersist()
+    finally:
+        trans.unpersist()
+    return ranks

@@ -3469,3 +3469,89 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: PageRank over the nation trade network
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(damping: float, n_iter: int) -> str:
+    """DuckDB mirror of operators/graph.py::pagerank — the same fixed
+    iterations as chained CTEs (uniform init, weighted transition
+    probabilities, dangling mass folded back uniformly)."""
+    head = """
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), outw AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src
+    ), trans AS (
+      SELECT e.src, e.dst, e.w / o.out_w AS p
+      FROM e JOIN outw o ON e.src = o.src
+    ), r0 AS (SELECT node, 1.0 / nn.n AS rnk FROM nodes, nn)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", c{i} AS (
+      SELECT t.dst AS node, SUM(t.p * r.rnk) AS contrib
+      FROM trans t JOIN r{i - 1} r ON t.src = r.node GROUP BY t.dst
+    ), d{i} AS (
+      SELECT COALESCE(SUM(rnk), 0.0) AS dang FROM r{i - 1}
+      WHERE node NOT IN (SELECT src FROM trans)
+    ), r{i} AS (
+      SELECT n.node,
+             {1.0 - damping} / nn.n
+             + {damping} * (COALESCE(c.contrib, 0.0) + d.dang / nn.n) AS rnk
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, d{i} d, nn
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS nationkey, ROUND(rnk, 6) AS pagerank
+    FROM r{n_iter} ORDER BY nationkey"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank_trade",
+    oracle=_pagerank_oracle(damping=0.85, n_iter=5),
+    tags=("graph", "pipeline"),
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade network (supplier nation →
+    customer nation, edge weight = lineitem count): the link-analysis
+    centrality a crawl-curation pipeline runs over its domain graph. The
+    distributed-heavy part is the edge build — a three-way fact join with
+    a (src,dst) aggregate; the iteration loop is the generic
+    operators/graph.py::pagerank (one shuffle join + dst aggregate per
+    round, dangling mass via broadcast one-row relation, per-round
+    localCheckpoint). Ranks rounded at the output only — iteration
+    arithmetic stays full-precision on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = GR.pagerank(edges, weight="w", damping=0.85, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("nationkey"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("nationkey")

@@ -174,3 +174,44 @@ def test_star_rejects_unknown_algorithm(spark):
 
     with _pytest.raises(ValueError, match="algorithm"):
         connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
+
+
+def test_pagerank_matches_power_iteration(spark):
+    import numpy as np
+
+    from connected_data_lake_spark.operators.graph import pagerank
+
+    # 4 nodes; node 3 is dangling (appears only as a destination)
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w DOUBLE")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", damping=0.85, n_iter=5).collect()
+    }
+
+    d, n = 0.85, 4
+    p = np.zeros((n, n))
+    for s, t, w in edges:
+        p[s, t] = w
+    out = p.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * p[s] / out[s]
+        dang = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dang / n)
+    assert sorted(got) == [0, 1, 2, 3]
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from connected_data_lake_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src BIGINT, dst BIGINT"
+    )
+    got = [r["rank"] for r in pagerank(df, n_iter=3).collect()]
+    assert all(abs(x - 1.0 / 3) < 1e-12 for x in got)
