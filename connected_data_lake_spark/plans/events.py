@@ -504,3 +504,85 @@ def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1, event_id FROM events
+    ), d AS (
+      SELECT t, delta, event_id, CAST(t AS DATE) AS day FROM pts
+    ), day_tot AS (
+      SELECT day, SUM(delta) AS day_sum FROM d GROUP BY day
+    ), off AS (
+      SELECT day, COALESCE(SUM(day_sum) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS carry
+      FROM day_tot
+    ), run AS (
+      SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    )
+    SELECT CAST(r.day AS VARCHAR) AS day_str,
+           CAST(SUM(CASE WHEN r.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starts,
+           CAST(MAX(r.run + o.carry) AS BIGINT) AS peak_concurrency
+    FROM run r JOIN off o USING (day)
+    GROUP BY r.day
+    ORDER BY day_str
+    """,
+    tags=("events", "window"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day, treating each event as a 5-minute
+    interval: the classic sweep-line — +1/-1 boundary points, running sum,
+    max. Scale shape is the pack_sequences two-phase prefix sum: the
+    within-day running sum partitions by day (distributed), and the
+    cross-day carry (intervals still open at midnight) comes from a
+    prefix over the DAY-LEVEL totals — a relation with one row per day,
+    never a single-partition window over the event points. Interval
+    semantics are [closed, open): at an equal instant the -1 sorts before
+    the +1, so back-to-back intervals don't double-count."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = starts.unionAll(ends).withColumn("day", F.to_date("t"))
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("day_sum"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    off = day_tot.select(
+        "day",
+        F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("carry"),
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("run", F.sum("delta").over(w_in))
+    return (
+        run.join(F.broadcast(off), "day")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.max(F.col("run") + F.col("carry")).alias("peak_concurrency"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day_str"),
+            "n_starts",
+            "peak_concurrency",
+        )
+        .orderBy("day_str")
+    )

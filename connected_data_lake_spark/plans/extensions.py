@@ -3555,3 +3555,71 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nationkey"),
         F.round("rank", 6).alias("pagerank"),
     ).orderBy("nationkey")
+
+
+@query(
+    "stats_chisq_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), rm AS (
+      SELECT lang, COUNT(*) AS rt FROM documents GROUP BY 1
+    ), cm AS (
+      SELECT source, COUNT(*) AS ct FROM documents GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), grid AS (
+      SELECT r.lang, c.source, r.rt * c.ct / nn.n AS e,
+             COALESCE(cl.o, 0) AS o
+      FROM rm r CROSS JOIN cm c CROSS JOIN nn
+      LEFT JOIN cells cl USING (lang, source)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST(((SELECT COUNT(*) FROM rm) - 1)
+                * ((SELECT COUNT(*) FROM cm) - 1) AS BIGINT) AS dof
+    FROM grid
+    """,
+    tags=("stats", "pipeline"),
+)
+def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between the lang and source columns —
+    the drift/association diagnostic a corpus-mixture monitor runs (is
+    language distribution independent of the crawl source?). The full
+    lang x source grid INCLUDING zero-observed cells is materialized from
+    the two margin relations (both tiny — broadcast cross join), so the
+    statistic is the textbook one; the single fact-sized pass is the
+    three margin/cell aggregates over one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rm = docs.groupBy("lang").agg(F.count("*").alias("rt"))
+    cm = docs.groupBy("source").agg(F.count("*").alias("ct"))
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+    grid = (
+        F.broadcast(rm)
+        .crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(nn))
+        .join(cells, ["lang", "source"], "left_outer")
+        .select(
+            "lang",
+            "source",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    dof = (
+        F.broadcast(rm.agg((F.count("*") - 1).alias("r1")))
+        .crossJoin(cm.agg((F.count("*") - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).cast("bigint").alias("dof"))
+    )
+    return (
+        grid.agg(
+            F.count("*").alias("n_cells"),
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_cells", "chi2", "dof")
+    )
