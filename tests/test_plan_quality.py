@@ -361,3 +361,59 @@ def test_profile_approx_path_has_no_expand(spark, sf_dir):
         .toString()
     )
     assert "Expand" not in plan
+
+
+def test_merge_upsert_is_full_outer_hash_or_smj(spark, sf_dir):
+    """The MERGE operator must plan as a single full-outer equi-join on
+    the merge key — never a nested loop; full-outer cannot broadcast, so
+    SMJ/shuffled-hash is the correct scalable shape (bucketing removes
+    the exchange at 100 TB, as join_bucketed_colocated demonstrates)."""
+    plan = plan_of(spark, sf_dir, "merge_upsert_orders")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_windows_stay_partitioned(spark, sf_dir):
+    """Both SCD2 window passes must partition by user_id — a global
+    island-numbering window would single-thread the build."""
+    plan = plan_of(spark, sf_dir, "scd2_event_history")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quality_expectation_fk_checks_are_anti_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "quality_expectations")
+    assert "Anti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_point_window_partitions_by_day(spark, sf_dir):
+    """The sweep-line running sum must partition by day; the only
+    single-partition exchange allowed is the DAY-LEVEL carry prefix
+    (one row per day), never the event-point relation."""
+    plan = plan_of(spark, sf_dir, "events_peak_concurrency")
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "windowspecdefinition(day" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["text_boilerplate_ratio", "text_ngram_novelty"]
+)
+def test_corpus_frequency_signals_join_on_shingle_hash(spark, sf_dir, name):
+    """The df/first-doc join back to the per-doc shingle relation must be
+    a hash equi-join on the shingle; the only nested-loop allowed is the
+    broadcast of the ONE-ROW corpus-size relation (boilerplate only)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= (
+        1 if name == "text_boilerplate_ratio" else 0
+    )
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The k-means final-assignment plan must broadcast the k*dim
+    centroid relation against the long-form vectors — a shuffled or
+    nested-loop join there would shuffle n*dim rows per iteration."""
+    plan = plan_of(spark, sf_dir, "cluster_kmeans_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
