@@ -586,3 +586,129 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_str")
     )
+
+
+@query(
+    "events_ohlc_minutely",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute, ts, event_id,
+             value
+      FROM events
+    ), w AS (
+      SELECT event_type, minute, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, minute
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM m
+    )
+    SELECT event_type, minute,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open_v,
+           ROUND(MAX(value), 6) AS high_v,
+           ROUND(MIN(value), 6) AS low_v,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close_v,
+           COUNT(*) AS n_events
+    FROM w
+    GROUP BY event_type, minute
+    ORDER BY event_type, minute
+    """,
+    tags=("events", "timeseries"),
+)
+def events_ohlc_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to minutely OHLC bars per event type —
+    the hypertable rollup a metrics store continuously maintains. First/
+    last are pinned by (ts, event_id) row_number windows (min_by/arg_min
+    tie-break order is engine-defined; the explicit total order is not),
+    high/low/count are plain aggregates. One shuffle on (type, minute);
+    windows partition by the same key, so the exchange is reused."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "minute").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "minute").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w = m.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        w.groupBy("event_type", "minute")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6
+            ).alias("open_v"),
+            F.round(F.max("value"), 6).alias("high_v"),
+            F.round(F.min("value"), 6).alias("low_v"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6
+            ).alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "minute")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day_str,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twa_value,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_intervals
+    FROM e
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    HAVING SUM(dt_us) > 0
+    ORDER BY user_id, day_str
+    """,
+    tags=("events", "timeseries"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-day TIME-weighted average of value (the TimescaleDB
+    time_weight shape): each reading holds until the next one, so its
+    weight is the gap to the successor in integer epoch microseconds —
+    irregular sampling can't bias the mean the way a row-average does.
+    One window pass partitioned by (user, day) for the gaps, then a plain
+    aggregate; days whose readings all coincide (zero total duration)
+    are excluded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twa_value"),
+            F.count("dt_us").alias("n_intervals"),
+            F.sum("dt_us").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day_str"),
+            "twa_value",
+            "n_intervals",
+        )
+        .orderBy("user_id", "day_str")
+    )

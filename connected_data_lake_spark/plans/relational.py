@@ -3863,3 +3863,53 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("part",),
     )
+
+
+@query(
+    "agg_hll_partial_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_d,
+           TRUE AS merged_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION — the property that makes approximate
+    distinct-counting compose at 100 TB: per-day Datasketches HLL
+    sketches of customer keys are built independently (as per-partition /
+    per-ingest-batch sketches would be), then merged per priority with
+    hll_union_agg, and the merged estimate is contract-checked against
+    the exact count (≤5%; Datasketches HLL is deterministic for a given
+    input set, so the boolean is stable). agg_approx_distinct covers the
+    one-shot sketch; this covers the algebra — a rollup store keeps the
+    daily sketches and answers ANY date-range distinct query by union,
+    never rescanning raw data."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("_day")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
+    merged = daily.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_approx")
+    )
+    exact = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_d"))
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_d",
+            (
+                F.abs(F.col("_approx") - F.col("exact_d"))
+                <= 0.05 * F.col("exact_d")
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
