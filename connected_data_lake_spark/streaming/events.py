@@ -107,6 +107,38 @@ def tumbling_counts(
     )
 
 
+def ohlc_minutely(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Minutely OHLC bars per event type on a stream — the streaming twin
+    of plans/events.events_ohlc_minutely. Open/close are min_by/max_by on
+    the TOTAL (ts, event_id) struct key, so the result is deterministic
+    and batch-equal regardless of arrival order (the batch twin pins the
+    same total order via row_number); bars close when the watermark
+    passes the minute end. State per open bar is O(1): two (key, value)
+    pairs + three scalars."""
+    key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open_v"),
+            F.round(F.max("value"), 6).alias("high_v"),
+            F.round(F.min("value"), 6).alias("low_v"),
+            F.round(F.max_by("value", key), 6).alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("minute"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+        )
+    )
+
+
 def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Session windows (inactivity gap) per user on a stream — the
     streaming twin of plans/events.events_session_gap30m; sessions close

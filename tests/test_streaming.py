@@ -305,3 +305,27 @@ def test_trending_topk_stream_matches_batch_twin(spark, tmp_path):
         for r in spec_of("events_trending_topk").spark(spark, sf).collect()
     }
     assert streamed == batch and batch
+
+
+def test_ohlc_stream_matches_batch_twin(spark, sf_dir, events_dir):
+    """Every watermark-closed OHLC bar emitted by the stream must equal
+    the batch twin's bar (open/close pinned by the same total (ts,
+    event_id) order on both sides)."""
+    out = _drain(SE.ohlc_minutely(SE.read_events_stream(spark, events_dir))).collect()
+    assert out, "expected closed bars to be emitted"
+
+    from connected_data_lake_spark.plans import spec_of
+
+    batch = {
+        (r.minute, r.event_type): (
+            r.open_v, r.high_v, r.low_v, r.close_v, r.n_events
+        )
+        for r in spec_of("events_ohlc_minutely").spark(spark, sf_dir).collect()
+    }
+    for r in out:
+        # streaming window start is TIMESTAMP (UTC session); the batch
+        # twin's date_trunc over TIMESTAMP_NTZ carries the same wall time
+        key = (r.minute.replace(tzinfo=None), r.event_type)
+        assert batch[key] == (
+            r.open_v, r.high_v, r.low_v, r.close_v, r.n_events
+        ), key
