@@ -712,3 +712,52 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_str")
     )
+
+
+@query(
+    "events_value_autocorr",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             LAG(value, 1) OVER w AS lag1,
+             LAG(value, 2) OVER w AS lag2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)     AS n_events,
+           ROUND(CORR(value, lag1), 6)  AS autocorr_lag1,
+           ROUND(CORR(value, lag2), 6)  AS autocorr_lag2
+    FROM o
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "timeseries"),
+)
+def events_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation of the value series per event type —
+    the serial-dependence diagnostic a metrics pipeline runs before
+    trusting i.i.d. assumptions (change-point detectors, CI widths).
+    Plan: one shuffle to (event_type)-partitioned external sort for the
+    LAG window, then a map-side-combined CORR aggregate on the same
+    partitioning — AQE coalesces the already-partitioned exchange, so the
+    window and the groupBy share one shuffle. The (ts, event_id) sort key
+    is unique, so lag alignment is deterministic; CORR skips NULL lag
+    pairs identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+    )
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.corr("value", "lag1"), 6).alias("autocorr_lag1"),
+            F.round(F.corr("value", "lag2"), 6).alias("autocorr_lag2"),
+        )
+        .orderBy("event_type")
+    )

@@ -3623,3 +3623,136 @@ def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n_cells", "chi2", "dof")
     )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS toks
+      FROM documents
+    ), u AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT UNNEST(toks) AS tok FROM t
+      ) WHERE tok <> '' GROUP BY tok
+    ), un AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM u
+    ), b AS (
+      SELECT bigram, COUNT(*) AS c_ab FROM (
+        SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                       for i in generate_series(1, len(toks) - 1)]) AS bigram
+        FROM t WHERE len(toks) >= 2
+      ) GROUP BY bigram
+    ), bn AS (
+      SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_bi FROM b
+    ), j AS (
+      SELECT b.bigram, b.c_ab,
+             ROUND(LN((b.c_ab / bn.n_bi)
+                      / ((u1.c / un.n_uni) * (u2.c / un.n_uni))), 6) AS pmi
+      FROM b CROSS JOIN bn CROSS JOIN un
+      JOIN u u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+      JOIN u u2 ON u2.tok = split_part(b.bigram, ' ', 2)
+      WHERE b.c_ab >= 5
+    )
+    SELECT bigram, c_ab, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rnk
+    FROM j
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+    tags=("text", "curation"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (min support 5) — the statistic behind multi-word-expression lists and
+    tokenizer-merge candidates. PMI = ln(p(ab) / (p(a)p(b))) with unigram
+    and bigram probabilities from the same normalized token stream. Plan:
+    one shingling scan feeds both vocabularies; the support filter
+    (c_ab >= 5) cuts the bigram relation to its Zipf head BEFORE the two
+    unigram joins, and the unigram relation joins by token equality
+    (shuffle-hash on a vocabulary-sized relation, never fact-sized);
+    the rank window runs over only the filtered candidates."""
+    docs = DD.spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(TX.shingles("text", 1)).alias("tok"))
+    u = toks.filter(F.col("tok") != "").groupBy("tok").agg(F.count("*").alias("c"))
+    un = u.agg(F.sum("c").cast("double").alias("n_uni"))
+    b = (
+        docs.select(F.explode(TX.shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    bn = b.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    j = (
+        b.filter(F.col("c_ab") >= 5)
+        .crossJoin(F.broadcast(bn))
+        .crossJoin(F.broadcast(un))
+        .join(
+            u.select(F.col("tok").alias("w1"), F.col("c").alias("c1")),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .join(
+            u.select(F.col("tok").alias("w2"), F.col("c").alias("c2")),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("w2"),
+        )
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = j.orderBy(F.desc("pmi"), "bigram").limit(20)
+    w = Window.orderBy(F.desc("pmi"), "bigram")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).orderBy("rnk")
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS h32
+      FROM documents WHERE n_chars > 0
+    ), k AS (
+      SELECT doc_id, lang,
+             LN((h32 + 1.0) / 4294967297.0) / n_chars AS key
+      FROM t
+    )
+    SELECT lang, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY key DESC, doc_id) AS INT) AS sample_rank
+    FROM k
+    QUALIFY sample_rank <= 15
+    ORDER BY lang, sample_rank
+    """,
+    tags=("text", "pipeline"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-ES): 15 docs per language drawn with probability
+    proportional to n_chars — the size-biased sample a token-budget
+    curator wants (doc-uniform sampling under-represents long documents'
+    token mass). Each doc's priority is ln(u)/w with u a deterministic
+    md5-derived uniform in (0,1), so the draw is reproducible across
+    engines and runs with no seeded-RNG agreement; ranking by the key is
+    equivalent to ranking by u^(1/w). One shuffle on the stratum key;
+    per-stratum top-k via ROW_NUMBER (AQE partial top-k per partition)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    key = F.log((h32 + F.lit(1.0)) / F.lit(4294967297.0)) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc(key), "doc_id")
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("int").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 15)
+        .orderBy("lang", "sample_rank")
+    )

@@ -3913,3 +3913,76 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE)    AS n,
+             SUM(l_quantity)             AS s1,
+             SUM(POWER(l_quantity, 2))   AS s2,
+             SUM(POWER(l_quantity, 3))   AS s3,
+             SUM(POWER(l_quantity, 4))   AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - POWER(s1 / n, 2) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * POWER(s1 / n, 2) * (s2 / n)
+                    - 3 * POWER(s1 / n, 4) AS m4
+      FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                    AS n_rows,
+           ROUND(m3 / POWER(m2, 1.5), 6)        AS skewness_pop,
+           ROUND(m4 / POWER(m2, 2) - 3, 6)      AS kurtosis_excess
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment shape statistics (A3/A4 family completion): population
+    skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2^2 - 3, derived
+    from raw power sums on BOTH engines rather than the built-in
+    skewness()/kurtosis() aggregates, because Spark returns population
+    moments while DuckDB returns bias-corrected sample moments — the
+    explicit power-sum spelling pins one definition. l_quantity is a small
+    integer column, so every power sum is exactly representable in a
+    double and the statistic is bit-deterministic under any partial-agg
+    association order (one map-side-combined shuffle, no window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(F.pow(q, 2)).alias("s2"),
+        F.sum(F.pow(q, 3)).alias("s3"),
+        F.sum(F.pow(q, 4)).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - F.pow(mu, 2)
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mu * (F.col("s2") / F.col("n"))
+        + 2 * F.pow(mu, 3)
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * F.pow(mu, 2) * (F.col("s2") / F.col("n"))
+        - 3 * F.pow(mu, 4)
+    )
+    return (
+        s.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+            F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
+        )
+        .orderBy("l_returnflag")
+    )
