@@ -3756,3 +3756,419 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= 15)
         .orderBy("lang", "sample_rank")
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY value
+    ), n AS (
+      SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2
+      FROM g
+    ), c AS (
+      SELECT SUM(c1) OVER (ORDER BY value) AS cc1,
+             SUM(c2) OVER (ORDER BY value) AS cc2
+      FROM g
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1,
+           CAST(n.n2 AS BIGINT) AS n2,
+           ROUND(MAX(ABS(cc1 / n.n1 - cc2 / n.n2)), 6) AS ks_d,
+           ROUND(MAX(ABS(cc1 / n.n1 - cc2 / n.n2))
+                 * SQRT(n.n1 * n.n2 / (n.n1 + n.n2)), 4) AS ks_scaled
+    FROM c CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+    tags=("stats", "pipeline"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions — the distribution-drift test a feature
+    monitor runs between cohorts. D = max |F1 - F2| evaluated at every
+    distinct observed value (per-value pre-aggregation handles ties
+    exactly: intermediate within-tie prefix rows are not valid CDF
+    points). The empirical CDFs are a DISTRIBUTED two-phase prefix sum —
+    the same shape as pack_sequences: range-repartition by value,
+    per-partition sample counts collected as planning metadata (one
+    N_partitions-row collect), exclusive bases broadcast back, cumulative
+    window per partition — never a single-partition global window.
+    ks_scaled is D * sqrt(n1*n2/(n1+n2)), the input to the asymptotic
+    Kolmogorov distribution."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parts = (
+        g.repartitionByRange(n_parts, "value")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = sorted(
+        parts.groupBy("pid")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect(),
+        key=lambda r: r["pid"],
+    )
+    bases, r1, r2 = [], 0, 0
+    for r in sums:
+        bases.append((r["pid"], r1, r2))
+        r1 += r["s1"]
+        r2 += r["s2"]
+    n1, n2 = float(r1), float(r2)
+    base_df = spark.createDataFrame(bases, "pid int, b1 bigint, b2 bigint")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = parts.join(F.broadcast(base_df), "pid").select(
+        ((F.col("b1") + F.sum("c1").over(w)) / F.lit(n1)).alias("f1"),
+        ((F.col("b2") + F.sum("c2").over(w)) / F.lit(n2)).alias("f2"),
+    )
+    scale = (n1 * n2 / (n1 + n2)) ** 0.5
+    out = c.agg(
+        F.lit(int(n1)).cast("bigint").alias("n1"),
+        F.lit(int(n2)).cast("bigint").alias("n2"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))) * F.lit(scale), 4).alias(
+            "ks_scaled"
+        ),
+    )
+    return DD._with_persisted(out, parts)
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             UNNEST(string_split({_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+      FROM t WHERE tok <> ''
+    ), bc AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM tk GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(cr) AS DOUBLE) AS tr, CAST(SUM(ct) AS DOUBLE) AS tt
+      FROM bc
+    ), lr AS (
+      SELECT b, LN((ct + 1) / (tt + 256)) - LN((cr + 1) / (tr + 256)) AS lr
+      FROM bc CROSS JOIN tot
+    )
+    SELECT tk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(SUM(lr.lr), 6) AS dsir_logweight
+    FROM tk JOIN lr USING (b)
+    GROUP BY tk.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "curation", "pipeline"),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR): per-document
+    log importance weight log p_target(x) - log p_raw(x) under hashed
+    unigram bag-of-words models, target = the English subcorpus, raw =
+    the full corpus, 256 md5-hashed feature buckets, add-one smoothing.
+    Docs whose token distribution looks target-like get high weight —
+    the standard cheap reweighting step before pretraining-mixture
+    sampling. Plan: ONE token-explode scan feeds both the bucket-count
+    model build (256-row aggregate) and the per-doc scoring join; the
+    bucket->log-ratio model is a broadcast join (256 rows), and the
+    per-doc score is a map-side-combined SUM — no fact-sized shuffle
+    beyond the doc_id aggregate."""
+    docs = DD.spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.shingles("text", 1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tk = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 256
+        ).alias("b"),
+    )
+    bc = tk.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = bc.agg(
+        F.sum("cr").cast("double").alias("tr"), F.sum("ct").cast("double").alias("tt")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + 256))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + 256))
+        ).alias("lr"),
+    )
+    return (
+        tk.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.round(F.sum("lr"), 6).alias("dsir_logweight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pair AS (
+      SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+             GREATEST(s.s_nationkey, c.c_nationkey) AS b,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT a, b FROM pair WHERE w > (SELECT AVG(w) FROM pair)
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), node AS (
+      SELECT x AS nationkey FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ), d AS (
+      SELECT nationkey, COUNT(*) AS degree FROM (
+        SELECT a AS nationkey FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.nationkey, d.degree,
+           COALESCE(t.n_tri, 0) AS n_triangles,
+           ROUND(COALESCE(t.n_tri, 0) * 2.0
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coef
+    FROM d
+    LEFT JOIN (SELECT nationkey, COUNT(*) AS n_tri FROM node GROUP BY 1) t
+      USING (nationkey)
+    WHERE d.degree >= 2
+    ORDER BY d.nationkey
+    """,
+    tags=("graph", "pipeline"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    above-average-weight nation trade graph — the community-density
+    signal a domain-graph curator uses alongside PageRank. Algorithm:
+    canonical a<b edge orientation, triangles enumerated once each via
+    the two-path + closing-edge equi-join (the standard distributed
+    triangle enumeration; at 100 TB the same join runs degree-ordered so
+    every wedge is generated at its lowest-degree vertex). The fact-scale
+    work is the edge build (same three-way join as graph_pagerank_trade);
+    the enumeration joins run on the tiny thresholded edge relation.
+    Nodes of degree < 2 are excluded (clustering coefficient undefined)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    avg_w = pair.agg(F.avg("w").alias("aw"))
+    e = (
+        pair.crossJoin(F.broadcast(avg_w))
+        .filter(F.col("w") > F.col("aw"))
+        .select("a", "b")
+        .persist()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    node = (
+        tri.select(F.col("x").alias("nationkey"))
+        .unionAll(tri.select(F.col("y").alias("nationkey")))
+        .unionAll(tri.select(F.col("z").alias("nationkey")))
+    )
+    t = node.groupBy("nationkey").agg(F.count("*").alias("n_tri"))
+    d = (
+        e.select(F.col("a").alias("nationkey"))
+        .unionAll(e.select(F.col("b").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("degree"))
+    )
+    out = (
+        d.join(t, "nationkey", "left_outer")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "nationkey",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("n_tri"), F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+        .orderBy("nationkey")
+    )
+    return DD._with_persisted(out, e)
+
+
+def _kmeans_assign_sql(src: str, k: int, n_iter: int) -> str:
+    """CTE chain (open WITH body, no leading WITH) mirroring
+    operators/clustering.py::kmeans over source relation ``src``
+    (vec_id, embedding DOUBLE[]), ending at ``af_`` (vec_id, cid) — the
+    assignment half of _kmeans_oracle, parameterized so composed
+    pipelines (semantic dedup below) can cluster an augmented corpus."""
+    parts = [
+        f"""u AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM {src}
+    ), seed AS (
+      SELECT vec_id,
+             CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT s.cid, u.pos, ROUND(u.val, 6) AS cval
+      FROM u JOIN seed s USING (vec_id)
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", d{i} AS (
+      SELECT u.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY SUM((u.val - c.cval) * (u.val - c.cval)), c.cid
+             ) AS rn
+      FROM u JOIN {prev} c ON u.pos = c.pos
+      GROUP BY u.vec_id, c.cid
+    ), a{i} AS (SELECT vec_id, cid FROM d{i} WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, u.pos, ROUND(AVG(u.val), 6) AS cval
+      FROM u JOIN a{i} a USING (vec_id)
+      GROUP BY a.cid, u.pos
+    )"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f""", df_ AS (
+      SELECT u.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY SUM((u.val - c.cval) * (u.val - c.cval)), c.cid
+             ) AS rn
+      FROM u JOIN {prev} c ON u.pos = c.pos
+      GROUP BY u.vec_id, c.cid
+    ), af_ AS (SELECT vec_id, cid FROM df_ WHERE rn = 1)"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "curation_semdedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.005)
+      FROM embeddings WHERE vec_id < 25
+    ), {_kmeans_assign_sql('aug', k=8, n_iter=3)}, m AS (
+      SELECT a.vec_id, a.cid, g.embedding
+      FROM af_ a JOIN aug g USING (vec_id)
+    ), p AS (
+      SELECT x.cid, y.vec_id AS dup_id
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.embedding, y.embedding), 6) >= 0.99
+    ), drops AS (
+      SELECT cid, COUNT(DISTINCT dup_id) AS n_dropped FROM p GROUP BY cid
+    )
+    SELECT a.cid AS cluster_id,
+           COUNT(*) AS n_members,
+           COALESCE(MAX(d.n_dropped), 0) AS n_dropped
+    FROM af_ a LEFT JOIN drops d ON d.cid = a.cid
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """,
+    tags=("dedup", "clustering", "pipeline"),
+)
+def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (semantic dedup): k-means-cluster the embedding corpus,
+    then prune near-duplicate pairs WITHIN each cluster only — the
+    clustering bounds the quadratic pair term to O(sum of cluster sizes
+    squared) instead of O(n^2), which is the whole point of the method at
+    100 TB (pairs across clusters are never materialized; the per-cluster
+    self-join is an equi-join on cluster_id). The corpus plants the same
+    25 deterministic near-duplicates as dedup_embedding_neardup (shifted
+    copies, cos ~ 0.9992); a member is dropped when a lower-id member of
+    ITS cluster matches at cosine >= 0.99. Declared output: per-cluster
+    member and dropped counts."""
+    from connected_data_lake_spark.operators import clustering as KM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", VX.as_double("embedding").alias("embedding")).unionAll(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(VX.as_double("embedding"), lambda x: x + F.lit(0.005)).alias(
+                "embedding"
+            ),
+        )
+    )
+    aug = aug.persist()  # feeds kmeans (3 rounds) AND the pair join
+    assign, _cent = KM.kmeans(aug, id_col="vec_id", vec_col="embedding", k=8, n_iter=3)
+    m = assign.join(aug, "vec_id").select("vec_id", "cluster_id", "embedding")
+    x = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    y = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    p = (
+        x.join(y, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(VX.cosine("emb_a", "emb_b"), 6) >= 0.99)
+        .select("cluster_id", F.col("id_b").alias("dup_id"))
+    )
+    drops = p.groupBy("cluster_id").agg(
+        F.count_distinct("dup_id").alias("n_dropped")
+    )
+    out = (
+        assign.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .join(drops, "cluster_id", "left_outer")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+    return DD._with_persisted(out, aug)

@@ -417,3 +417,82 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cluster_kmeans_embeddings")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skew_kurtosis_is_partial_then_final(spark, sf_dir):
+    """The power-sum moments must combine map-side (two HashAggregate
+    levels) — a single fact-sized shuffle of raw rows would move every
+    lineitem to the reducers."""
+    plan = plan_of(spark, sf_dir, "agg_skew_kurtosis")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    assert "Window" not in plan
+
+
+def test_autocorr_window_stays_partitioned(spark, sf_dir):
+    """The LAG window must partition by event_type — never a global
+    single-partition sort of the fact table."""
+    plan = plan_of(spark, sf_dir, "events_value_autocorr")
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
+
+
+def test_pmi_rank_window_runs_after_limit(spark, sf_dir):
+    """PMI top-20 must fuse sort+limit (TakeOrderedAndProject); the rank
+    window runs over the 20 surviving rows, and the unigram joins are
+    hash equi-joins — the only nested loops are the two ONE-ROW total
+    broadcasts."""
+    plan = plan_of(spark, sf_dir, "text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_weighted_priority_window_stays_partitioned(spark, sf_dir):
+    """The A-ES priority rank must partition by the lang stratum."""
+    plan = plan_of(spark, sf_dir, "sample_weighted_priority")
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_ks_prefix_sum_is_distributed(spark, sf_dir):
+    """The KS CDF must use the two-phase prefix sum: the cumulative
+    window partitions by pid (range-partitioned value buckets), never a
+    single-partition global-order window over the fact-sized relation."""
+    plan = plan_of(spark, sf_dir, "stats_ks_two_sample")
+    assert "windowspecdefinition(pid" in plan
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
+
+
+def test_dsir_model_join_broadcasts(spark, sf_dir):
+    """The 256-row bucket->log-ratio model must broadcast into the token
+    stream; the per-doc weight aggregate combines map-side."""
+    plan = plan_of(spark, sf_dir, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_triangle_enumeration_is_hash_equality(spark, sf_dir):
+    """Triangle closing joins must be hash equi-joins on the canonical
+    edge endpoints; the only nested loop allowed is the ONE-ROW average
+    threshold broadcast. Star dims broadcast in the edge build."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the cached edge relation's plan string reprints per reference, so the
+    # ONE scalar broadcast appears several times — assert every nested-loop
+    # line IS that one-row threshold compare, rather than counting prints
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "aw#" in line, line
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_pairs_join_within_cluster_only(spark, sf_dir):
+    """SemDeDup's pair generation must be an equi-join on cluster_id —
+    the all-pairs cartesian it exists to avoid must not appear."""
+    plan = plan_of(spark, sf_dir, "curation_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
