@@ -1,4 +1,4 @@
-"""File-format readers beyond parquet: CSV, JSON, and Arrow IPC.
+"""File-format readers beyond parquet: CSV, JSON, ORC, and Arrow IPC.
 
 Reference parity: the reference compiles arrow's ``csv``, ``ipc`` and
 ``json`` features (Cargo.toml:47-53) so those formats are reachable through
@@ -7,6 +7,9 @@ them (SURVEY.md §2.1 S13). We expose the same capability Spark-first:
 
 - CSV / JSON: the native DataSource V2 readers (distributed, predicate
   pushdown, schema inference or explicit schema).
+- ORC: the native DataSource V2 reader/writer — like parquet it carries
+  its own schema, column statistics (predicate pushdown works the same
+  way: min/max stripe skipping), and vectorized decode.
 - Arrow IPC: Spark has no built-in reader, so files are ingested as
   ``binaryFile`` rows and decoded executor-side with ``mapInArrow`` —
   each task parses its own files' RecordBatches; nothing funnels through
@@ -46,6 +49,19 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Distributed ORC read (native vectorized reader; schema from the file
+    footer, filters pushed down to stripe/row-group statistics exactly as
+    with parquet)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error", **options: str) -> None:
+    """Write a DataFrame as ORC files (one file per partition — the same
+    layout contract as the parquet sink)."""
+    df.write.options(**options).mode(mode).orc(path)
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:

@@ -89,3 +89,34 @@ def test_take_random_access(spark, tmp_path):
     assert [r["_rowid"] for r in out] == [0, 2, 4]
     assert [r["name"] for r in out] == ["f0.txt", "f2.txt", "f4.txt"]
     assert bytes(out[1]["data"]) == b"payload-2"
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(r["id"], r["name"], r["score"]) for r in ROWS], "id long, name string, score double"
+    )
+    dst = str(tmp_path / "t.orc")
+    formats.write_orc(src, dst)
+    df = formats.read_orc(spark, dst)
+    got = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert got == {(r["id"], r["name"], r["score"]) for r in ROWS}
+    # filters reach the ORC scan (stripe-statistic skipping at scale)
+    plan = (
+        df.filter("id = 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the ORC scan"
+
+
+def test_orc_write_modes(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a")], "id long, name string")
+    dst = str(tmp_path / "m.orc")
+    formats.write_orc(src, dst)
+    with pytest.raises(Exception):
+        formats.write_orc(src, dst)  # default mode errors on existing path
+    formats.write_orc(src, dst, mode="overwrite")
+    assert formats.read_orc(spark, dst).count() == 1
