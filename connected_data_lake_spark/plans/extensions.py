@@ -3929,7 +3929,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-    WITH pair AS (
+    WITH pair AS MATERIALIZED (
       SELECT LEAST(s.s_nationkey, c.c_nationkey) AS a,
              GREATEST(s.s_nationkey, c.c_nationkey) AS b,
              COUNT(*) AS w
@@ -3939,7 +3939,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY 1, 2
-    ), e AS (
+    ), e AS MATERIALIZED (
+      -- MATERIALIZED on pair + e: inlined, the 5 references to e (and e's 2
+      -- to pair) re-expand the fact join multiplicatively and the oracle
+      -- grinds for minutes; materialized it runs in fact-join time once
       SELECT a, b FROM pair WHERE w > (SELECT AVG(w) FROM pair)
     ), tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -3993,13 +3996,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    avg_w = pair.agg(F.avg("w").alias("aw"))
-    e = (
-        pair.crossJoin(F.broadcast(avg_w))
-        .filter(F.col("w") > F.col("aw"))
-        .select("a", "b")
-        .persist()
-    )
+    # persist the edge-build output and force it with the threshold scalar
+    # (one planning-sized collect, same class as the IVF routing table):
+    # e is referenced five times below, and concurrent stages racing to
+    # populate an un-materialized cache re-ran the fact join up to 8x
+    # (measured 16.2 s -> 1.8 s at sf0.1)
+    pair = pair.persist()
+    aw = float(pair.agg(F.avg("w")).collect()[0][0])
+    e = pair.filter(F.col("w") > F.lit(aw)).select("a", "b")
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -4032,7 +4036,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
-    return DD._with_persisted(out, e)
+    return DD._with_persisted(out, pair)
 
 
 def _kmeans_assign_sql(src: str, k: int, n_iter: int) -> str:
@@ -4140,7 +4144,17 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = aug.persist()  # feeds kmeans (3 rounds) AND the pair join
     assign, _cent = KM.kmeans(aug, id_col="vec_id", vec_col="embedding", k=8, n_iter=3)
-    m = assign.join(aug, "vec_id").select("vec_id", "cluster_id", "embedding")
+    # kmeans returns the final assignment as a PLAN (posexplode + broadcast
+    # argmin); materialize it ONCE — x/y/sizes reference it three times, and
+    # concurrent stages racing an unpopulated cache re-ran the assignment
+    # per reference (measured 17.9 s -> 4.0 s at sf0.1). count() is the
+    # forcing action: one scalar to the driver, rows stay on executors.
+    m = (
+        assign.join(aug, "vec_id")
+        .select("vec_id", "cluster_id", "embedding")
+        .persist()
+    )
+    m.count()
     x = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
@@ -4161,7 +4175,7 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("dup_id").alias("n_dropped")
     )
     out = (
-        assign.groupBy("cluster_id")
+        m.groupBy("cluster_id")
         .agg(F.count("*").alias("n_members"))
         .join(drops, "cluster_id", "left_outer")
         .select(
@@ -4171,4 +4185,4 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
-    return DD._with_persisted(out, aug)
+    return DD._with_persisted(out, aug, m)
