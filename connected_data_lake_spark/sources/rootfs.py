@@ -404,6 +404,57 @@ def read_table(spark: SparkSession, table_uri: str, version: int | None = None) 
     return spark.read.schema(ROOTFS_SCHEMA).parquet(table_uri)
 
 
+class RewriteInRange(Exception):
+    """read_appends saw a file removal inside the requested version range —
+    the table was rewritten (delete/compact/zorder), so append increments
+    no longer describe the change; consumers must re-sync from a snapshot."""
+
+
+def read_appends(
+    spark: SparkSession,
+    table_uri: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows appended between manifest versions ``(from_version,
+    to_version]`` — the incremental-consumption primitive for append-only
+    ingest (a training-data loader polls ``table_version()`` and reads only
+    the new files since its checkpoint instead of rescanning the table; the
+    Delta CDF / Lance ``ReadParams.version``-delta analogue for the append
+    path). Scans ONLY the file-list difference of the two manifests, so the
+    cost is proportional to the new data, never table size.
+
+    Copy-on-write rewrites (``delete_where`` / ``compact_table`` /
+    ``zorder_table``) REMOVE files, after which added-file rows are no
+    longer purely appended rows; that case raises :class:`RewriteInRange`
+    rather than silently double-counting surviving rows.
+    """
+    root = _local_root(table_uri)
+    if root is None:
+        raise ValueError(f"{table_uri!r} has no local manifest log")
+    store = LocalFsStore(os.path.join(root, _LOG_DIR))
+    if to_version is None:
+        to_version, new_files = latest_manifest(store)
+    else:
+        new_files = manifest_files(store, to_version)
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    old_files = set(manifest_files(store, from_version)) if from_version >= 0 else set()
+    removed = old_files - set(new_files)
+    if removed:
+        raise RewriteInRange(
+            f"{len(removed)} file(s) present at v{from_version} were removed "
+            f"by v{to_version} (rewrite in range); re-sync from a snapshot"
+        )
+    added = [f for f in new_files if f not in old_files]
+    schema = snapshot_schema(store, to_version) or ROOTFS_SCHEMA
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in added]
+    )
+
+
 def table_version(table_uri: str) -> int:
     """Current committed snapshot version (-1 when no manifest exists)."""
     root = _local_root(table_uri)

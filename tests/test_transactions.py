@@ -89,3 +89,45 @@ def test_legacy_table_migrates_on_append(spark, tmp_path):
     R.write_table(_rows(spark, "new"), uri, mode="append")
     assert R.read_table(spark, uri).count() == 20
     assert R.table_version(uri) == 1
+
+
+def test_read_appends_incremental_consumption(spark, tmp_path):
+    """A checkpointing consumer reads exactly the rows appended since its
+    last-seen version — never the whole table."""
+    uri = str(tmp_path / "tbl")
+    R.write_table(_rows(spark, "a", 5), uri, mode="overwrite")
+    v0 = R.table_version(uri)
+    R.write_table(_rows(spark, "b", 7), uri, mode="append")
+    R.write_table(_rows(spark, "c", 3), uri, mode="append")
+    inc = R.read_appends(spark, uri, from_version=v0)
+    assert inc.count() == 10
+    names = {r["name"] for r in inc.select("name").collect()}
+    assert all(n.startswith(("b-", "c-")) for n in names)
+    # bounded range: only the first append
+    only_b = R.read_appends(spark, uri, from_version=v0, to_version=v0 + 1)
+    assert only_b.count() == 7
+    # from_version=-1 (no checkpoint yet) yields everything
+    assert R.read_appends(spark, uri, from_version=-1).count() == 15
+    # caught-up consumer gets an empty frame with the snapshot schema
+    v2 = R.table_version(uri)
+    empty = R.read_appends(spark, uri, from_version=v2)
+    assert empty.count() == 0
+    snap = R.read_table(spark, uri).schema
+    assert [(f.name, f.dataType) for f in empty.schema] == [
+        (f.name, f.dataType) for f in snap
+    ]
+
+
+def test_read_appends_detects_rewrite(spark, tmp_path):
+    """A copy-on-write rewrite in the range must raise, not double-count."""
+    uri = str(tmp_path / "tbl")
+    R.write_table(_rows(spark, "a", 5), uri, mode="overwrite")
+    v0 = R.table_version(uri)
+    R.write_table(_rows(spark, "b", 5), uri, mode="append")
+    from connected_data_lake_spark.sources.maintenance import delete_where
+
+    delete_where(spark, uri, [("name", "=", "a-0.txt")])
+    with pytest.raises(R.RewriteInRange):
+        R.read_appends(spark, uri, from_version=v0)
+    # a range that stops before the rewrite still reads cleanly
+    assert R.read_appends(spark, uri, from_version=v0, to_version=v0 + 1).count() == 5
