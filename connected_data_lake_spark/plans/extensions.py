@@ -3799,52 +3799,13 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_partitions-row collect), exclusive bases broadcast back, cumulative
     window per partition — never a single-partition global window.
     ks_scaled is D * sqrt(n1*n2/(n1+n2)), the input to the asymptotic
-    Kolmogorov distribution."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    g = ev.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
-    )
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parts = (
-        g.repartitionByRange(n_parts, "value")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    sums = sorted(
-        parts.groupBy("pid")
-        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
-        .collect(),
-        key=lambda r: r["pid"],
-    )
-    bases, r1, r2 = [], 0, 0
-    for r in sums:
-        bases.append((r["pid"], r1, r2))
-        r1 += r["s1"]
-        r2 += r["s2"]
-    n1, n2 = float(r1), float(r2)
-    base_df = spark.createDataFrame(bases, "pid int, b1 bigint, b2 bigint")
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = parts.join(F.broadcast(base_df), "pid").select(
-        ((F.col("b1") + F.sum("c1").over(w)) / F.lit(n1)).alias("f1"),
-        ((F.col("b2") + F.sum("c2").over(w)) / F.lit(n2)).alias("f2"),
-    )
-    scale = (n1 * n2 / (n1 + n2)) ** 0.5
-    out = c.agg(
-        F.lit(int(n1)).cast("bigint").alias("n1"),
-        F.lit(int(n2)).cast("bigint").alias("n2"),
-        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
-        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))) * F.lit(scale), 4).alias(
-            "ks_scaled"
-        ),
-    )
-    return DD._with_persisted(out, parts)
+    Kolmogorov distribution. Computation: operators/stats.py::ks_two_sample
+    (reusable on any (value, label) relation; unit invariants in
+    tests/test_stats_ops.py)."""
+    from connected_data_lake_spark.operators.stats import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", "click", "purchase")
 
 
 @query(
