@@ -4147,3 +4147,103 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster_id")
     )
     return DD._with_persisted(out, aug, m)
+
+
+@query(
+    "stats_psi_value_drift",
+    oracle="""
+    WITH a AS (
+      SELECT value FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT ROUND(UNNEST(quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS edge
+      FROM a
+    ), s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), dv AS (
+      SELECT value,
+             SUM(CASE WHEN value > edge THEN 1 ELSE 0 END) AS bucket
+      FROM (SELECT DISTINCT value FROM s) CROSS JOIN e
+      GROUP BY value
+    ), g AS (
+      SELECT value, event_type, COUNT(*) AS c FROM s GROUP BY 1, 2
+    ), cb AS (
+      SELECT bucket,
+             SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS c2
+      FROM g JOIN dv USING (value) GROUP BY bucket
+    ), grid AS (
+      SELECT UNNEST(generate_series(0, 9)) AS bucket
+    ), f AS (
+      SELECT grid.bucket, COALESCE(cb.c1, 0) AS c1, COALESCE(cb.c2, 0) AS c2
+      FROM grid LEFT JOIN cb USING (bucket)
+    ), n AS (
+      SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2
+      FROM f
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2,
+           ROUND(((c1 + 0.5) / (n1 + 5) - (c2 + 0.5) / (n2 + 5))
+                 * LN(((c1 + 0.5) / (n1 + 5)) / ((c2 + 0.5) / (n2 + 5))),
+                 6) AS psi_contrib
+    FROM f CROSS JOIN n
+    ORDER BY bucket
+    """,
+    tags=("stats", "pipeline"),
+)
+def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the click and purchase value
+    distributions — the standard production ML drift monitor (sum over
+    reference-decile buckets of (p_ref - p_cur) * ln(p_ref / p_cur),
+    +0.5/bucket smoothing so empty buckets stay finite). Declared output:
+    per-bucket counts + PSI contribution; the headline PSI is their sum.
+    Plan: decile edges come from the scale-safe pre-aggregated exact
+    percentile (operators/percentile.py — no per-group value buffers),
+    visit the driver as NINE rounded doubles (planning metadata, the IVF
+    routing class), and bucket assignment is a scan-local literal
+    comparison sum — no join, no row multiplication, one (bucket) shuffle
+    of 10 groups. The KS query (stats_ks_two_sample) tests the same pair
+    nonparametrically; PSI is the binned, magnitude-interpretable twin."""
+    from connected_data_lake_spark.operators.percentile import exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").withColumn("g", F.lit(1))
+    fracs = [i / 10 for i in range(1, 10)]
+    cols = [f"q{i}" for i in range(1, 10)]
+    edge_row = exact_percentiles(a, ["g"], "value", fracs, cols).collect()[0]
+    edges = [round(edge_row[c], 6) for c in cols]
+    s = ev.filter(F.col("event_type").isin("click", "purchase"))
+    bucket = sum(
+        (F.when(F.col("value") > F.lit(e), 1).otherwise(0) for e in edges),
+        start=F.lit(0),
+    )
+    cb = s.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    f = (
+        grid.join(cb, "bucket", "left_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    n = f.agg(
+        F.sum("c1").cast("double").alias("n1"), F.sum("c2").cast("double").alias("n2")
+    )
+    pa = (F.col("c1") + 0.5) / (F.col("n1") + 5)
+    pb = (F.col("c2") + 0.5) / (F.col("n2") + 5)
+    return (
+        f.crossJoin(F.broadcast(n))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )

@@ -491,3 +491,12 @@ def test_semdedup_pairs_join_within_cluster_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "curation_semdedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psi_bucketing_is_scan_local(spark, sf_dir):
+    """PSI bucket assignment must be a literal comparison sum on the scan —
+    never a row-multiplying join against the edge relation; the only
+    nested loop allowed is the ONE-ROW total broadcast."""
+    plan = plan_of(spark, sf_dir, "stats_psi_value_drift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
