@@ -4153,13 +4153,13 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_psi_value_drift",
     oracle="""
     WITH a AS (
-      SELECT value FROM events WHERE event_type = 'click'
+      SELECT ROUND(value, 3) AS value FROM events WHERE event_type = 'click'
     ), e AS (
       SELECT ROUND(UNNEST(quantile_cont(value,
                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS edge
       FROM a
     ), s AS (
-      SELECT value, event_type FROM events
+      SELECT ROUND(value, 3) AS value, event_type FROM events
       WHERE event_type IN ('click', 'purchase')
     ), dv AS (
       SELECT value,
@@ -4200,15 +4200,22 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     +0.5/bucket smoothing so empty buckets stay finite). Declared output:
     per-bucket counts + PSI contribution; the headline PSI is their sum.
     Plan: decile edges come from the scale-safe pre-aggregated exact
-    percentile (operators/percentile.py — no per-group value buffers),
-    visit the driver as NINE rounded doubles (planning metadata, the IVF
-    routing class), and bucket assignment is a scan-local literal
-    comparison sum — no join, no row multiplication, one (bucket) shuffle
-    of 10 groups. The KS query (stats_ks_two_sample) tests the same pair
+    percentile (operators/percentile.py — no per-group value buffers) over
+    the value QUANTIZED to 3 decimals — the quantization bounds the
+    distinct-value relation the single-group percentile sorts by the value
+    RANGE times 10^3, independent of corpus row count (the unquantized
+    form would sort every distinct double of a continuous column in one
+    task at 100 TB; a 10-bucket drift metric is insensitive to 3-decimal
+    quantization). Edges visit the driver as NINE rounded doubles
+    (planning metadata, the IVF routing class), and bucket assignment is a
+    scan-local literal comparison sum — no join, no row multiplication,
+    one (bucket) shuffle of 10 groups. The KS query (stats_ks_two_sample) tests the same pair
     nonparametrically; PSI is the binned, magnitude-interpretable twin."""
     from connected_data_lake_spark.operators.percentile import exact_percentiles
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.round("value", 3)
+    )
     a = ev.filter(F.col("event_type") == "click").withColumn("g", F.lit(1))
     fracs = [i / 10 for i in range(1, 10)]
     cols = [f"q{i}" for i in range(1, 10)]
