@@ -52,7 +52,12 @@ def long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _assign(u: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: ``(_id, _cid)`` — broadcast join on
-    ``_pos``, partial-agg squared L2, window argmin with id tiebreak."""
+    ``_pos``, partial-agg squared L2, argmin as a MIN over (d2, cid)
+    structs. Struct ordering is lexicographic, so MIN reproduces the
+    window form's ``ORDER BY _d2, _cid`` tie-break exactly while
+    combining map-side — the window variant added a sort exchange per
+    round (a few percent locally where job latency dominates; at cluster
+    scale the removed n*k-row sort is the difference that matters)."""
     d2 = (
         u.join(F.broadcast(cent), "_pos")
         .groupBy("_id", "_cid")
@@ -63,11 +68,8 @@ def _assign(u: DataFrame, cent: DataFrame) -> DataFrame:
             ).alias("_d2")
         )
     )
-    w = Window.partitionBy("_id").orderBy("_d2", "_cid")
-    return (
-        d2.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "_cid")
+    return d2.groupBy("_id").agg(
+        F.min(F.struct("_d2", "_cid"))["_cid"].alias("_cid")
     )
 
 
@@ -112,6 +114,9 @@ def kmeans(
             cent_rows = [
                 (r["_cid"], r["_pos"], round(r["_cval"], round_dp))
                 for r in (
+                    # assign joins un-hinted: it is n rows (one per vector),
+                    # so AQE broadcasts it at test scale but correctly falls
+                    # back to a shuffle join when n is cluster-sized
                     u.join(assign, "_id")
                     .groupBy("_cid", "_pos")
                     .agg(F.avg("_val").alias("_cval"))
