@@ -55,3 +55,38 @@ def test_other_labels_ignored(spark):
     r = _ks(spark, rows)
     assert r["ks_d"] == 0.0
     assert r["n1"] == r["n2"] == 20
+
+
+def test_ks_matches_sequential_reference_on_random_samples(spark):
+    """Property: the distributed prefix-sum KS equals a sequential
+    two-pointer reference on arbitrary small samples (hypothesis-driven;
+    integer-valued so the comparison is exact after the 6dp round)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def reference_d(xs, ys):
+        pts = sorted(set(xs) | set(ys))
+        n1, n2 = len(xs), len(ys)
+        best = 0.0
+        for p in pts:
+            f1 = sum(1 for v in xs if v <= p) / n1
+            f2 = sum(1 for v in ys if v <= p) / n2
+            best = max(best, abs(f1 - f2))
+        return round(best, 6)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        xs=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=20),
+        ys=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=20),
+    )
+    def check(xs, ys):
+        rows = [(float(v), "a") for v in xs] + [(float(v), "b") for v in ys]
+        r = _ks(spark, rows)
+        assert r["ks_d"] == reference_d(xs, ys)
+        assert (r["n1"], r["n2"]) == (len(xs), len(ys))
+
+    check()
