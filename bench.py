@@ -76,6 +76,7 @@ def main() -> None:
     _ext._pq_indexed(spark, sf_dir)
     _ext._sketch_indexed(spark, sf_dir)
     _ext._gt_topk(spark, sf_dir)
+    _ext._semdedup_clustered(spark, sf_dir)
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

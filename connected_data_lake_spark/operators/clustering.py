@@ -94,6 +94,12 @@ def kmeans(
     ``round_dp`` decimals between rounds (see module docstring).
     """
     spark = df.sparkSession
+    # deliberately NOT spread(): at cluster scale the embedding table
+    # arrives in many splits and the long form inherits that width; at
+    # local fixture size an A/B showed the spread shuffle COSTS more than
+    # the single narrow task (3.3 s -> 5.4 s median — the per-row work is
+    # trivial arithmetic, unlike the pandas-UDF dedup passes spread() is
+    # for)
     u = long_form(df, id_col, vec_col).persist()
     try:
         seed_ids = [
