@@ -4309,3 +4309,48 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT UNNEST(string_split({_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents
+    ), tt AS (
+      SELECT tok FROM t WHERE tok <> ''
+    ), n AS (
+      SELECT COUNT(*) AS n FROM tt
+    ), c AS (
+      SELECT tok AS item, COUNT(*) AS cnt FROM tt GROUP BY tok
+    )
+    SELECT item, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS INT) AS rnk
+    FROM c CROSS JOIN n
+    WHERE cnt * 200 > n.n
+    ORDER BY rnk
+    """,
+    tags=("text", "agg", "pipeline"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens exceeding 0.5% of all
+    occurrences, k=200) WITHOUT a full-vocabulary shuffle: per-partition
+    scan-local candidate counts (mapInPandas value_counts, pigeonhole
+    superset guarantee) followed by an exact verification count over only
+    the candidate items — operators/heavyhitters.py. The answer is exact
+    and partitioning-independent, so it hash-matches the oracle's plain
+    GROUP BY; the plan difference is that the Zipf TAIL (the overwhelming
+    majority of distinct items) never enters a shuffle."""
+    from connected_data_lake_spark.operators.heavyhitters import heavy_hitters
+
+    docs = DD.spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(TX.shingles("text", 1)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    hh = heavy_hitters(toks, "tok", k=200)
+    w = Window.orderBy(F.desc("cnt"), "item")
+    return (
+        hh.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("item", "cnt", "rnk")
+        .orderBy("rnk")
+    )

@@ -3986,3 +3986,39 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(CAST(l_linenumber AS BIGINT)) AS band,
+           BIT_OR(CAST(l_linenumber AS BIGINT))  AS bor,
+           BIT_XOR(CAST(l_linenumber AS BIGINT)) AS bxor,
+           BOOL_AND(l_quantity > 1)  AS all_multi,
+           BOOL_OR(l_discount > 0.09) AS any_deep_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise (BIT_AND/OR/XOR) and boolean (BOOL_AND/OR = EVERY/ANY)
+    aggregates per group — the remaining standard-SQL aggregate family the
+    suite had not declared. All six combine map-side (commutative and
+    associative), one shuffle. XOR over integer line numbers is
+    order-insensitive, so values hash-match exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(ln).alias("band"),
+            F.bit_or(ln).alias("bor"),
+            F.bit_xor(ln).alias("bxor"),
+            F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -500,3 +500,18 @@ def test_psi_bucketing_is_scan_local(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "stats_psi_value_drift")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_heavy_hitters_verify_pass_is_candidate_filtered(spark, sf_dir):
+    """The verification count must scan with a candidate IN-filter (the
+    Zipf tail never shuffles) and partial-aggregate; candidate generation
+    is mapInPandas (scan-local), never a full-vocabulary exchange."""
+    plan = plan_of(spark, sf_dir, "text_heavy_hitters")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitwise_bool_aggs_combine_map_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_bitwise_bool")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
