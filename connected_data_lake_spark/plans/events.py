@@ -761,3 +761,66 @@ def events_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, ROUND(value, 3) AS value FROM events
+    ), med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.value, ABS(v.value - med.med) AS adev, med.med
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(d.med), 6) AS median_value,
+           ROUND(MAX(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("events", "stats", "timeseries"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen per event type: median absolute deviation
+    (MAD) outliers — |x - median| > 3 * 1.4826 * MAD, the
+    consistency-scaled robust z-score that mean/stddev screens get wrong
+    under the very outliers they hunt. Both medians run through the
+    scale-safe pre-aggregated exact percentile (operators/percentile.py —
+    per-group spillable sort runs, no value buffers) over 3dp-quantized
+    values (bounds each group's distinct relation by the value range, the
+    PSI discipline); the deviation pass joins the 5-row median relation
+    by broadcast. DuckDB MEDIAN = QUANTILE_CONT(0.5), the same type-7
+    interpolation."""
+    from connected_data_lake_spark.operators.percentile import exact_percentiles
+
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 3).alias("value")
+    )
+    med = exact_percentiles(v, ["event_type"], "value", [0.5], ["med"])
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = exact_percentiles(dev, ["event_type"], "adev", [0.5], ["mad"])
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

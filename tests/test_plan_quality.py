@@ -515,3 +515,14 @@ def test_bitwise_bool_aggs_combine_map_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_bitwise_bool")
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
+
+
+def test_mad_percentile_windows_stay_partitioned(spark, sf_dir):
+    """Both median passes must partition by event_type (the percentile
+    machinery's per-group sort) and the median relations must broadcast
+    into the deviation pass — never a global window or shuffled join."""
+    plan = plan_of(spark, sf_dir, "events_anomaly_mad")
+    window_part = plan.split("Window", 1)[1] if "Window" in plan else plan
+    assert "Exchange SinglePartition" not in window_part
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
