@@ -4274,8 +4274,15 @@ def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").withColumn("g", F.lit(1))
     fracs = [i / 10 for i in range(1, 10)]
     cols = [f"q{i}" for i in range(1, 10)]
-    edge_row = exact_percentiles(a, ["g"], "value", fracs, cols).collect()[0]
-    edges = [round(edge_row[c], 6) for c in cols]
+    # round the edges SPARK-side (HALF_UP, matching DuckDB ROUND) before
+    # collecting: python round() is banker's rounding and could disagree
+    # on an exact .xxxxxx5 tie
+    edge_row = (
+        exact_percentiles(a, ["g"], "value", fracs, cols)
+        .select(*[F.round(c, 6).alias(c) for c in cols])
+        .collect()[0]
+    )
+    edges = [edge_row[c] for c in cols]
     s = ev.filter(F.col("event_type").isin("click", "purchase"))
     bucket = sum(
         (F.when(F.col("value") > F.lit(e), 1).otherwise(0) for e in edges),

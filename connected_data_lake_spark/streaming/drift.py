@@ -42,8 +42,14 @@ def reference_histogram(
     base = df.select(v).withColumn("g", F.lit(1))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     cols = [f"q{i}" for i in range(1, n_buckets)]
-    row = exact_percentiles(base, ["g"], "value", fracs, cols).collect()[0]
-    edges = [round(row[c], 6) for c in cols]
+    # Spark-side HALF_UP rounding (see the batch PSI query's note on
+    # python round()'s banker's-rounding tie behavior)
+    row = (
+        exact_percentiles(base, ["g"], "value", fracs, cols)
+        .select(*[F.round(c, 6).alias(c) for c in cols])
+        .collect()[0]
+    )
+    edges = [row[c] for c in cols]
     bucket = _bucket_expr("value", edges)
     counts = {
         r["bucket"]: r["c"]
