@@ -388,6 +388,83 @@ ROTATED_GREEN_R07 = frozenset(
 )
 
 
+#: Window rotation (round 9): verified green in CORRECTNESS_r08.json
+#: (50/50 window rows green, rows+schema+hash, no err). Three r8-green
+#: names are deliberately NOT members because round 9 changes their
+#: bodies (a body change forfeits the rotation slot — they re-enter the
+#: driver window for re-verification):
+#:   - ``sample_weighted_priority`` (priority key now rounded to 9 dp on
+#:     both engines before ROW_NUMBER, closing the 1-ulp cross-engine
+#:     rank-flip risk flagged in ADVICE r8),
+#:   - ``graph_triangle_count`` (empty-edge-relation guard),
+#:   - ``text_heavy_hitters`` (verify pass now a broadcast semi join on a
+#:     candidates DataFrame instead of a driver-side literal IN list).
+#: ``dedup_containment`` is likewise REMOVED from ROTATED_GREEN_R07 above
+#: membership via this round's max_df port — handled by the exclusion set
+#: below rather than editing the historical frozenset.
+ROTATED_GREEN_R08 = frozenset(
+    {
+        "agg_bitwise_bool",
+        "agg_hll_partial_merge",
+        "agg_skew_kurtosis",
+        "cluster_kmeans_embeddings",
+        "curation_dsir_weights",
+        "curation_semdedup",
+        "dedup_cluster_star",
+        "embedding_pca_contract",
+        "events_anomaly_mad",
+        "events_ohlc_minutely",
+        "events_peak_concurrency",
+        "events_time_weighted_avg",
+        "events_user_profile",
+        "events_value_autocorr",
+        "fn_array_extras",
+        "fn_datetime_format",
+        "fn_map_struct",
+        "fn_math_extras",
+        "graph_pagerank_trade",
+        "join_range_binned",
+        "merge_upsert_orders",
+        "profile_orders",
+        "q11_important_stock",
+        "q13_order_distribution",
+        "q15_top_supplier",
+        "q16_parts_suppliers",
+        "q17_small_quantity",
+        "q20_promotion_suppliers",
+        "q21_waiting_supplier",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "quality_expectations",
+        "scd2_event_history",
+        "stats_chisq_lang_source",
+        "stats_ks_two_sample",
+        "stats_psi_value_drift",
+        "text_bigram_top",
+        "text_boilerplate_ratio",
+        "text_logprob_bigram",
+        "text_ngram_novelty",
+        "text_pii_scrub",
+        "text_pmi_collocations",
+        "text_repetition",
+        "text_tfidf_keywords",
+    }
+)
+
+#: Names whose bodies changed in round 9 AFTER an earlier green row: they
+#: forfeit any rotation-set membership (the OR below is masked by this
+#: set) and re-enter the driver's 50-name window for re-verification.
+REVERIFY_R09 = frozenset(
+    {
+        "dedup_containment",  # max_df df-cap + prefix filter port (r8 verdict #3)
+        "sample_weighted_priority",  # 9-dp priority-key rounding (ADVICE r8)
+        "graph_triangle_count",  # empty-edge guard (ADVICE r8)
+        "text_heavy_hitters",  # broadcast semi-join verify pass (ADVICE r8)
+    }
+)
+
+
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
         name=new_name,
@@ -420,12 +497,13 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if (
+        if final not in REVERIFY_R09 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
             or final in ROTATED_GREEN_R06
             or final in ROTATED_GREEN_R07
+            or final in ROTATED_GREEN_R08
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)
