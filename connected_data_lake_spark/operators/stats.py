@@ -42,6 +42,17 @@ def ks_two_sample(
     Raises ``ValueError`` when either sample is empty (the statistic is
     undefined). The caller owns unpersisting the attached relation via
     ``operators.dedup.release_index``.
+
+    Determinism invariant (ADVICE r8): the per-partition base offsets are
+    collected from the persisted ``parts`` and then reused by the windowed
+    pass. If a cached partition is evicted and recomputed, correctness
+    requires the recompute to land rows in the SAME range partitions. That
+    holds because ``repartitionByRange`` boundaries come from Spark's
+    RangePartitioner, whose reservoir sample is seeded deterministically
+    from the RDD lineage id — recomputing the identical lineage re-derives
+    identical boundaries. A lineage-SEVERING rewrite (e.g. swapping the
+    persist for a checkpoint of only half the pipeline) would void this;
+    keep offsets and window reading the same persisted relation.
     """
     from connected_data_lake_spark.operators.dedup import _with_persisted
 

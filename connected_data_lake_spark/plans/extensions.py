@@ -3721,7 +3721,7 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE n_chars > 0
     ), k AS (
       SELECT doc_id, lang,
-             LN((h32 + 1.0) / 4294967297.0) / n_chars AS key
+             ROUND(LN((h32 + 1.0) / 4294967297.0) / n_chars, 9) AS key
       FROM t
     )
     SELECT lang, doc_id,
@@ -3747,7 +3747,13 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
-    key = F.log((h32 + F.lit(1.0)) / F.lit(4294967297.0)) / F.col("n_chars")
+    # rounded to 9 dp on BOTH engines before ranking: Math.log is not
+    # guaranteed correctly rounded, so a 1-ulp cross-engine divergence at a
+    # near-tie could flip ranks (ADVICE r8) — same round-before-rank
+    # discipline as the repo's other float orderings
+    key = F.round(
+        F.log((h32 + F.lit(1.0)) / F.lit(4294967297.0)) / F.col("n_chars"), 9
+    )
     w = Window.partitionBy("lang").orderBy(F.desc(key), "doc_id")
     return (
         docs.select(
@@ -3963,7 +3969,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # populate an un-materialized cache re-ran the fact join up to 8x
     # (measured 16.2 s -> 1.8 s at sf0.1)
     pair = pair.persist()
-    aw = float(pair.agg(F.avg("w")).collect()[0][0])
+    aw_row = pair.agg(F.avg("w")).collect()[0][0]
+    if aw_row is None:  # empty edge relation: avg is NULL (ADVICE r8) —
+        # short-circuit to an empty result with the declared schema
+        return DD._with_persisted(
+            spark.createDataFrame(
+                [],
+                "nationkey bigint, degree bigint, n_triangles bigint, "
+                "clustering_coef double",
+            ),
+            pair,
+        )
+    aw = float(aw_row)
     e = pair.filter(F.col("w") > F.lit(aw)).select("a", "b")
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

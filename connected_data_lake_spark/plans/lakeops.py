@@ -242,3 +242,169 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("pass"),
     ).orderBy("expectation")
+
+
+# ---------------------------------------------------------------------------
+# external Delta table read path (sources/delta.py)
+# ---------------------------------------------------------------------------
+
+#: session-scoped handle to the build-once external Delta fixture
+_DELTA_TBL_CACHE: dict[str, str] = {}
+
+
+def _delta_external_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once external Delta table derived from orders (the artifact
+    pattern of ``_dedup_corpus_index``: tempdir + content token + atomic
+    install). Layout: commit 0 adds files A (o_orderkey%3=0) and B (%3=1);
+    commit 1 REMOVES B and adds C (%3=2) — so reading the latest snapshot
+    exercises remove-action replay, and ``version=0`` exercises time
+    travel, against a log this engine did not write through its own
+    manifest format. Data is written executor-side (coalesced Spark
+    writes, files renamed into place); only log JSON is driver-built."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+
+    key = f"{sf_dir}"
+    if key in _DELTA_TBL_CACHE:
+        return _DELTA_TBL_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltatbl_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000001.json")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def write_one(df: DataFrame, relname: str) -> None:
+            part_dir = os.path.join(tmp, f".stage-{relname}")
+            df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, relname))
+            shutil.rmtree(part_dir, ignore_errors=True)
+
+        os.makedirs(os.path.join(tmp, "_delta_log"), exist_ok=True)
+        key3 = F.col("o_orderkey") % 3
+        write_one(o.filter(key3 == 0), "a.parquet")
+        write_one(o.filter(key3 == 1), "b.parquet")
+        write_one(o.filter(key3 == 2), "c.parquet")
+        meta = {
+            "metaData": {
+                "id": "cdl-external-orders",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": o.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+        proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+        def add(rel: str) -> dict:
+            return {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(tmp, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+
+        def commit(version: int, actions: list[dict]) -> None:
+            p = os.path.join(tmp, "_delta_log", f"{version:020d}.json")
+            with open(p, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        commit(0, [proto, meta, add("a.parquet"), add("b.parquet")])
+        commit(1, [{"remove": {"path": "b.parquet", "dataChange": True}}, add("c.parquet")])
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _DELTA_TBL_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_external_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 1
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta"),
+)
+def delta_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot read of an EXTERNAL Delta table (VERDICT r8
+    "What's missing" #2): sources/delta.py replays the _delta_log JSON
+    actions — protocol gate, metaData schemaString, add/remove
+    resolution — with no delta-spark dependency. The fixture's commit 1
+    removed the o_orderkey%3=1 file, so the aggregate equals the oracle's
+    direct filter over orders ONLY if remove-action replay is correct.
+    Log replay is driver-side planning metadata (KBs of JSON); the data
+    scan is a plain pruned parquet scan over the active file set."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_external_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "delta_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta"),
+)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``version=0`` read of the same external Delta table: the snapshot
+    BEFORE commit 1, i.e. files a+b (keys %3 in {0,1}) — so this value-
+    diverges from the latest snapshot unless version resolution replays
+    exactly the requested prefix of the log (same time-travel contract as
+    the native manifest format's ``version=`` parameter)."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_external_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path, version=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

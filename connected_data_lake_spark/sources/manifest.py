@@ -109,6 +109,147 @@ class InMemoryStore(ConditionalPutStore):
             return True
 
 
+class S3HttpStore(ConditionalPutStore):
+    """Real object-store leg: S3-compatible HTTP API with SigV4 signing.
+
+    Pure stdlib (urllib + hmac) so the integration path exists without an
+    SDK in the environment; put-if-absent is the native S3 conditional
+    write — ``PUT`` with ``If-None-Match: *``, HTTP 412 on loss — the same
+    primitive the reference configures Lance with (``conditional_put:
+    etag``, reference crates/cdl-catalog/src/lib.rs:291). MinIO and AWS S3
+    both honor it. Exercised by the env-gated integration test
+    (``tests/test_s3_integration.py``); every other test runs the protocol
+    against :class:`InMemoryStore`, which models exactly these semantics.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        prefix: str,
+        access_key: str,
+        secret_key: str,
+        region: str = "us-east-1",
+    ):
+        self.endpoint = endpoint.rstrip("/")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+
+    # -- SigV4 (public AWS signing algorithm, stdlib-only) ------------------
+
+    def _request(
+        self,
+        method: str,
+        key: str = "",
+        query: dict[str, str] | None = None,
+        data: bytes = b"",
+        headers: dict[str, str] | None = None,
+    ):
+        import datetime
+        import hashlib
+        import hmac
+        import urllib.parse
+        import urllib.request
+
+        path = f"/{self.bucket}"
+        if key:
+            path += f"/{urllib.parse.quote(key, safe='/~-._')}"
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        now = datetime.datetime.now(datetime.timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+        payload_hash = hashlib.sha256(data).hexdigest()
+        hdrs = {
+            "host": host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+            **{k.lower(): v for k, v in (headers or {}).items()},
+        }
+        signed = ";".join(sorted(hdrs))
+        canonical_query = "&".join(
+            f"{urllib.parse.quote(k, safe='')}={urllib.parse.quote(v, safe='')}"
+            for k, v in sorted((query or {}).items())
+        )
+        canonical = "\n".join(
+            [
+                method,
+                path,
+                canonical_query,
+                "".join(f"{k}:{hdrs[k].strip()}\n" for k in sorted(hdrs)),
+                signed,
+                payload_hash,
+            ]
+        )
+        scope = f"{datestamp}/{self.region}/s3/aws4_request"
+        to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                hashlib.sha256(canonical.encode()).hexdigest(),
+            ]
+        )
+
+        def _hmac(k: bytes, msg: str) -> bytes:
+            return hmac.new(k, msg.encode(), hashlib.sha256).digest()
+
+        sig_key = _hmac(
+            _hmac(
+                _hmac(_hmac(f"AWS4{self.secret_key}".encode(), datestamp), self.region),
+                "s3",
+            ),
+            "aws4_request",
+        )
+        signature = hmac.new(sig_key, to_sign.encode(), hashlib.sha256).hexdigest()
+        hdrs["authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed}, Signature={signature}"
+        )
+        url = f"{self.endpoint}{path}"
+        if canonical_query:
+            url += f"?{canonical_query}"
+        req = urllib.request.Request(url, data=data or None, method=method)
+        for k, v in hdrs.items():
+            if k != "host":  # urllib sets Host itself
+                req.add_header(k, v)
+        return urllib.request.urlopen(req, timeout=30)
+
+    def _key(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def list_keys(self) -> list[str]:
+        import re as _re
+
+        prefix = f"{self.prefix}/" if self.prefix else ""
+        resp = self._request(
+            "GET", query={"list-type": "2", "prefix": prefix, "max-keys": "1000"}
+        )
+        body = resp.read().decode()
+        keys = _re.findall(r"<Key>([^<]+)</Key>", body)
+        return sorted(
+            k[len(prefix) :] for k in keys if k.endswith(".json")
+        )
+
+    def get(self, key: str) -> bytes:
+        return self._request("GET", self._key(key)).read()
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        import urllib.error
+
+        try:
+            self._request(
+                "PUT", self._key(key), data=data, headers={"If-None-Match": "*"}
+            )
+            return True
+        except urllib.error.HTTPError as exc:
+            if exc.code in (412, 409):  # Precondition Failed / conflict
+                return False
+            raise
+
+
 class RewriteConflict(Exception):
     """A rewrite commit lost to a concurrent writer that removed (rewrote,
     compacted, or overwrote away) one of the files this rewrite was based

@@ -139,3 +139,35 @@ def test_ngram_jaccard_max_df_lever(docs, truth_pairs):
         .collect()
     }
     assert capped <= truth_pairs
+
+
+def test_ngram_containment_max_df_caps_boilerplate_blowup(spark):
+    """VERDICT r8 #3: a planted ultra-common shingle must not blow up the
+    containment postings self-join. Every doc shares one boilerplate
+    sentence; only one genuine excerpt pair exists. With max_df the
+    boilerplate postings are dropped BEFORE the self-join (bounding its
+    input to the rare-shingle postings), boilerplate-only pairs vanish,
+    and the genuine pair survives on its unique shingles."""
+    boiler = "subscribe to our newsletter for updates today"
+    uniq = [
+        "quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow now",
+        "how vexingly quick daft zebras jump high",
+    ]
+    rows = [(i, f"{u} {boiler}") for i, u in enumerate(uniq)]
+    # doc 4 fully contains doc 0's unique text (genuine excerpt pair)
+    rows.append((4, f"prefix words then {uniq[0]} and a tail {boiler}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = DD.ngram_containment_pairs(df, threshold=0.5, shingle_n=3)
+    exact_pairs = {(r.src_id, r.dst_id) for r in exact.collect()}
+    # boilerplate glues every doc pair at threshold 0.5 in the exact run
+    assert (1, 2) in exact_pairs and (0, 4) in exact_pairs
+
+    capped = DD.ngram_containment_pairs(df, threshold=0.5, shingle_n=3, max_df=2)
+    capped_pairs = {(r.src_id, r.dst_id) for r in capped.collect()}
+    assert capped_pairs <= exact_pairs  # UNDERcount only: subset of exact
+    assert (0, 4) in capped_pairs  # genuine excerpt pair survives the cap
+    assert (1, 2) not in capped_pairs  # boilerplate-only pair is gone
+    assert DD.ngram_containment_pairs(df, threshold=0.5, max_df=0).count() == 0

@@ -1,0 +1,176 @@
+"""External Delta table read path (sources/delta.py) on a hand-generated
+log — delta-spark is not in this environment, so the test writes the open
+log format directly (JSON actions per PROTOCOL.md), which also keeps the
+reader honest against the FORMAT rather than against a library."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from connected_data_lake_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_table_version,
+    read_delta,
+)
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "part", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_commit(log_dir, version, actions):
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _add(path, part=None, size=1):
+    pv = {} if part is None else {"part": part}
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": pv,
+            "size": size,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def _make_table(root, partitioned=False):
+    """v0: files a+b; v1: remove a, add c  (so v0 and v1 differ)."""
+    os.makedirs(os.path.join(root, "_delta_log"))
+    part_cols = ["part"] if partitioned else []
+    meta = {
+        "metaData": {
+            "id": "test-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": part_cols,
+            "configuration": {},
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def write_file(rel, ids, vs, part=None):
+        full = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        cols = {"id": pa.array(ids, pa.int64()), "v": pa.array(vs, pa.float64())}
+        if not partitioned:
+            cols["part"] = pa.array([part] * len(ids), pa.string())
+        pq.write_table(pa.table(cols), full)
+
+    if partitioned:
+        a, b, c = "part=x/a.parquet", "part=y/b.parquet", "part=x/c.parquet"
+        write_file(a, [1, 2], [1.0, 2.0], "x")
+        write_file(b, [3], [3.0], "y")
+        write_file(c, [4], [4.0], "x")
+        adds = [_add(a, "x"), _add(b, "y")]
+        v1 = [{"remove": {"path": a, "dataChange": True}}, _add(c, "x")]
+    else:
+        a, b, c = "a.parquet", "b.parquet", "c.parquet"
+        write_file(a, [1, 2], [1.0, 2.0], "x")
+        write_file(b, [3], [3.0], "y")
+        write_file(c, [4], [4.0], "x")
+        adds = [_add(a), _add(b)]
+        v1 = [{"remove": {"path": a, "dataChange": True}}, _add(c)]
+    _write_commit(os.path.join(root, "_delta_log"), 0, [proto, meta] + adds)
+    _write_commit(os.path.join(root, "_delta_log"), 1, v1)
+    return root
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_read_latest_and_time_travel(spark, tmp_path, partitioned):
+    root = _make_table(str(tmp_path / "tbl"), partitioned)
+    latest = read_delta(spark, root)
+    assert latest.columns == ["id", "v", "part"]
+    assert {(r.id, r.part) for r in latest.collect()} == {(3, "y"), (4, "x")}
+    v0 = read_delta(spark, root, version=0)
+    assert {(r.id, r.part) for r in v0.collect()} == {
+        (1, "x"),
+        (2, "x"),
+        (3, "y"),
+    }
+    assert delta_table_version(root) == 1
+    with pytest.raises(ValueError):
+        read_delta(spark, root, version=7)
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """A checkpoint parquet replaces the JSON commits at/below its version:
+    drop the early commits and the reader must still resolve the snapshot
+    from checkpoint + later commits alone."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    # checkpoint at v1 holding the net state: meta + protocol + adds b, c
+    # pyarrow cannot write zero-field structs, so the empty map-typed
+    # columns (configuration / options / partitionValues) are carried as
+    # populated-or-absent — real checkpoints type them as map<string,
+    # string>, which to_pylist also surfaces as dicts
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "test-table",
+                "format": {"provider": "parquet"},
+                "schemaString": SCHEMA_JSON,
+                "partitionColumns": None,  # reader treats absent as []
+                "configuration": {"appendOnly": "false"},
+            },
+            "add": None,
+        },
+        {"protocol": None, "metaData": None, "add": {"path": "b.parquet", "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"protocol": None, "metaData": None, "add": {"path": "c.parquet", "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    for v in (0, 1):  # remove the JSON commits the checkpoint covers
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = read_delta(spark, root)
+    assert {r.id for r in got.collect()} == {3, 4}
+
+
+def test_reader_protocol_gate(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            {
+                "metaData": {
+                    "id": "x",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_JSON,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaProtocolError):
+        read_delta(spark, root)
+
+
+def test_not_a_delta_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, str(tmp_path / "nope"))

@@ -74,3 +74,53 @@ def test_copy_to_restores_bytes(spark, tree, tmp_path, chunk):
         assert (
             pathlib.Path(dst, rel).read_bytes() == pathlib.Path(tree, rel).read_bytes()
         ), rel
+
+
+def test_variadic_len_matches_reference_first_arg_semantics(spark, tree):
+    """Reference len is Variadic(Binary) but its kernel reads only arg 0
+    (len.rs:20-84) — multi-arg calls must work and equal the unary form."""
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    fs.load()
+    rows = fs.sql(
+        "SELECT name, len(data, data) AS n, len(data) AS n1 FROM rootfs "
+        "WHERE name = 'small.txt'"
+    ).collect()
+    assert rows[0]["n"] == rows[0]["n1"] == 11
+
+
+def test_rewrite_variadic_len_surgical():
+    from connected_data_lake_spark.functions import rewrite_variadic_len as rw
+
+    # untouched: unary call, other idents, string literals
+    assert rw("SELECT len(data) FROM t") == "SELECT len(data) FROM t"
+    assert rw("SELECT length(a, b) FROM t") == "SELECT length(a, b) FROM t"
+    assert rw("SELECT 'len(a, b)' FROM t") == "SELECT 'len(a, b)' FROM t"
+    assert rw("SELECT mylen(a, b) FROM t") == "SELECT mylen(a, b) FROM t"
+    # rewritten: extra args dropped, nested parens/commas respected
+    assert rw("SELECT len(a, b) FROM t") == "SELECT len(a) FROM t"
+    assert rw("SELECT LEN(f(x, y), b, c)") == "SELECT len(f(x, y))"
+    assert rw("SELECT len(concat(a, ','), b)") == "SELECT len(concat(a, ','))"
+    # nested variadic call inside the kept argument is rewritten too
+    assert rw("SELECT len(len(a, b), c)") == "SELECT len(len(a))"
+
+
+def test_accessor_parity(spark, tree):
+    fs = Cdl(spark=spark).open(f"local://{tree}")
+    # local: global_path is the bare rel path, dataset_uri the bare rel dir
+    assert fs.global_path == str(tree).lstrip("/")
+    assert fs.dataset_uri == "rootfs"
+    s3 = Cdl(
+        spark=spark,
+        s3_endpoint="http://localhost:9000",
+        access_key="ak",
+        secret_key="sk",
+    ).open("s3://bucket/a/b")
+    assert s3.global_path == "s3://bucket/a/b"
+    assert s3.dataset_uri == "s3://bucket/rootfs"
+    opts = s3.storage_options()
+    assert opts["AWS_ENDPOINT_URL"] == "http://localhost:9000"
+    assert opts["AWS_ACCESS_KEY_ID"] == "ak"
+    assert opts["AWS_SECRET_ACCESS_KEY"] == "sk"
+    assert opts["allow_http"] == "true" and opts["conditional_put"] == "etag"
+    redacted = s3.storage_options(append_credentials=False)
+    assert "AWS_ACCESS_KEY_ID" not in redacted
