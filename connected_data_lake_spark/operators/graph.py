@@ -52,12 +52,52 @@ def _edge_list(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
+#: Edge sets at or below this size finish DRIVER-side (min-id union-find)
+#: instead of spending O(diameter) / O(log n) distributed rounds whose cost
+#: is pure scheduling floor at that size. This is the standard hybrid
+#: contraction cut: at 100 TB the rounds run distributed until the
+#: contracted remnant is planning-sized metadata (the k-means-centroid /
+#: IVF-routing collect class), then one collect ends it. 4096 edges ≈
+#: 64 KiB — two orders of magnitude under any data-path collect.
+LOCAL_FINISH_EDGES = 4096
+
+
+def _local_union_find(spark, rows) -> DataFrame:
+    """Min-id union-find over a planning-sized (u, v) edge list: every
+    node labeled with the smallest id reachable from it — identical
+    semantics to the distributed fixpoints, no float arithmetic to drift.
+    Self-loops register isolated nodes."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = int(r["u"]), int(r["v"])
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:  # attach the LARGER root under the smaller (min-id rep)
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels, "node bigint, component bigint")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label",
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     ``component`` is the smallest node id reachable through the pair graph,
@@ -79,10 +119,20 @@ def connected_components(
     import warnings
 
     if algorithm == "star":
-        return _connected_components_star(pairs, src, dst, max_iter)
+        return _connected_components_star(
+            pairs, src, dst, max_iter, local_finish_edges
+        )
     if algorithm != "label":
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     edges = _edge_list(pairs, src, dst).persist()
+    # hybrid contraction cut (see LOCAL_FINISH_EDGES): the count doubles as
+    # the forcing action for the persisted edge relation
+    n_edges = edges.count()
+    if n_edges <= local_finish_edges:
+        labels = _local_union_find(pairs.sparkSession, edges.collect())
+        edges.unpersist()
+        labels._cdl_cc_rounds = 0
+        return labels
     # seed labels with the FIRST propagation folded in — min(self, direct
     # neighbors) — which saves one full round on every graph; lazy
     # localCheckpoint truncates lineage (module notes) and materializes
@@ -144,7 +194,11 @@ def connected_components(
 
 
 def _connected_components_star(
-    pairs: DataFrame, src: str, dst: str, max_iter: int
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """Alternating large-star/small-star CC (Kiveris et al., SoCC'14 §3).
 
@@ -179,6 +233,13 @@ def _connected_components_star(
     base = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).localCheckpoint(eager=False)
+    # hybrid contraction cut (see LOCAL_FINISH_EDGES): the count doubles as
+    # the forcing action for the checkpointed base relation; self-pairs in
+    # ``base`` register isolated nodes with the local union-find
+    if base.count() <= local_finish_edges:
+        labels = _local_union_find(pairs.sparkSession, base.collect())
+        labels._cdl_cc_rounds = 0
+        return labels
     e = base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     all_nodes = (
         base.select("u")

@@ -167,6 +167,23 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(rid) for rid in jmap.keySet().toArray()}
 
 
+def stray_cache_ids(spark: SparkSession, keep_ids: set[int]) -> set[int]:
+    """Persistent RDD ids beyond ``keep_ids`` that a release hook SHOULD
+    have freed. localCheckpoint blocks are excluded: ``DataFrame
+    .unpersist`` is a CacheManager no-op for them and ``clearCache``
+    would not free them either — only the ContextCleaner reclaims them
+    once the plan handle is garbage-collected (the iterative graph
+    operators' per-round KB-sized label blocks are this class), so
+    flagging them would trigger a fallback that cannot help."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    out: set[int] = set()
+    for entry in jmap.entrySet().toArray():
+        rid = int(entry.getKey())
+        if rid not in keep_ids and "localCheckpoint" not in entry.getValue().toString():
+            out.add(rid)
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
     """Register each table as a temp view (for spark.sql(...) query shapes —
     the reference's single entry point is SQL over a registered table,

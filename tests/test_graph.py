@@ -36,8 +36,14 @@ def test_long_chain_converges_within_diameter_rounds(spark):
 
 
 def test_nonconvergence_raises_not_silently_wrong(spark):
+    # local_finish_edges=0 forces the DISTRIBUTED rounds (a 6-edge graph
+    # would otherwise finish driver-side and never hit the round cap)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, [(i, i + 1) for i in range(6)]), max_iter=1)
+        connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(6)]),
+            max_iter=1,
+            local_finish_edges=0,
+        )
 
 
 def test_cluster_assign_query_sizes_are_consistent(spark, sf_dir):
@@ -215,3 +221,22 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     )
     got = [r["rank"] for r in pagerank(df, n_iter=3).collect()]
     assert all(abs(x - 1.0 / 3) < 1e-12 for x in got)
+
+
+def test_local_finish_matches_distributed_rounds(spark):
+    """Hybrid contraction cut: on the same random graph, the driver-side
+    union-find finish (edge count under LOCAL_FINISH_EDGES) must label
+    every node identically to both distributed kernels forced past it."""
+    import random
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    local = connected_components(_pairs(spark, edges))
+    assert local._cdl_cc_rounds == 0  # took the driver-side finish
+    expect = {(r.node, r.component) for r in local.collect()}
+    for algo in ("label", "star"):
+        dist = connected_components(
+            _pairs(spark, edges), algorithm=algo, local_finish_edges=0
+        )
+        assert {(r.node, r.component) for r in dist.collect()} == expect
+        dist.unpersist()

@@ -503,12 +503,28 @@ def test_psi_bucketing_is_scan_local(spark, sf_dir):
 
 
 def test_heavy_hitters_verify_pass_is_candidate_filtered(spark, sf_dir):
-    """The verification count must scan with a candidate IN-filter (the
-    Zipf tail never shuffles) and partial-aggregate; candidate generation
-    is mapInPandas (scan-local), never a full-vocabulary exchange."""
+    """The verification count must consume the candidates as a BROADCAST
+    left-semi hash join (bounded by k x n_partitions rows — never a
+    driver-side literal IN expression, ADVICE r8) and partial-aggregate;
+    candidate generation is mapInPandas (scan-local), never a
+    full-vocabulary exchange."""
     plan = plan_of(spark, sf_dir, "text_heavy_hitters")
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+    semi = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert any("LeftSemi" in ln for ln in semi), "verify pass lost its broadcast semi join"
+
+
+def test_delta_external_read_scans_prune_columns(spark, sf_dir):
+    """The external-Delta snapshot read must stay a plain pruned parquet
+    scan: the aggregate needs only (o_orderstatus, o_totalprice), so
+    o_orderkey must not survive into ReadSchema, and log replay must not
+    introduce joins (the file list is planning metadata)."""
+    plan = plan_of(spark, sf_dir, "delta_external_read")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderkey" not in read_schema, "column pruning lost through read_delta"
 
 
 def test_bitwise_bool_aggs_combine_map_side(spark, sf_dir):
