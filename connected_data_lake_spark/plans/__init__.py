@@ -461,6 +461,13 @@ REVERIFY_R09 = frozenset(
         "sample_weighted_priority",  # 9-dp priority-key rounding (ADVICE r8)
         "graph_triangle_count",  # empty-edge guard (ADVICE r8)
         "text_heavy_hitters",  # broadcast semi-join verify pass (ADVICE r8)
+        # hybrid contraction cut in connected_components: at driver-check
+        # scale the pair remnant takes the new driver-side union-find
+        # finish, a materially different executed path — both cluster
+        # queries re-present (graph_pagerank_trade's only change is an
+        # inert release-registration call; it keeps its slot)
+        "dedup_cluster_assign",
+        "dedup_cluster_star",
     }
 )
 
