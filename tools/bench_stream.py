@@ -51,11 +51,19 @@ def _slice_bounds(n_rows: int, n_slices: int) -> list[tuple[int, int]]:
     return [(i, min(i + step, n_rows)) for i in range(0, n_rows, step)]
 
 
-def build_events_replay(spark, sf_dir: str, root: str, n_slices: int) -> int:
+def build_events_replay(
+    spark, sf_dir: str, root: str, n_slices: int, replicas: int = 1
+) -> int:
     """Write the events table as n_slices time-ordered parquet files under
     {root}/events.parquet (one file per slice, written sequentially so file
     mtimes replay in event-time order), plus a sentinel slice that closes
-    every real session. Returns the REAL row count (excl. sentinel)."""
+    every real session. Returns the REAL row count (excl. sentinel).
+
+    ``replicas > 1`` is the state-store soak (VERDICT r8 stretch #9): the
+    stream carries replicas-x rows with user_ids offset per replica, so
+    every replica's sessions are CONCURRENTLY open — peak state must grow
+    with ACTIVE keys (replicas x users), never with total events, which is
+    exactly the bounded-state claim under test."""
     import datetime
 
     from pyspark.sql import functions as F
@@ -64,6 +72,14 @@ def build_events_replay(spark, sf_dir: str, root: str, n_slices: int) -> int:
     out = os.path.join(root, "events.parquet")
     os.makedirs(out, exist_ok=True)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if replicas > 1:
+        reps = spark.range(replicas).select(F.col("id").alias("_rep"))
+        raw = (
+            raw.crossJoin(reps)
+            .withColumn("user_id", F.col("user_id") + F.col("_rep") * F.lit(10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.col("_rep") * F.lit(10**10))
+            .drop("_rep")
+        )
     n = raw.count()
     ranked = raw.withColumn("_rk", F.row_number().over(Window.orderBy("ts", "event_id"))).persist()
     ranked.count()
@@ -93,14 +109,16 @@ def build_events_replay(spark, sf_dir: str, root: str, n_slices: int) -> int:
     return n
 
 
-def run_events_leg(spark, sf_dir: str, root: str, n_slices: int) -> dict:
+def run_events_leg(
+    spark, sf_dir: str, root: str, n_slices: int, replicas: int = 1
+) -> dict:
     from pyspark.sql import functions as F
 
     from connected_data_lake_spark.plans import spec_of
     from connected_data_lake_spark.streaming import events as SE
     from connected_data_lake_spark.streaming import stateful as ST
 
-    n_rows = build_events_replay(spark, sf_dir, root, n_slices)
+    n_rows = build_events_replay(spark, sf_dir, root, n_slices, replicas)
     stream_path = os.path.join(root, "events.parquet")
     t0 = time.perf_counter()
     q = (
@@ -118,7 +136,14 @@ def run_events_leg(spark, sf_dir: str, root: str, n_slices: int) -> dict:
     )
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
-    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0]) or n_slices + 1
+    progress = list(q.recentProgress)
+    n_batches = len([p for p in progress if p["numInputRows"] > 0]) or n_slices + 1
+    # peak state rows across micro-batches: the bounded-state measurement —
+    # applyInPandasWithState reports its store size per progress event
+    peak_state = max(
+        (op.get("numRowsTotal", 0) for p in progress for op in p.get("stateOperators", [])),
+        default=0,
+    )
 
     streamed = {
         (r.user_id, r.kind, r.session_start_us, r.last_ts_us, r.n_events, round(r.sum_value, 3))
@@ -137,6 +162,8 @@ def run_events_leg(spark, sf_dir: str, root: str, n_slices: int) -> dict:
         "wall_sec": round(wall, 2),
         "rows_per_sec": round(n_rows / wall, 1),
         "emitted_rows": len(streamed),
+        "peak_state_rows": peak_state,
+        "replicas": replicas,
         "parity_ok": streamed == batch,
         "only_stream": len(streamed - batch),
         "only_batch": len(batch - streamed),
@@ -205,6 +232,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--event-slices", type=int, default=20)
     ap.add_argument("--doc-slices", type=int, default=10)
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=1,
+        help="events replicated N-x with offset user_ids (state-store soak)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_STREAM.json"))
     args = ap.parse_args()
 
@@ -218,7 +251,9 @@ def main() -> None:
         sf_label = os.path.basename(args.sf.rstrip("/"))
         result = {
             "sf": sf_label,
-            "events": run_events_leg(spark, args.sf, root, args.event_slices),
+            "events": run_events_leg(
+                spark, args.sf, root, args.event_slices, args.replicas
+            ),
             "documents": run_documents_leg(spark, args.sf, root, args.doc_slices),
         }
         with open(args.out, "w") as f:
