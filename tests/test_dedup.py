@@ -148,7 +148,15 @@ def test_ngram_containment_max_df_caps_boilerplate_blowup(spark):
     boilerplate postings are dropped BEFORE the self-join (bounding its
     input to the rare-shingle postings), boilerplate-only pairs vanish,
     and the genuine pair survives on its unique shingles."""
-    boiler = "subscribe to our newsletter for updates today"
+    # 16-word boilerplate: each base doc = 8 unique + 16 boiler words ->
+    # 22 shingles, 14 boiler-internal shared by ALL docs (C = 14/22 = .64);
+    # with max_df=2 the boiler postings drop (df = 5 > 2) and only doc 0's
+    # 6 unique-internal shingles still intersect doc 4 (C_capped = 6/22 =
+    # .27), so threshold 0.25 separates the three regimes exactly.
+    boiler = (
+        "subscribe to our newsletter for updates today and never miss "
+        "another exclusive story from this award winning team"
+    )
     uniq = [
         "quick brown fox jumps over the lazy dog",
         "pack my box with five dozen liquor jugs",
@@ -160,14 +168,14 @@ def test_ngram_containment_max_df_caps_boilerplate_blowup(spark):
     rows.append((4, f"prefix words then {uniq[0]} and a tail {boiler}"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    exact = DD.ngram_containment_pairs(df, threshold=0.5, shingle_n=3)
+    exact = DD.ngram_containment_pairs(df, threshold=0.25, shingle_n=3)
     exact_pairs = {(r.src_id, r.dst_id) for r in exact.collect()}
-    # boilerplate glues every doc pair at threshold 0.5 in the exact run
+    # boilerplate glues every doc pair at threshold 0.25 in the exact run
     assert (1, 2) in exact_pairs and (0, 4) in exact_pairs
 
-    capped = DD.ngram_containment_pairs(df, threshold=0.5, shingle_n=3, max_df=2)
+    capped = DD.ngram_containment_pairs(df, threshold=0.25, shingle_n=3, max_df=2)
     capped_pairs = {(r.src_id, r.dst_id) for r in capped.collect()}
     assert capped_pairs <= exact_pairs  # UNDERcount only: subset of exact
     assert (0, 4) in capped_pairs  # genuine excerpt pair survives the cap
     assert (1, 2) not in capped_pairs  # boilerplate-only pair is gone
-    assert DD.ngram_containment_pairs(df, threshold=0.5, max_df=0).count() == 0
+    assert DD.ngram_containment_pairs(df, threshold=0.25, max_df=0).count() == 0
