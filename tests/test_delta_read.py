@@ -174,3 +174,20 @@ def test_reader_protocol_gate(spark, tmp_path):
 def test_not_a_delta_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+def test_remove_all_yields_empty_snapshot_with_schema(spark, tmp_path):
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    _write_commit(
+        log,
+        2,
+        [
+            {"remove": {"path": "b.parquet", "dataChange": True}},
+            {"remove": {"path": "c.parquet", "dataChange": True}},
+        ],
+    )
+    got = read_delta(spark, root)
+    assert got.count() == 0
+    assert got.columns == ["id", "v", "part"]  # schema survives emptiness
+    assert delta_table_version(root) == 2
