@@ -221,17 +221,27 @@ class S3HttpStore(ConditionalPutStore):
         return f"{self.prefix}/{key}" if self.prefix else key
 
     def list_keys(self) -> list[str]:
+        import html as _html
         import re as _re
 
         prefix = f"{self.prefix}/" if self.prefix else ""
-        resp = self._request(
-            "GET", query={"list-type": "2", "prefix": prefix, "max-keys": "1000"}
-        )
-        body = resp.read().decode()
-        keys = _re.findall(r"<Key>([^<]+)</Key>", body)
-        return sorted(
-            k[len(prefix) :] for k in keys if k.endswith(".json")
-        )
+        keys: list[str] = []
+        token: str | None = None
+        while True:  # paginate: a table accrues >1000 manifest versions
+            query = {"list-type": "2", "prefix": prefix, "max-keys": "1000"}
+            if token:
+                query["continuation-token"] = token
+            body = self._request("GET", query=query).read().decode()
+            keys.extend(
+                _html.unescape(k) for k in _re.findall(r"<Key>([^<]+)</Key>", body)
+            )
+            m = _re.search(
+                r"<NextContinuationToken>([^<]+)</NextContinuationToken>", body
+            )
+            if m is None:
+                break
+            token = _html.unescape(m.group(1))
+        return sorted(k[len(prefix) :] for k in keys if k.endswith(".json"))
 
     def get(self, key: str) -> bytes:
         return self._request("GET", self._key(key)).read()
