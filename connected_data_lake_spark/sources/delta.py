@@ -84,11 +84,17 @@ def _replay(path: str, version: int | None):
     commits = _commit_files(log_dir)
     if version is not None:
         commits = [(v, p) for v, p in commits if v <= version]
-        if not commits or commits[-1][0] < version:
-            have = commits[-1][0] if commits else -1
-            raise ValueError(
-                f"version {version} not in log (latest <= requested: {have})"
-            )
+    # checkpoints count toward version resolution: Delta log cleanup
+    # removes JSON commits already compacted into a checkpoint, so a
+    # requested version may be reachable via checkpoint alone
+    ckpt = _checkpoint_for(log_dir, version)
+    resolved = max(
+        [v for v, _ in commits] + ([ckpt[0]] if ckpt else []), default=-1
+    )
+    if version is not None and resolved < version:
+        raise ValueError(
+            f"version {version} not in log (latest <= requested: {resolved})"
+        )
 
     meta: dict | None = None
     adds: dict[str, dict] = {}  # path -> add action (last writer wins)
@@ -110,7 +116,6 @@ def _replay(path: str, version: int | None):
             adds.pop(action["remove"]["path"], None)
 
     start = 0
-    ckpt = _checkpoint_for(log_dir, commits[-1][0] if commits else version)
     if ckpt is not None:
         import pyarrow.parquet as pq
 

@@ -146,6 +146,12 @@ def test_checkpoint_replay(spark, tmp_path):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     got = read_delta(spark, root)
     assert {r.id for r in got.collect()} == {3, 4}
+    # log-cleanup case: the requested version is reachable via checkpoint
+    # ALONE (its JSON commit was vacuumed) — must resolve, not raise
+    via_ckpt = read_delta(spark, root, version=1)
+    assert {r.id for r in via_ckpt.collect()} == {3, 4}
+    with pytest.raises(ValueError):  # but a version past the log still fails
+        read_delta(spark, root, version=9)
 
 
 def test_reader_protocol_gate(spark, tmp_path):
