@@ -20,6 +20,12 @@ Scale notes (100 TB):
 - Log replay touches ONLY ``_delta_log`` (KBs-MBs of JSON / one checkpoint
   parquet) on the driver — never the data files. This is the same
   planning-metadata class as the native manifest reader.
+- The active file list is handed to Spark's parquet reader as explicit
+  paths: one InMemoryFileIndex, no per-file plan nodes, but the driver
+  does hold the path list (a 100k-file table ≈ a few MB of strings —
+  the same order as any Delta reader's snapshot state). The upgrade
+  path at extreme file counts is a custom FileIndex streaming from the
+  checkpoint, which changes this module only.
 - Partitioned tables are read through ONE scan relation with
   ``basePath`` + hive-style directory inference, so Catalyst partition
   pruning applies and the plan does not grow with the partition count.
