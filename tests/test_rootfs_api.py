@@ -124,3 +124,29 @@ def test_accessor_parity(spark, tree):
     assert opts["allow_http"] == "true" and opts["conditional_put"] == "etag"
     redacted = s3.storage_options(append_credentials=False)
     assert "AWS_ACCESS_KEY_ID" not in redacted
+
+
+def test_rewrite_variadic_len_properties():
+    """Property: the rewrite is a no-op on SQL without a variadic len
+    call, never touches string literals, and is idempotent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from connected_data_lake_spark.functions import rewrite_variadic_len as rw
+
+    sql_atoms = st.sampled_from(
+        ["SELECT", "name", "size", ",", "(", ")", "'len(a, b)'", "length(a, b)",
+         "len(data)", "WHERE", "= 3", "AND", "octet_len(x, y)", " "]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(sql_atoms, min_size=1, max_size=12))
+    def check(atoms):
+        s = " ".join(atoms)
+        out = rw(s)
+        assert rw(out) == out  # idempotent
+        if "len(data)" not in s:  # no variadic call constructible here
+            # every atom is either len-free or already unary/quoted/suffixed
+            assert out == s
+
+    check()
