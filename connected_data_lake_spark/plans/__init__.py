@@ -452,9 +452,10 @@ ROTATED_GREEN_R08 = frozenset(
     }
 )
 
-#: Names whose bodies changed in round 9 AFTER an earlier green row: they
-#: forfeit any rotation-set membership (the OR below is masked by this
-#: set) and re-enter the driver's 50-name window for re-verification.
+#: HISTORICAL (round 9): names whose bodies changed in round 9 after an
+#: earlier green row. All six re-passed in CORRECTNESS_r09 and now sit in
+#: ROTATED_GREEN_R09, so this set no longer participates in the rotation
+#: check — it is kept as the documented record of the r9 re-verification.
 REVERIFY_R09 = frozenset(
     {
         "dedup_containment",  # max_df df-cap + prefix filter port (r8 verdict #3)
@@ -470,6 +471,71 @@ REVERIFY_R09 = frozenset(
         "dedup_cluster_star",
     }
 )
+
+#: Driver-green rows from CORRECTNESS_r09 (50/50 in-window pass) under
+#: their FINAL driver-visible names (``tools/rotate_window.py
+#: CORRECTNESS_r09.json``). Includes the six REVERIFY_R09 names — their
+#: changed bodies re-passed in the r9 window — plus the two new Delta
+#: queries and the agg/dedup/events tail the window reached.
+ROTATED_GREEN_R09 = frozenset(
+    {
+        "dedup_cluster_assign",
+        "dedup_cluster_star",
+        "dedup_containment",
+        "delta_external_read",
+        "delta_time_travel",
+        "graph_triangle_count",
+        "sample_weighted_priority",
+        "text_heavy_hitters",
+        "agg_approx_distinct",
+        "agg_array_sorted",
+        "agg_bitwise_bool",
+        "agg_corr_covar",
+        "agg_cube",
+        "agg_filter_having",
+        "agg_global_stats",
+        "agg_group_distinct",
+        "agg_grouping_sets",
+        "agg_histogram_buckets",
+        "agg_hll_partial_merge",
+        "agg_median_percentile",
+        "agg_mode_pergroup",
+        "agg_percentile_approx",
+        "agg_rollup",
+        "agg_skew_kurtosis",
+        "agg_stddev_var",
+        "agg_string_concat",
+        "agg_sum_revenue",
+        "cluster_kmeans_embeddings",
+        "contamination_overlap",
+        "curation_dsir_weights",
+        "curation_semdedup",
+        "dedup_embedding_neardup",
+        "dedup_exact_survivors",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "distinct_projection",
+        "embedding_outlier_zscore",
+        "embedding_pca_contract",
+        "embedding_quantize_int8",
+        "embedding_stats",
+        "events_anomaly_mad",
+        "events_daily_top_users",
+        "events_funnel_attribution",
+        "events_funnel_transitions",
+        "events_gap_stats",
+        "events_ohlc_minutely",
+        "events_peak_concurrency",
+        "events_rate_anomaly",
+    }
+)
+
+#: Names whose bodies change in round 10 AFTER an earlier green row: they
+#: forfeit any rotation-set membership (the OR below is masked by this
+#: set) and re-enter the driver's 50-name window for re-verification.
+REVERIFY_R10: frozenset[str] = frozenset()
 
 
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
@@ -504,13 +570,14 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if final not in REVERIFY_R09 and (
+        if final not in REVERIFY_R10 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
             or final in ROTATED_GREEN_R06
             or final in ROTATED_GREEN_R07
             or final in ROTATED_GREEN_R08
+            or final in ROTATED_GREEN_R09
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)
