@@ -20,12 +20,19 @@ Scale notes (100 TB):
 - Log replay touches ONLY ``_delta_log`` (KBs-MBs of JSON / one checkpoint
   parquet) on the driver — never the data files. This is the same
   planning-metadata class as the native manifest reader.
+- ``_last_checkpoint`` is honored: opening a long-lived table reads one
+  small JSON pointer and fetches the checkpoint parts by NAME, so the
+  directory listing (still one paginated LIST for the post-checkpoint
+  commits) never has to scan/parse checkpoint candidates, and replay is
+  bounded to commits after the pointer. Time travel to a version older
+  than the pointer falls back to the listing scan.
 - The active file list is handed to Spark's parquet reader as explicit
   paths: one InMemoryFileIndex, no per-file plan nodes, but the driver
   does hold the path list (a 100k-file table ≈ a few MB of strings —
-  the same order as any Delta reader's snapshot state). The upgrade
-  path at extreme file counts is a custom FileIndex streaming from the
-  checkpoint, which changes this module only.
+  the same order as any Delta reader's snapshot state; replay itself is
+  measured at 100k add actions in ``tests/test_delta_soak.py``). The
+  upgrade path at extreme file counts is a custom FileIndex streaming
+  from the checkpoint, which changes this module only.
 - Partitioned tables are read through ONE scan relation with
   ``basePath`` + hive-style directory inference, so Catalyst partition
   pruning applies and the plan does not grow with the partition count.
@@ -35,12 +42,20 @@ Scale notes (100 TB):
   (loud error) instead of building a union-of-thousands driver plan.
 - Delta stores the data schema as a Spark ``StructType`` JSON string
   (``schemaString``), so schema application is exact — no re-inference.
+- The log can live on an object store: replay goes through a small
+  ``DeltaLogStore`` seam (local-FS default; ``ObjectStoreDeltaLog``
+  adapts the repo's SigV4 :class:`~connected_data_lake_spark.sources.
+  manifest.S3HttpStore`), while the DATA files are read by Spark's own
+  s3a connector — the same dual ``local|s3`` scheme split as the
+  reference's CdlFS (reference crates/cdl-fs/src/lib.rs:343-373).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -49,51 +64,200 @@ from connected_data_lake_spark.session import prepare_session
 
 _LOG_DIR = "_delta_log"
 
+#: Classic checkpoint file names per PROTOCOL.md: single-file
+#: ``<version>.checkpoint.parquet`` or multi-part
+#: ``<version>.checkpoint.<part>.<parts>.parquet``. Anything else with a
+#: ``.checkpoint`` infix (UUID-named V2 checkpoints, sidecar files) is a
+#: later-protocol feature we refuse loudly instead of misreading.
+_CLASSIC_CKPT = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+
 
 class DeltaProtocolError(NotImplementedError):
     """The table needs reader features beyond the basic protocol."""
 
 
-def _commit_files(log_dir: str) -> list[tuple[int, str]]:
-    """(version, path) of every JSON commit, ascending by version."""
+class DeltaLogStore:
+    """Minimal read surface over a ``_delta_log`` directory.
+
+    The default implementation is the local filesystem; the object-store
+    implementation below reuses the SigV4 store from
+    :mod:`~connected_data_lake_spark.sources.manifest`. Only three
+    operations exist — list basenames, read bytes, probe a name — which is
+    the whole surface Delta log replay needs.
+    """
+
+    def __init__(self, log_dir: str):
+        self._dir = log_dir
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._dir)
+
+    def list_names(self) -> list[str]:
+        return sorted(os.listdir(self._dir))
+
+    def read_bytes(self, name: str) -> bytes:
+        with open(os.path.join(self._dir, name), "rb") as fh:
+            return fh.read()
+
+    def try_read_bytes(self, name: str) -> bytes | None:
+        try:
+            return self.read_bytes(name)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+
+class ObjectStoreDeltaLog(DeltaLogStore):
+    """``_delta_log`` resident on an S3-compatible object store.
+
+    Wraps any :class:`~connected_data_lake_spark.sources.manifest.
+    ConditionalPutStore` whose keys are relative to the TABLE root (the
+    store's own prefix ends at the table directory). Listing uses the
+    generic-key variant so checkpoint parquet files and the
+    ``_last_checkpoint`` pointer are visible, not just ``*.json``.
+    """
+
+    def __init__(self, store):
+        self._store = store
+
+    def exists(self) -> bool:
+        return bool(self.list_names())
+
+    def list_names(self) -> list[str]:
+        prefix = _LOG_DIR + "/"
+        keys = (
+            self._store.list_all_keys(prefix=prefix)
+            if hasattr(self._store, "list_all_keys")
+            else [k for k in self._store.list_keys() if k.startswith(prefix)]
+        )
+        return sorted(
+            k[len(prefix):] for k in keys if k.startswith(prefix) and "/" not in k[len(prefix):]
+        )
+
+    def read_bytes(self, name: str) -> bytes:
+        return self._store.get(f"{_LOG_DIR}/{name}")
+
+    def try_read_bytes(self, name: str) -> bytes | None:
+        import urllib.error
+
+        try:
+            return self.read_bytes(name)
+        except (KeyError, FileNotFoundError):
+            return None
+        except urllib.error.HTTPError as exc:  # pragma: no cover - net path
+            if exc.code == 404:
+                return None
+            raise
+
+
+def _commit_names(store: DeltaLogStore) -> list[tuple[int, str]]:
+    """(version, basename) of every JSON commit, ascending by version."""
     out = []
-    for name in os.listdir(log_dir):
+    for name in store.list_names():
         stem, ext = os.path.splitext(name)
         if ext == ".json" and stem.isdigit():
-            out.append((int(stem), os.path.join(log_dir, name)))
+            out.append((int(stem), name))
     out.sort()
     return out
 
 
-def _checkpoint_for(log_dir: str, up_to: int | None) -> tuple[int, list[str]] | None:
-    """Latest checkpoint at version <= up_to: (version, parquet parts)."""
-    best: tuple[int, list[str]] | None = None
-    parts: dict[int, list[str]] = {}
-    for name in os.listdir(log_dir):
+def _checkpoint_from_pointer(
+    store: DeltaLogStore, up_to: int | None
+) -> tuple[int, list[str]] | None:
+    """``_last_checkpoint`` fast path: one small JSON read instead of a
+    full directory listing (PROTOCOL.md "Last Checkpoint File"). Returns
+    None when absent, unusable for the requested version, or malformed —
+    callers then fall back to the listing scan."""
+    raw = store.try_read_bytes("_last_checkpoint")
+    if raw is None:
+        return None
+    try:
+        doc = json.loads(raw)
+        ver = int(doc["version"])
+    except (ValueError, KeyError, TypeError):
+        return None
+    if up_to is not None and ver > up_to:
+        return None  # time travel past the pointer: need the older log
+    nparts = doc.get("parts")
+    if nparts:
+        names = [
+            f"{ver:020d}.checkpoint.{i:010d}.{int(nparts):010d}.parquet"
+            for i in range(1, int(nparts) + 1)
+        ]
+    else:
+        names = [f"{ver:020d}.checkpoint.parquet"]
+    parts = []
+    for name in names:
+        data = store.try_read_bytes(name)
+        if data is None:  # stale pointer (e.g. mid-cleanup): fall back
+            return None
+        parts.append((name, data))
+    return ver, parts
+
+
+def _checkpoint_from_listing(
+    store: DeltaLogStore, up_to: int | None
+) -> tuple[int, list[str]] | None:
+    """Latest classic checkpoint at version <= up_to via directory scan."""
+    groups: dict[int, list[str]] = {}
+    for name in store.list_names():
         if ".checkpoint" not in name or not name.endswith(".parquet"):
             continue
-        ver = int(name.split(".", 1)[0])
+        m = _CLASSIC_CKPT.match(name)
+        if m is None:
+            raise DeltaProtocolError(
+                f"unrecognized checkpoint file name {name!r} (UUID-named / "
+                "V2 checkpoints need reader features beyond the basic "
+                "protocol)"
+            )
+        ver = int(m.group(1))
         if up_to is not None and ver > up_to:
             continue
-        parts.setdefault(ver, []).append(os.path.join(log_dir, name))
-    for ver, files in parts.items():
-        if best is None or ver > best[0]:
-            best = (ver, sorted(files))
-    return best
+        groups.setdefault(ver, []).append(name)
+    if not groups:
+        return None
+    ver = max(groups)
+    return ver, [(n, store.read_bytes(n)) for n in sorted(groups[ver])]
 
 
-def _replay(path: str, version: int | None):
-    """Replay the log; returns (metaData dict, active add actions)."""
-    log_dir = os.path.join(path, _LOG_DIR)
-    if not os.path.isdir(log_dir):
+def _as_map_dict(value) -> dict:
+    """Normalize a Delta map-typed field to a plain dict.
+
+    JSON commits give dicts already; checkpoint parquet read through
+    ``pyarrow.Table.to_pylist()`` surfaces MAP columns as lists of
+    ``(key, value)`` tuples (verified empirically on pyarrow 16 — the
+    ``maps_as_pydicts=`` conversion option exists on ``to_pydict`` paths
+    but not uniformly, so normalize unconditionally here)."""
+    if value is None:
+        return {}
+    if isinstance(value, dict):
+        return value
+    return {k: v for k, v in value}
+
+
+def _replay(store: DeltaLogStore, path: str, version: int | None):
+    """Replay the log; returns (metaData dict, active add actions).
+
+    Add/remove file paths are percent-decoded once here (PROTOCOL.md:
+    paths are RFC 2396 URL-encoded), so the adds dict keys, the returned
+    actions, and every downstream join/layout check see the REAL relative
+    path."""
+    if not store.exists():
         raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {path}")
-    commits = _commit_files(log_dir)
+    # _last_checkpoint first: fetches checkpoint parts by constructed
+    # name, skipping the checkpoint-candidate scan on the common
+    # latest-snapshot open. Fall back to the listing scan when absent,
+    # stale, or behind the requested time-travel version.
+    ckpt = _checkpoint_from_pointer(store, version)
+    commits = _commit_names(store)
+    if ckpt is None:
+        ckpt = _checkpoint_from_listing(store, version)
     if version is not None:
         commits = [(v, p) for v, p in commits if v <= version]
     # checkpoints count toward version resolution: Delta log cleanup
     # removes JSON commits already compacted into a checkpoint, so a
     # requested version may be reachable via checkpoint alone
-    ckpt = _checkpoint_for(log_dir, version)
     resolved = max(
         [v for v, _ in commits] + ([ckpt[0]] if ckpt else []), default=-1
     )
@@ -103,7 +267,7 @@ def _replay(path: str, version: int | None):
         )
 
     meta: dict | None = None
-    adds: dict[str, dict] = {}  # path -> add action (last writer wins)
+    adds: dict[str, dict] = {}  # decoded path -> add action (last wins)
 
     def apply_action(action: dict) -> None:
         nonlocal meta
@@ -115,48 +279,70 @@ def _replay(path: str, version: int | None):
                     "supported (deletion vectors / column mapping)"
                 )
         elif "metaData" in action:
-            meta = action["metaData"]
+            meta = dict(action["metaData"])
         elif "add" in action:
-            adds[action["add"]["path"]] = action["add"]
+            a = dict(action["add"])
+            a["path"] = unquote(a["path"])
+            a["partitionValues"] = _as_map_dict(a.get("partitionValues"))
+            adds[a["path"]] = a
         elif "remove" in action:
-            adds.pop(action["remove"]["path"], None)
+            adds.pop(unquote(action["remove"]["path"]), None)
 
     start = 0
     if ckpt is not None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for part in ckpt[1]:
-            tbl = pq.read_table(part)
+        for _name, data in ckpt[1]:
+            tbl = pq.read_table(pa.BufferReader(data))
             for row in tbl.to_pylist():
                 action = {k: v for k, v in row.items() if v is not None}
                 apply_action(action)
         start = ckpt[0] + 1
 
-    for ver, cpath in commits:
+    for ver, cname in commits:
         if ver < start:
             continue
-        with open(cpath) as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    apply_action(json.loads(line))
+        for line in store.read_bytes(cname).decode("utf-8").splitlines():
+            line = line.strip()
+            if line:
+                apply_action(json.loads(line))
 
     if meta is None:
         raise ValueError(f"Delta log has no metaData action: {path}")
     return meta, list(adds.values())
 
 
+def _store_for(path: str, log_store: DeltaLogStore | None) -> DeltaLogStore:
+    if log_store is not None:
+        return log_store
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"non-local Delta table {path!r} needs an explicit log_store= "
+            "(e.g. ObjectStoreDeltaLog over an S3HttpStore scoped to the "
+            "table root); Spark then reads the data files via s3a"
+        )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return DeltaLogStore(os.path.join(local, _LOG_DIR))
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    log_store: DeltaLogStore | None = None,
 ) -> DataFrame:
     """Read an external Delta table as a DataFrame (exact snapshot
     semantics: the active add-file set of the requested version).
 
     ``version=None`` reads the latest snapshot; an integer time-travels,
     exactly like the native manifest reader's ``version=`` parameter.
+    ``path`` may be an object-store URL (``s3a://…``) when ``log_store``
+    supplies the ``_delta_log`` bytes — Spark's own connector reads the
+    data files at that URL.
     """
     prepare_session(spark)
-    meta, adds = _replay(path, version)
+    meta, adds = _replay(_store_for(path, log_store), path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = T.StructType(
@@ -164,8 +350,9 @@ def read_delta(
     )
     if not adds:
         return spark.createDataFrame([], schema)
+    base = path.rstrip("/")
     files = [
-        f if os.path.isabs(f) else os.path.join(path, f)
+        f if (os.path.isabs(f) or "://" in f) else f"{base}/{f}"
         for f in (a["path"] for a in adds)
     ]
     if not part_cols:
@@ -173,7 +360,9 @@ def read_delta(
     # partitioned: require the hive-style layout Delta writers produce, so
     # the whole table stays ONE scan relation and Catalyst prunes
     # partitions (plan size independent of partition count — see module
-    # scale notes)
+    # scale notes). Both sides of the comparison are DECODED paths: the
+    # add path was unquoted at replay, and _hive_escape reproduces the
+    # writer-side escaping of the raw partition VALUE.
     for a in adds:
         expect = "/".join(
             f"{c}={_hive_escape(a['partitionValues'].get(c))}" for c in part_cols
@@ -184,7 +373,7 @@ def read_delta(
                 f"({a['path']!r} vs {expect!r}); non-hive Delta layouts are "
                 "not supported"
             )
-    reader = spark.read.schema(data_schema).option("basePath", path)
+    reader = spark.read.schema(data_schema).option("basePath", base)
     df = reader.parquet(*files)
     # partition columns come back via directory inference; cast to the
     # declared types and restore the declared column order
@@ -211,9 +400,22 @@ def _hive_escape(value: str | None) -> str:
     return "".join(out)
 
 
-def delta_table_version(path: str) -> int:
+def delta_table_version(
+    path: str, log_store: DeltaLogStore | None = None
+) -> int:
     """Latest committed version of an external Delta table."""
-    commits = _commit_files(os.path.join(path, _LOG_DIR))
-    if not commits:
+    store = _store_for(path, log_store)
+    if not store.exists():
         raise FileNotFoundError(f"no Delta commits under {path}")
-    return commits[-1][0]
+    commits = _commit_names(store)
+    ckpt_ver = -1
+    ptr = store.try_read_bytes("_last_checkpoint")
+    if ptr is not None:
+        try:
+            ckpt_ver = int(json.loads(ptr)["version"])
+        except (ValueError, KeyError, TypeError):
+            ckpt_ver = -1
+    latest = max([v for v, _ in commits] + [ckpt_ver], default=-1)
+    if latest < 0:
+        raise FileNotFoundError(f"no Delta commits under {path}")
+    return latest

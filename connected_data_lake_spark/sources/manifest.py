@@ -53,6 +53,16 @@ class ConditionalPutStore(abc.ABC):
         concurrent callers — this is the commit protocol's entire
         correctness budget."""
 
+    def list_all_keys(self, prefix: str = "") -> list[str]:
+        """Every key under ``prefix``, unfiltered by extension (sorted).
+
+        ``list_keys`` is the manifest-protocol view (``*.json`` only);
+        this generic view exists for consumers replaying OTHER layouts
+        from the same store — e.g. a Delta ``_delta_log`` with parquet
+        checkpoints and the ``_last_checkpoint`` pointer
+        (:mod:`connected_data_lake_spark.sources.delta`)."""
+        raise NotImplementedError(type(self).__name__)
+
 
 class LocalFsStore(ConditionalPutStore):
     """Directory-backed store; put-if-absent via ``link(2)`` EEXIST."""
@@ -66,12 +76,22 @@ class LocalFsStore(ConditionalPutStore):
         except FileNotFoundError:
             return []
 
+    def list_all_keys(self, prefix: str = "") -> list[str]:
+        out = []
+        for dirpath, _dirs, names in os.walk(self.root):
+            rel = os.path.relpath(dirpath, self.root)
+            for name in names:
+                key = name if rel == "." else f"{rel}/{name}"
+                if key.startswith(prefix) and not name.startswith(".tmp-"):
+                    out.append(key)
+        return sorted(out)
+
     def get(self, key: str) -> bytes:
         with open(os.path.join(self.root, key), "rb") as f:
             return f.read()
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
-        os.makedirs(self.root, exist_ok=True)
+        os.makedirs(os.path.dirname(os.path.join(self.root, key)) or self.root, exist_ok=True)
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "wb") as f:
             f.write(data)
@@ -96,6 +116,10 @@ class InMemoryStore(ConditionalPutStore):
     def list_keys(self) -> list[str]:
         with self._lock:
             return sorted(k for k in self._objects if k.endswith(".json"))
+
+    def list_all_keys(self, prefix: str = "") -> list[str]:
+        with self._lock:
+            return sorted(k for k in self._objects if k.startswith(prefix))
 
     def get(self, key: str) -> bytes:
         with self._lock:
@@ -220,11 +244,11 @@ class S3HttpStore(ConditionalPutStore):
     def _key(self, key: str) -> str:
         return f"{self.prefix}/{key}" if self.prefix else key
 
-    def list_keys(self) -> list[str]:
+    def _list_paginated(self, key_prefix: str) -> list[str]:
         import html as _html
         import re as _re
 
-        prefix = f"{self.prefix}/" if self.prefix else ""
+        prefix = (f"{self.prefix}/" if self.prefix else "") + key_prefix
         keys: list[str] = []
         token: str | None = None
         while True:  # paginate: a table accrues >1000 manifest versions
@@ -241,7 +265,14 @@ class S3HttpStore(ConditionalPutStore):
             if m is None:
                 break
             token = _html.unescape(m.group(1))
-        return sorted(k[len(prefix) :] for k in keys if k.endswith(".json"))
+        strip = len(f"{self.prefix}/" if self.prefix else "")
+        return sorted(k[strip:] for k in keys)
+
+    def list_keys(self) -> list[str]:
+        return [k for k in self._list_paginated("") if k.endswith(".json")]
+
+    def list_all_keys(self, prefix: str = "") -> list[str]:
+        return self._list_paginated(prefix)
 
     def get(self, key: str) -> bytes:
         return self._request("GET", self._key(key)).read()

