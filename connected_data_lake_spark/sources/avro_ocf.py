@@ -196,9 +196,7 @@ def _read_value(schema, r: _Reader, names: dict):
 
 
 def _zigzag(n: int) -> bytes:
-    acc = (n << 1) ^ (n >> 63) if n >= 0 else ((-n - 1) << 1) | 1
-    # equivalent zigzag for arbitrary python ints
-    acc = (n << 1) ^ (n >> 200) if False else acc
+    acc = (n << 1) if n >= 0 else (((-n - 1) << 1) | 1)
     out = bytearray()
     while True:
         bits = acc & 0x7F

@@ -1,0 +1,378 @@
+"""External Iceberg table read path (sources/iceberg.py) on hand-generated
+metadata — pyiceberg is not in this environment, so fixtures write the open
+format directly (metadata JSON per the Iceberg spec, manifest list +
+manifests as real Avro OCF through sources/avro_ocf.py), which also keeps
+the reader honest against the FORMAT rather than against a library. An
+import-gated parity test runs when pyiceberg IS available."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from connected_data_lake_spark.plans.lakeops import (
+    ICEBERG_MANIFEST_ENTRY_SCHEMA,
+    ICEBERG_MANIFEST_FILE_SCHEMA,
+)
+from connected_data_lake_spark.sources.avro_ocf import write_ocf
+from connected_data_lake_spark.sources.iceberg import (
+    IcebergProtocolError,
+    _iceberg_type_to_spark,
+    iceberg_snapshots,
+    read_iceberg,
+)
+
+ICE_SCHEMA = {
+    "schema-id": 0,
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "double"},
+        {"id": 3, "name": "part", "required": False, "type": "string"},
+    ],
+}
+
+
+def _write_data(root, rel, ids, part):
+    full = os.path.join(root, "data", rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.array([float(i) for i in ids], pa.float64()),
+                "part": pa.array([part] * len(ids), pa.string()),
+            }
+        ),
+        full,
+    )
+    return full
+
+
+def _entry(status, path, snap, size=1):
+    return {
+        "status": status,
+        "snapshot_id": snap,
+        "sequence_number": snap,
+        "file_sequence_number": snap,
+        "data_file": {
+            "content": 0,
+            "file_path": path,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 1,
+            "file_size_in_bytes": size,
+        },
+    }
+
+
+def _manifest_file_rec(path, length, snap, content=0):
+    return {
+        "manifest_path": path,
+        "manifest_length": length,
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": snap,
+        "min_sequence_number": 1,
+        "added_snapshot_id": snap,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 1,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
+def _make_table(root: str) -> str:
+    """snapshot 1: files a+b; snapshot 2: a existing, b DELETED, c added."""
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fa = _write_data(root, "a.parquet", [1, 2], "x")
+    fb = _write_data(root, "b.parquet", [3], "y")
+    fc = _write_data(root, "c.parquet", [4], "x")
+
+    def write_avro(name, schema, recs):
+        blob = write_ocf(schema, recs)
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+        return os.path.join(meta_dir, name), len(blob)
+
+    m1, m1len = write_avro(
+        "m1.avro", ICEBERG_MANIFEST_ENTRY_SCHEMA,
+        [_entry(1, fa, 1), _entry(1, fb, 1)],
+    )
+    m2, m2len = write_avro(
+        "m2.avro", ICEBERG_MANIFEST_ENTRY_SCHEMA,
+        [_entry(0, fa, 1), _entry(2, fb, 2), _entry(1, fc, 2)],
+    )
+    ml1, _ = write_avro(
+        "ml1.avro", ICEBERG_MANIFEST_FILE_SCHEMA, [_manifest_file_rec(m1, m1len, 1)]
+    )
+    ml2, _ = write_avro(
+        "ml2.avro", ICEBERG_MANIFEST_FILE_SCHEMA, [_manifest_file_rec(m2, m2len, 2)]
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 2000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [ICE_SCHEMA],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"}, "manifest-list": ml1, "schema-id": 0},
+            {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 2000,
+             "parent-snapshot-id": 1, "summary": {"operation": "overwrite"},
+             "manifest-list": ml2, "schema-id": 0},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 1, "timestamp-ms": 1000},
+            {"snapshot-id": 2, "timestamp-ms": 2000},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root
+
+
+def test_read_current_and_time_travel(spark, tmp_path):
+    root = _make_table(str(tmp_path / "tbl"))
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["id", "v", "part"]
+    # b.parquet's DELETED entry must be skipped, a's EXISTING kept
+    assert {(r.id, r.part) for r in cur.collect()} == {(1, "x"), (2, "x"), (4, "x")}
+    snap1 = read_iceberg(spark, root, snapshot_id=1)
+    assert {r.id for r in snap1.collect()} == {1, 2, 3}
+    # timestamp travel resolves through the snapshot-log
+    asof = read_iceberg(spark, root, as_of_timestamp_ms=1500)
+    assert {r.id for r in asof.collect()} == {1, 2, 3}
+    at2 = read_iceberg(spark, root, as_of_timestamp_ms=999_999)
+    assert {r.id for r in at2.collect()} == {1, 2, 4}
+    with pytest.raises(ValueError):
+        read_iceberg(spark, root, snapshot_id=77)
+    with pytest.raises(ValueError):
+        read_iceberg(spark, root, as_of_timestamp_ms=5)  # before first snap
+    snaps = iceberg_snapshots(root)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["operation"] == "overwrite"
+
+
+def test_metadata_file_resolution_without_hint(spark, tmp_path):
+    """Object-store naming (NNNNN-uuid.metadata.json), no version hint:
+    the highest version wins."""
+    root = _make_table(str(tmp_path / "tbl"))
+    meta_dir = os.path.join(root, "metadata")
+    os.unlink(os.path.join(meta_dir, "version-hint.text"))
+    src = os.path.join(meta_dir, "v1.metadata.json")
+    # an OLDER metadata generation pointing at snapshot 1 only
+    with open(src) as fh:
+        old = json.load(fh)
+    old["current-snapshot-id"] = 1
+    old["snapshots"] = old["snapshots"][:1]
+    old["snapshot-log"] = old["snapshot-log"][:1]
+    with open(os.path.join(meta_dir, "00001-aaaa-bbbb.metadata.json"), "w") as fh:
+        json.dump(old, fh)
+    os.rename(src, os.path.join(meta_dir, "00002-cccc-dddd.metadata.json"))
+    got = read_iceberg(spark, root)
+    assert {r.id for r in got.collect()} == {1, 2, 4}  # newest generation
+
+
+def test_empty_table_no_snapshots(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    meta = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [ICE_SCHEMA],
+        "current-snapshot-id": -1,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = read_iceberg(spark, root)
+    assert got.count() == 0
+    assert got.columns == ["id", "v", "part"]
+
+
+def test_v1_inline_schema_and_required_fields(spark, tmp_path):
+    """format-version 1 with the inline "schema" key; required -> not null."""
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    f = _write_data(root, "a.parquet", [7], "z")
+    m, mlen = os.path.join(meta_dir, "m.avro"), 0
+    blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [_entry(1, f, 1)])
+    with open(m, "wb") as fh:
+        fh.write(blob)
+    ml = os.path.join(meta_dir, "ml.avro")
+    with open(ml, "wb") as fh:
+        fh.write(write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA,
+                           [_manifest_file_rec(m, len(blob), 1)]))
+    meta = {
+        "format-version": 1,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": True, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "double"},
+                {"id": 3, "name": "part", "required": False, "type": "string"},
+            ],
+        },
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000, "manifest-list": ml}
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = read_iceberg(spark, root)
+    assert [r.id for r in got.collect()] == [7]
+    # Spark's file source relaxes nullability on read; the declared
+    # conversion itself must still honor required -> not null
+    from connected_data_lake_spark.sources.iceberg import _current_schema
+
+    assert _current_schema(meta)["id"].nullable is False
+
+
+def _gated_table(tmp_path, mutate, name="tbl"):
+    root = _make_table(str(tmp_path / name))
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    mutate(root, meta)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return root
+
+
+def test_format_version_gate(spark, tmp_path):
+    root = _gated_table(tmp_path, lambda r, m: m.update({"format-version": 3}))
+    with pytest.raises(IcebergProtocolError):
+        read_iceberg(spark, root)
+
+
+def test_delete_manifest_gate(spark, tmp_path):
+    def mutate(root, meta):
+        meta_dir = os.path.join(root, "metadata")
+        with open(os.path.join(meta_dir, "m2.avro"), "rb") as fh:
+            pass  # manifest exists; repoint list at a content=1 entry
+        ml = os.path.join(meta_dir, "ml-del.avro")
+        with open(ml, "wb") as fh:
+            fh.write(
+                write_ocf(
+                    ICEBERG_MANIFEST_FILE_SCHEMA,
+                    [_manifest_file_rec(os.path.join(meta_dir, "m2.avro"), 1, 2, content=1)],
+                )
+            )
+        meta["snapshots"][1]["manifest-list"] = ml
+
+    root = _gated_table(tmp_path, mutate)
+    with pytest.raises(IcebergProtocolError):
+        read_iceberg(spark, root)
+
+
+def test_delete_file_and_format_gates(spark, tmp_path):
+    def mutate(root, meta):
+        meta_dir = os.path.join(root, "metadata")
+        e = _entry(1, os.path.join(root, "data", "a.parquet"), 2)
+        e["data_file"]["content"] = 1  # position-delete file
+        blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [e])
+        m = os.path.join(meta_dir, "m-del.avro")
+        with open(m, "wb") as fh:
+            fh.write(blob)
+        ml = os.path.join(meta_dir, "ml-del2.avro")
+        with open(ml, "wb") as fh:
+            fh.write(write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA,
+                               [_manifest_file_rec(m, len(blob), 2)]))
+        meta["snapshots"][1]["manifest-list"] = ml
+
+    root = _gated_table(tmp_path, mutate)
+    with pytest.raises(IcebergProtocolError):
+        read_iceberg(spark, root)
+
+    def mutate_fmt(root, meta):
+        meta_dir = os.path.join(root, "metadata")
+        e = _entry(1, os.path.join(root, "data", "a.parquet"), 2)
+        e["data_file"]["file_format"] = "ORC"
+        blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [e])
+        m = os.path.join(meta_dir, "m-orc.avro")
+        with open(m, "wb") as fh:
+            fh.write(blob)
+        ml = os.path.join(meta_dir, "ml-orc.avro")
+        with open(ml, "wb") as fh:
+            fh.write(write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA,
+                               [_manifest_file_rec(m, len(blob), 2)]))
+        meta["snapshots"][1]["manifest-list"] = ml
+
+    root2 = _gated_table(tmp_path, mutate_fmt, name="tbl2")
+    with pytest.raises(IcebergProtocolError):
+        read_iceberg(spark, root2)
+
+
+def test_not_an_iceberg_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_type_mapping():
+    from pyspark.sql import types as T
+
+    assert _iceberg_type_to_spark("decimal(10, 2)") == T.DecimalType(10, 2)
+    assert _iceberg_type_to_spark("fixed[16]") == T.BinaryType()
+    assert _iceberg_type_to_spark("timestamptz") == T.TimestampType()
+    assert _iceberg_type_to_spark("timestamp") == T.TimestampNTZType()
+    assert _iceberg_type_to_spark(
+        {"type": "list", "element": "long", "element-required": True}
+    ) == T.ArrayType(T.LongType(), containsNull=False)
+    assert _iceberg_type_to_spark(
+        {"type": "map", "key": "string", "value": "double"}
+    ) == T.MapType(T.StringType(), T.DoubleType())
+    with pytest.raises(IcebergProtocolError):
+        _iceberg_type_to_spark("time")  # microsecond time-of-day: no Spark type
+
+
+def test_snapshot_read_is_one_scan_relation(spark, tmp_path):
+    root = _make_table(str(tmp_path / "tbl"))
+    plan = read_iceberg(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_pyiceberg_written_table_parity(spark, tmp_path):
+    """When pyiceberg IS present (not in this container), a library-written
+    table must replay identically — guards the hand-built fixtures against
+    a shared misreading of the spec."""
+    pyiceberg = pytest.importorskip("pyiceberg")  # noqa: F841
+    from pyiceberg.catalog.sql import SqlCatalog
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    catalog = SqlCatalog(
+        "local", uri=f"sqlite:///{tmp_path}/cat.db", warehouse=f"file://{wh}"
+    )
+    catalog.create_namespace("db")
+    tbl = catalog.create_table(
+        "db.t",
+        schema=pa.schema([("id", pa.int64()), ("part", pa.string())]),
+    )
+    tbl.append(pa.table({"id": pa.array([1, 2], pa.int64()),
+                         "part": pa.array(["x", "y"], pa.string())}))
+    tbl.append(pa.table({"id": pa.array([3], pa.int64()),
+                         "part": pa.array(["x"], pa.string())}))
+    got = read_iceberg(spark, tbl.location())
+    assert {r.id for r in got.collect()} == {1, 2, 3}
