@@ -128,6 +128,36 @@ class CdlFS:
         self._register()
         return self
 
+    def load_from_lance(self, lance_path: str) -> "CdlFS":
+        """Ingest an EXISTING Lance dataset as this dataset's rootfs table
+        — the reverse of :meth:`to_lance_dataset`, and the first thing a
+        CDL migrator needs (the reference's storage layer IS Lance:
+        ``open_table``, reference crates/cdl-fs/src/lib.rs:805-820). The
+        read is fragment-parallel executor-side Arrow streaming
+        (:mod:`sources.lance_ds`); the rows must carry the rootfs columns
+        (a CDL-written rootfs dataset does) and land in the native
+        transactional table, after which every canned query / SQL surface
+        works unchanged. Import-gated on ``lance`` like the export."""
+        from connected_data_lake_spark.sources.lance_ds import read_lance
+        from connected_data_lake_spark.sources.rootfs import ROOTFS_COLUMNS, ROOTFS_SCHEMA
+
+        df = read_lance(self.spark, lance_path)
+        missing = [c for c in ROOTFS_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"Lance dataset at {lance_path} is not a rootfs table "
+                f"(missing columns: {missing})"
+            )
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in ROOTFS_SCHEMA.fields]
+        )
+        rootfs_source.write_table(aligned, self.path.table_uri, mode="overwrite")
+        if self._ordinal_cache is not None:  # table changed: drop stale index
+            self._ordinal_cache.unpersist()
+            self._ordinal_cache = None
+        self._register()
+        return self
+
     def _register(self) -> None:
         """Register the rootfs table as a SQL view (reference lib.rs:112-118)."""
         df = rootfs_source.read_table(self.spark, self.path.table_uri)
