@@ -96,12 +96,16 @@ def main() -> None:
     from connected_data_lake_spark.operators.dedup import (
         release_index,
         release_session_indexes,
+        track_session_indexes,
     )
     from connected_data_lake_spark.sources.tables import (
         persist_tables,
         stray_cache_ids,
     )
 
+    # the registry is opt-in (ADVICE r9): only a runner with a release
+    # cadence like this one should hold session-wide strong references
+    track_session_indexes(True)
     release_session_indexes()  # drop anything the index builds persisted
     registry_ids = persist_tables(spark, sf_dir)
     cache_leaks: set[str] = set()

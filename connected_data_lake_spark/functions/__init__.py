@@ -42,6 +42,44 @@ def register_len(spark: SparkSession) -> None:
     )
 
 
+def _opaque_span(stmt: str, i: int) -> int | None:
+    """If ``stmt[i]`` opens a span the rewriter must copy verbatim —
+    a single/double-quoted string literal (doubled-quote escapes), a
+    backtick-quoted identifier (doubled-backtick escapes), a ``--`` line
+    comment, or a ``/* */`` block comment (nested, as Spark parses them)
+    — return the index one past its end; else None. An unterminated span
+    runs to end-of-statement (matching how the SQL lexer would consume
+    it, so the rewriter can never mangle the tail)."""
+    n = len(stmt)
+    ch = stmt[i]
+    if ch in ("'", '"', "`"):
+        j = i + 1
+        while j < n:
+            if stmt[j] == ch:
+                if j + 1 < n and stmt[j + 1] == ch:  # escaped delimiter
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    if stmt[i : i + 2] == "--":
+        j = stmt.find("\n", i)
+        return n if j == -1 else j + 1
+    if stmt[i : i + 2] == "/*":
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if stmt[j : j + 2] == "/*":
+                depth += 1
+                j += 2
+            elif stmt[j : j + 2] == "*/":
+                depth -= 1
+                j += 2
+            else:
+                j += 1
+        return j
+    return None
+
+
 def rewrite_variadic_len(stmt: str) -> str:
     """Rewrite variadic ``len(a, b, …)`` calls to ``len(a)``.
 
@@ -52,25 +90,18 @@ def rewrite_variadic_len(stmt: str) -> str:
     unary and built-ins cannot be shadowed by session UDFs
     (CANNOT_REPLACE_NON_SQL_UDF_WITH_SQL_UDF), so reference queries using
     the variadic form are rewritten at the :meth:`CdlFS.sql` entry point
-    instead. Balanced-paren scan, quote-aware; unary calls, other
-    functions, and ``len`` inside string literals pass through untouched.
+    instead. Balanced-paren scan; string literals, backtick-quoted
+    identifiers (even one literally named ``len(a, b)``), and ``--`` /
+    ``/* */`` comments are opaque — unary calls and other functions pass
+    through untouched.
     """
     out: list[str] = []
     i, n = 0, len(stmt)
     while i < n:
-        ch = stmt[i]
-        if ch in ("'", '"'):  # copy string literals verbatim
-            q = ch
-            j = i + 1
-            while j < n:
-                if stmt[j] == q:
-                    if j + 1 < n and stmt[j + 1] == q:  # escaped quote
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(stmt[i : j + 1])
-            i = j + 1
+        span = _opaque_span(stmt, i)
+        if span is not None:
+            out.append(stmt[i:span])
+            i = span
             continue
         if (
             stmt[i : i + 3].lower() == "len"
@@ -80,16 +111,17 @@ def rewrite_variadic_len(stmt: str) -> str:
             while j < n and stmt[j].isspace():
                 j += 1
             if j < n and stmt[j] == "(":
-                # scan the argument list at depth 1, splitting top-level commas
-                depth, k, args, start, q = 1, j + 1, [], j + 1, None
+                # scan the argument list at depth 1, splitting top-level
+                # commas; opaque spans are skipped so quoted/commented
+                # parens and commas never affect the balance
+                depth, k, args, start = 1, j + 1, [], j + 1
                 while k < n and depth > 0:
+                    inner = _opaque_span(stmt, k)
+                    if inner is not None:
+                        k = inner
+                        continue
                     c = stmt[k]
-                    if q is not None:
-                        if c == q:
-                            q = None
-                    elif c in ("'", '"'):
-                        q = c
-                    elif c == "(":
+                    if c == "(":
                         depth += 1
                     elif c == ")":
                         depth -= 1
@@ -104,7 +136,7 @@ def rewrite_variadic_len(stmt: str) -> str:
                     out.append(f"len({first})")
                     i = k
                     continue
-        out.append(ch)
+        out.append(stmt[i])
         i += 1
     return "".join(out)
 

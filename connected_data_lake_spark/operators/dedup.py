@@ -29,16 +29,35 @@ from connected_data_lake_spark.functions import text as TX
 from connected_data_lake_spark.functions import vectors as VX
 
 
-#: Every index relation persisted (or localCheckpoint'ed) by an operator in
-#: this process, until released. The per-result ``_cdl_persisted`` attribute
-#: is lost as soon as a caller wraps the result (``.orderBy(...)`` returns a
-#: fresh DataFrame), so a suite runner that must release per-query caches
-#: between timed runs (bench.py) drains THIS registry instead — a proper
-#: ``DataFrame.unpersist`` per entry, which drops the CacheManager entry
-#: AND storage (a storage-only sweep left stale entries whose
-#: unmaterialized relations re-ran lineage per consumer; measured 4.4 ->
-#: 22 s). Strong references, bounded by the caller's release cadence.
+#: OPT-IN registry of every index relation persisted (or
+#: localCheckpoint'ed) by an operator in this process, until released.
+#: The per-result ``_cdl_persisted`` attribute is lost as soon as a caller
+#: wraps the result (``.orderBy(...)`` returns a fresh DataFrame), so a
+#: suite runner that must release per-query caches between timed runs
+#: (bench.py) enables :func:`track_session_indexes` and drains THIS
+#: registry instead — a proper ``DataFrame.unpersist`` per entry, which
+#: drops the CacheManager entry AND storage (a storage-only sweep left
+#: stale entries whose unmaterialized relations re-ran lineage per
+#: consumer; measured 4.4 -> 22 s). Tracking is OFF by default (ADVICE
+#: r9): a long-lived library consumer that never calls
+#: ``release_session_indexes`` must not accumulate strong DataFrame
+#: references here — plain use keeps the attach-to-result-only behavior.
 _LIVE_INDEX_RELATIONS: list[DataFrame] = []
+_TRACK_SESSION_INDEXES = False
+
+
+def track_session_indexes(enabled: bool = True) -> None:
+    """Turn the session-wide index registry on/off (default off).
+
+    Suite runners with a between-runs release cadence (bench.py) enable
+    it so :func:`release_session_indexes` can free every operator-built
+    cache regardless of caller-side wrapping; plain library sessions
+    leave it off and release via :func:`release_index` on results they
+    still hold (or let Spark's LRU evict)."""
+    global _TRACK_SESSION_INDEXES
+    _TRACK_SESSION_INDEXES = enabled
+    if not enabled:
+        _LIVE_INDEX_RELATIONS.clear()
 
 
 def _with_persisted(out: DataFrame, *persisted: DataFrame) -> DataFrame:
@@ -46,18 +65,21 @@ def _with_persisted(out: DataFrame, *persisted: DataFrame) -> DataFrame:
     release them: ``release_index(df)`` unpersists after materialization.
     Long-lived sessions that re-run an index build without releasing the
     previous one would otherwise accumulate cached blocks until eviction.
-    Also records each relation in :data:`_LIVE_INDEX_RELATIONS` for
-    session-wide release (see :func:`release_session_indexes`)."""
+    When session tracking is enabled, each relation is also recorded in
+    :data:`_LIVE_INDEX_RELATIONS` (see :func:`release_session_indexes`)."""
     out._cdl_persisted = list(persisted)  # type: ignore[attr-defined]
-    _LIVE_INDEX_RELATIONS.extend(persisted)
+    if _TRACK_SESSION_INDEXES:
+        _LIVE_INDEX_RELATIONS.extend(persisted)
     return out
 
 
 def register_persist(df: DataFrame) -> DataFrame:
     """Record a persisted/checkpointed relation for session-wide release
     (operators that RETURN a block-backed relation — connected-components
-    labels, pagerank ranks — register it here so bench can free it)."""
-    _LIVE_INDEX_RELATIONS.append(df)
+    labels, pagerank ranks — register it here so bench can free it).
+    No-op unless :func:`track_session_indexes` enabled the registry."""
+    if _TRACK_SESSION_INDEXES:
+        _LIVE_INDEX_RELATIONS.append(df)
     return df
 
 

@@ -38,12 +38,57 @@ way the LSH operators do (build mandate — SURVEY §7.1 M5).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from connected_data_lake_spark.operators.dedup import register_persist
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = [
+    "CCDiagnostics",
+    "connected_components",
+    "last_cc_diagnostics",
+    "pagerank",
+]
+
+
+@dataclass(frozen=True)
+class CCDiagnostics:
+    """Telemetry of one ``connected_components`` run.
+
+    ``rounds`` creeping toward ``max_iter`` is the operations alert that
+    fires LONG before a run dies on the bail-out cap; ``local_finish``
+    marks runs whose edge remnant took the driver-side union-find cut."""
+
+    algorithm: str
+    rounds: int
+    max_iter: int
+    local_finish: bool
+
+
+#: Most recent run's diagnostics (driver-side planning metadata). A proper
+#: side channel instead of the former ad-hoc ``_cdl_cc_rounds`` DataFrame
+#: attribute (VERDICT r9): attributes on the py4j wrapper are invisible to
+#: any consumer that re-derives or wraps the plan, while this survives
+#: arbitrary caller-side wrapping of the result.
+_LAST_CC_DIAGNOSTICS: CCDiagnostics | None = None
+
+
+def last_cc_diagnostics() -> CCDiagnostics | None:
+    """Diagnostics of the most recent ``connected_components`` call in
+    this process, or None before the first call."""
+    return _LAST_CC_DIAGNOSTICS
+
+
+def _record_cc(algorithm: str, rounds: int, max_iter: int, local_finish: bool) -> None:
+    global _LAST_CC_DIAGNOSTICS
+    _LAST_CC_DIAGNOSTICS = CCDiagnostics(
+        algorithm=algorithm,
+        rounds=rounds,
+        max_iter=max_iter,
+        local_finish=local_finish,
+    )
 
 
 def _edge_list(pairs: DataFrame, src: str, dst: str) -> DataFrame:
@@ -111,10 +156,11 @@ def connected_components(
     Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
     rounds (diameter-bound exceeded — see module scale notes).
 
-    Diagnostics: the returned DataFrame carries ``_cdl_cc_rounds`` (rounds
-    actually used — an operations dashboard should alert when this creeps
-    toward the cap long before a run ever dies on it), and a
-    ``RuntimeWarning`` fires once rounds exceed 80% of ``max_iter``.
+    Diagnostics: :func:`last_cc_diagnostics` reports the rounds actually
+    used (an operations dashboard should alert when this creeps toward
+    the cap long before a run ever dies on it) and whether the driver-side
+    local finish fired; a ``RuntimeWarning`` fires once rounds exceed 80%
+    of ``max_iter``.
     """
     import warnings
 
@@ -131,7 +177,7 @@ def connected_components(
     if n_edges <= local_finish_edges:
         labels = _local_union_find(pairs.sparkSession, edges.collect())
         edges.unpersist()
-        labels._cdl_cc_rounds = 0
+        _record_cc("label", 0, max_iter, local_finish=True)
         return labels
     # seed labels with the FIRST propagation folded in — min(self, direct
     # neighbors) — which saves one full round on every graph; lazy
@@ -182,7 +228,7 @@ def connected_components(
                     RuntimeWarning,
                     stacklevel=2,
                 )
-            labels._cdl_cc_rounds = round_no
+            _record_cc("label", round_no, max_iter, local_finish=False)
             return register_persist(labels)
         checksum = new_checksum
     edges.unpersist()
@@ -238,7 +284,7 @@ def _connected_components_star(
     # ``base`` register isolated nodes with the local union-find
     if base.count() <= local_finish_edges:
         labels = _local_union_find(pairs.sparkSession, base.collect())
-        labels._cdl_cc_rounds = 0
+        _record_cc("star", 0, max_iter, local_finish=True)
         return labels
     e = base.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     all_nodes = (
@@ -294,7 +340,7 @@ def _connected_components_star(
                 "node",
                 "left_outer",
             ).select("node", F.coalesce("component", "node").alias("component"))
-            labels._cdl_cc_rounds = _round
+            _record_cc("star", _round, max_iter, local_finish=False)
             return register_persist(labels)
         checksum = new_checksum
     raise RuntimeError(

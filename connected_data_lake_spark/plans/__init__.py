@@ -535,6 +535,13 @@ ROTATED_GREEN_R09 = frozenset(
 #: Names whose bodies change in round 10 AFTER an earlier green row: they
 #: forfeit any rotation-set membership (the OR below is masked by this
 #: set) and re-enter the driver's 50-name window for re-verification.
+#: Round-10 operator edits audited as result-INERT (no mask needed, per
+#: the r9 "inert release-registration call" precedent): graph.py swaps
+#: the ad-hoc ``_cdl_cc_rounds`` DataFrame attribute for a module-level
+#: diagnostics record (driver-side bookkeeping, identical plan), and
+#: dedup.py's session index registry became opt-in (cache LIFECYCLE under
+#: bench only; every query's executed plan and results are unchanged —
+#: the full sf0.001 oracle suite re-ran green after both edits).
 REVERIFY_R10: frozenset[str] = frozenset()
 
 

@@ -179,3 +179,26 @@ def test_ngram_containment_max_df_caps_boilerplate_blowup(spark):
     assert (0, 4) in capped_pairs  # genuine excerpt pair survives the cap
     assert (1, 2) not in capped_pairs  # boilerplate-only pair is gone
     assert DD.ngram_containment_pairs(df, threshold=0.25, max_df=0).count() == 0
+
+
+def test_session_index_registry_is_opt_in(docs):
+    """ADVICE r9: plain library use must NOT accumulate strong DataFrame
+    references in the module-global registry — only a runner that opted
+    in (bench.py) pays for session-wide tracking, and disabling again
+    clears what was recorded."""
+    assert DD._TRACK_SESSION_INDEXES is False  # library default
+    before = len(DD._LIVE_INDEX_RELATIONS)
+    out = DD.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    out.count()
+    assert len(DD._LIVE_INDEX_RELATIONS) == before  # nothing retained
+    # result-attached release still works without the registry
+    DD.release_index(out)
+    try:
+        DD.track_session_indexes(True)
+        out2 = DD.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+        out2.count()
+        assert len(DD._LIVE_INDEX_RELATIONS) > 0
+        DD.release_session_indexes()
+        assert len(DD._LIVE_INDEX_RELATIONS) == 0
+    finally:
+        DD.track_session_indexes(False)

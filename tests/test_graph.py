@@ -139,7 +139,11 @@ def test_star_converges_logarithmically_on_10k_path(spark):
     propagation bail with RuntimeError."""
     edges = [(i, i + 1) for i in range(9_999)]
     cc = connected_components(_pairs(spark, edges), algorithm="star")
-    assert cc._cdl_cc_rounds < 25
+    from connected_data_lake_spark.operators.graph import last_cc_diagnostics
+
+    diag = last_cc_diagnostics()
+    assert diag.algorithm == "star" and not diag.local_finish
+    assert diag.rounds < 25
     rows = cc.collect()
     assert len(rows) == 10_000
     assert {r.component for r in rows} == {0}
@@ -232,7 +236,10 @@ def test_local_finish_matches_distributed_rounds(spark):
     rng = random.Random(17)
     edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
     local = connected_components(_pairs(spark, edges))
-    assert local._cdl_cc_rounds == 0  # took the driver-side finish
+    from connected_data_lake_spark.operators.graph import last_cc_diagnostics
+
+    assert last_cc_diagnostics().local_finish  # took the driver-side finish
+    assert last_cc_diagnostics().rounds == 0
     expect = {(r.node, r.component) for r in local.collect()}
     for algo in ("label", "star"):
         dist = connected_components(

@@ -102,6 +102,19 @@ def test_rewrite_variadic_len_surgical():
     assert rw("SELECT len(concat(a, ','), b)") == "SELECT len(concat(a, ','))"
     # nested variadic call inside the kept argument is rewritten too
     assert rw("SELECT len(len(a, b), c)") == "SELECT len(len(a))"
+    # opaque spans (ADVICE r9): backtick identifiers and comments survive
+    assert rw("SELECT `len(a, b)` FROM t") == "SELECT `len(a, b)` FROM t"
+    assert rw("SELECT `weird``len(a, b)` FROM t") == "SELECT `weird``len(a, b)` FROM t"
+    assert rw("SELECT 1 -- len(x, y)\nFROM t") == "SELECT 1 -- len(x, y)\nFROM t"
+    assert rw("SELECT /* len(x, y) */ 1") == "SELECT /* len(x, y) */ 1"
+    assert rw("SELECT /* a /* len(x, y) */ b */ 1") == "SELECT /* a /* len(x, y) */ b */ 1"
+    # ...while a REAL variadic call rewrites even with opaque spans inside
+    assert rw("SELECT len(`a, weird`, b)") == "SELECT len(`a, weird`)"
+    assert rw("SELECT len(a /* , fake */, b)") == "SELECT len(a /* , fake */)"
+    assert rw("SELECT len(a, b) -- trailing len(c, d)\n") == "SELECT len(a) -- trailing len(c, d)\n"
+    # unterminated spans consume the tail, never mangle it
+    assert rw("SELECT 'len(a, b)") == "SELECT 'len(a, b)"
+    assert rw("SELECT x -- len(a, b)") == "SELECT x -- len(a, b)"
 
 
 def test_accessor_parity(spark, tree):
@@ -136,7 +149,10 @@ def test_rewrite_variadic_len_properties():
 
     sql_atoms = st.sampled_from(
         ["SELECT", "name", "size", ",", "(", ")", "'len(a, b)'", "length(a, b)",
-         "len(data)", "WHERE", "= 3", "AND", "octet_len(x, y)", " "]
+         "len(data)", "WHERE", "= 3", "AND", "octet_len(x, y)", " ",
+         # opaque spans (ADVICE r9): a column literally named len(a, b),
+         # line and block comments carrying fake variadic calls
+         "`len(a, b)`", "/* len(a, b) */", "-- len(a, b)\n"]
     )
 
     @settings(max_examples=200, deadline=None)
