@@ -49,6 +49,14 @@ def main() -> None:
 
     spark = get_spark("cdl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # bench-profile lever (VERDICT r9 #7): optionally re-seed
+    # spark.sql.shuffle.partitions for the whole draw. Runtime-settable, so
+    # the A/B needs no session rebuild; recorded in every artifact below so
+    # draws are comparable. Unset = the session default (core count).
+    shuffle_override = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_override:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_override)
+    shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     specs = all_specs()
 
     # warm-up: JVM, codegen, parquet footer caches (spec name is rotation-
@@ -207,6 +215,7 @@ def main() -> None:
         "n_queries": len(timings),
         "protocol": f"median_of_{n_runs}_after_1_warmup",
         "duck_control_total": duck_total or None,
+        "shuffle_partitions": shuffle_partitions,
     }
     with open(os.path.join(REPO, "BENCH_SELF.json"), "w") as fh:
         json.dump(
@@ -220,6 +229,26 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # append-only machine-readable draw ledger (ADVICE r9 #5): EVERY draw
+    # lands here with its totals, ratio, and per-query medians, so the
+    # committed BENCH_SELF.json is auditable against the full set of draws
+    # it was selected from rather than against prose. The draw-selection
+    # rule for the committed artifact is recorded alongside in BENCH.md
+    # and embedded by tools/select_bench_draw.py.
+    draw = {
+        "spark_total_sec": total,
+        "duck_control_total_sec": duck_total or None,
+        "ratio": round(total / duck_total, 3) if duck_total else None,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "cache_leaks": sorted(cache_leaks),
+        "shuffle_partitions": shuffle_partitions,
+        "protocol": record["protocol"],
+        "sf": sf,
+        "queries": timings,
+    }
+    with open(os.path.join(REPO, "BENCH_DRAWS.jsonl"), "a") as fh:
+        fh.write(json.dumps(draw) + "\n")
     # compact, truncation-proof headline artifact (VERDICT r5 item 4): the
     # driver's stdout capture has clipped the one-line record's tail twice;
     # this keeps suite totals + the paired control reconstructable from
@@ -232,6 +261,7 @@ def main() -> None:
         "protocol": record["protocol"],
         "duck_control_total_sec": duck_total or None,
         "spark_over_duck": round(total / duck_total, 3) if duck_total else None,
+        "shuffle_partitions": shuffle_partitions,
         "per_family": per_family,
         "slowest_5": dict(
             sorted(
