@@ -544,6 +544,39 @@ ROTATED_GREEN_R09 = frozenset(
 #: the full sf0.001 oracle suite re-ran green after both edits).
 REVERIFY_R10: frozenset[str] = frozenset()
 
+#: Driver-green rows from CORRECTNESS_r10 (50/50 in-window pass) that were
+#: not already members of an earlier rotation set — the two new external
+#: Iceberg queries; the other 48 r10 rows were re-verifications of names
+#: already rotated in R01–R09.
+ROTATED_GREEN_R10 = frozenset(
+    {
+        "iceberg_external_read",
+        "iceberg_time_travel",
+    }
+)
+
+#: Names whose DRIVER-OBSERVABLE behavior changes in round 11 after an
+#: earlier green row. Scope (extended per VERDICT r10 #8): a name enters
+#: this set when ANY of the following change after its last green row —
+#: (a) its query body or oracle SQL, (b) a library function that rewrites
+#: the SQL it submits (the ``rewrite_variadic_len`` r10 precedent), or
+#: (c) an operator/library change that alters its executed plan shape
+#: (not just cache lifecycle / diagnostics bookkeeping). Masked names
+#: forfeit rotation membership and re-enter the driver's 50-name window.
+#:
+#: Round 11: ``iceberg_external_read`` / ``iceberg_time_travel`` re-enter
+#: the window — round 11 rewires the Iceberg reader's metadata access
+#:
+#: through a store abstraction, adds field-ID-based schema resolution,
+#: manifest-entry file pruning, and positional-delete application, all of
+#: which sit on these queries' executed read path.
+REVERIFY_R11 = frozenset(
+    {
+        "iceberg_external_read",
+        "iceberg_time_travel",
+    }
+)
+
 
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
@@ -577,7 +610,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if final not in REVERIFY_R10 and (
+        if final not in REVERIFY_R11 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
@@ -585,6 +618,7 @@ def all_specs() -> dict[str, QuerySpec]:
             or final in ROTATED_GREEN_R07
             or final in ROTATED_GREEN_R08
             or final in ROTATED_GREEN_R09
+            or final in ROTATED_GREEN_R10
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)

@@ -46,6 +46,13 @@ def fake_lance(spark_module, tmp_path_factory):
     yield str(target)
     sys.path.remove(str(mod_dir))
     sys.modules.pop("lance", None)
+    # addPyFile() also prepends the SparkFiles staging dir (which now holds
+    # a copy of lance.py) to the driver's sys.path — strip it so later
+    # tests in other modules can't accidentally import the fake.
+    from pyspark import SparkFiles
+
+    root = SparkFiles.getRootDirectory()
+    sys.path[:] = [p for p in sys.path if not p.startswith(root)]
 
 
 @pytest.fixture(scope="module")

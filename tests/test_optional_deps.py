@@ -105,7 +105,14 @@ def test_to_lance_dataset_smoke(fs, tmp_path):
 
 
 @pytest.mark.skipif(HAS_LANCE, reason="lance installed: gate not reachable")
-def test_to_lance_dataset_gate_error(fs, tmp_path):
+def test_to_lance_dataset_gate_error(fs, tmp_path, monkeypatch):
+    # Force the ImportError even if an earlier test (test_lance_ingest's
+    # fake_lance fixture) left a fake ``lance`` importable via the
+    # SparkFiles staging dir addPyFile() appends to sys.path: a None
+    # entry in sys.modules makes ``import lance`` raise unconditionally.
+    import sys
+
+    monkeypatch.setitem(sys.modules, "lance", None)
     with pytest.raises(NotImplementedError, match="to_arrow"):
         fs.to_lance_dataset(str(tmp_path / "out.lance"))
 
