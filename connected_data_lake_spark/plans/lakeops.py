@@ -716,3 +716,677 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: Iceberg manifest pruning, positional deletes, Delta columnMapping
+# ---------------------------------------------------------------------------
+
+
+def iceberg_entry_schema(partition_fields: list[tuple[str, str]] | None = None) -> dict:
+    """Manifest-entry Avro schema with a typed partition record and
+    column-bounds maps (spec "Manifests"; bounds use the array-of-kv
+    encoding real writers emit for ``map<int, bytes>``)."""
+    part_fields = [
+        {"name": name, "type": ["null", avro_type], "default": None}
+        for name, avro_type in (partition_fields or [])
+    ]
+    kv = {
+        "type": "record",
+        "name": "k126_v127",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": part_fields},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "array", "items": kv}],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "array", "items": "k126_v127"}],
+                            "default": None,
+                            "field-id": 128,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+#: manifest-list schema with per-partition-field summaries (spec field 508)
+ICEBERG_MANIFEST_FILE_SCHEMA_SUMMARIES = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": ICEBERG_MANIFEST_FILE_SCHEMA["fields"]
+    + [
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 508,
+        }
+    ],
+}
+
+
+def _ice_long(v: int) -> bytes:
+    import struct as _struct
+
+    return _struct.pack("<q", v)
+
+
+_ICEBERG_PART_CACHE: dict[str, str] = {}
+
+
+def _iceberg_part_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once PARTITIONED external Iceberg table: one data file per
+    o_orderstatus value ('F'/'O'/'P'), identity partition spec, one
+    manifest per file carrying the partition value and o_orderkey
+    lower/upper bounds, and a manifest LIST with partition-field
+    summaries — the full static-pruning surface of the spec."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_PART_CACHE:
+        return _ICEBERG_PART_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergpart_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"))
+        os.makedirs(os.path.join(tmp, "metadata"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        statuses = ("F", "O", "P")
+        # planning-sized collect: 3 rows of per-status key bounds
+        stats = {
+            r["o_orderstatus"]: (r["lo"], r["hi"])
+            for r in o.groupBy("o_orderstatus")
+            .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+            .collect()
+        }
+
+        def write_one(status: str) -> tuple[str, int]:
+            rel = f"{status}.parquet"
+            part_dir = os.path.join(tmp, f".stage-{rel}")
+            o.filter(F.col("o_orderstatus") == status).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, "data", rel))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            return rel, os.path.getsize(os.path.join(tmp, "data", rel))
+
+        entry_schema = iceberg_entry_schema([("o_orderstatus", "string")])
+        manifests = []
+        for status in statuses:
+            rel, size = write_one(status)
+            lo, hi = stats[status]
+            entry = {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": {"o_orderstatus": status},
+                    "record_count": 1,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": [{"key": 1, "value": _ice_long(lo)}],
+                    "upper_bounds": [{"key": 1, "value": _ice_long(hi)}],
+                },
+            }
+            blob = write_ocf(entry_schema, [entry])
+            mname = f"m-{status}.avro"
+            with open(os.path.join(tmp, "metadata", mname), "wb") as fh:
+                fh.write(blob)
+            manifests.append((status, f"{path}/metadata/{mname}", len(blob)))
+
+        ml_recs = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "contains_nan": False,
+                        "lower_bound": status.encode("utf-8"),
+                        "upper_bound": status.encode("utf-8"),
+                    }
+                ],
+            }
+            for status, mpath, mlen in manifests
+        ]
+        ml_blob = write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA_SUMMARIES, ml_recs)
+        with open(os.path.join(tmp, "metadata", "snap-1.avro"), "wb") as fh:
+            fh.write(ml_blob)
+        meta = {
+            "format-version": 2,
+            "table-uuid": "0cdc1cdc-0000-4000-8000-000000000002",
+            "location": path,
+            "last-sequence-number": 1,
+            "last-updated-ms": 1000,
+            "last-column-id": 3,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "o_orderstatus",
+                            "transform": "identity",
+                            "source-id": 2,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "last-partition-id": 1000,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "timestamp-ms": 1000,
+                    "summary": {"operation": "append"},
+                    "manifest-list": f"{path}/metadata/snap-1.avro",
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1000}],
+        }
+        with open(os.path.join(tmp, "metadata", "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(tmp, "metadata", "version-hint.text"), "w") as fh:
+            fh.write("1")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _ICEBERG_PART_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_pruned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey >= 1
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg"),
+)
+def iceberg_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based file pruning (VERDICT r10 #3): ``filters=`` drives
+    static pruning through BOTH metadata layers — manifest-LIST partition
+    summaries drop two of the three manifests, and manifest-entry
+    partition values + o_orderkey bounds drop their files — so the scan
+    relation holds exactly the one 'F' file (plan-gated in
+    tests/test_iceberg_pruning.py via inputFiles). The same predicates
+    are re-applied Spark-side, so the oracle match verifies semantics
+    independently of how much was pruned."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_part_orders(spark, sf_dir)
+    return (
+        read_iceberg(
+            spark,
+            path,
+            filters=[("o_orderstatus", "=", "F"), ("o_orderkey", ">=", 1)],
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ICEBERG_MOR_CACHE: dict[str, str] = {}
+
+
+def _iceberg_mor_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once merge-on-read external Iceberg table: one data file
+    (all orders) plus one POSITION-DELETE file removing every row whose
+    o_orderkey ≡ 3 (mod 10), linked through a content=1 delete manifest —
+    the v2 MoR shape Flink/Spark writers produce. The delete positions
+    are computed by reading the written file back through Spark's own
+    ``_metadata.row_index``, so the fixture's notion of "position" is
+    exactly the scan's."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_MOR_CACHE:
+        return _ICEBERG_MOR_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergmor_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"))
+        os.makedirs(os.path.join(tmp, "metadata"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def install_one(df: DataFrame, rel: str) -> int:
+            part_dir = os.path.join(tmp, f".stage-{rel}")
+            df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, "data", rel))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            return os.path.getsize(os.path.join(tmp, "data", rel))
+
+        a_size = install_one(o, "a.parquet")
+        a_final = f"{path}/data/a.parquet"
+        # delete file: (file_path, pos) of rows with o_orderkey % 10 == 3,
+        # positions read back via the scan's own row_index (executor-side)
+        dels = (
+            spark.read.parquet(os.path.join(tmp, "data", "a.parquet"))
+            .select("o_orderkey", F.col("_metadata.row_index").alias("pos"))
+            .filter(F.col("o_orderkey") % 10 == 3)
+            .select(F.lit(a_final).alias("file_path"), "pos")
+        )
+        d_size = install_one(dels, "d.parquet")
+
+        data_entry = {
+            "status": 1,
+            "snapshot_id": 1,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": a_final,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": a_size,
+            },
+        }
+        del_entry = {
+            "status": 1,
+            "snapshot_id": 2,
+            "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 1,
+                "file_path": f"{path}/data/d.parquet",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": d_size,
+            },
+        }
+
+        def write_manifest(name: str, entries: list[dict]) -> tuple[str, int]:
+            blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, entries)
+            with open(os.path.join(tmp, "metadata", name), "wb") as fh:
+                fh.write(blob)
+            return f"{path}/metadata/{name}", len(blob)
+
+        m_data, m_data_len = write_manifest("m-data.avro", [data_entry])
+        m_del, m_del_len = write_manifest("m-del.avro", [del_entry])
+
+        def ml_rec(mpath: str, mlen: int, content: int, snap: int) -> dict:
+            return {
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": snap,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+
+        ml_blob = write_ocf(
+            ICEBERG_MANIFEST_FILE_SCHEMA,
+            [ml_rec(m_data, m_data_len, 0, 1), ml_rec(m_del, m_del_len, 1, 2)],
+        )
+        with open(os.path.join(tmp, "metadata", "snap-2.avro"), "wb") as fh:
+            fh.write(ml_blob)
+        meta = {
+            "format-version": 2,
+            "table-uuid": "0cdc1cdc-0000-4000-8000-000000000003",
+            "location": path,
+            "last-sequence-number": 2,
+            "last-updated-ms": 2000,
+            "last-column-id": 3,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {
+                    "snapshot-id": 2,
+                    "sequence-number": 2,
+                    "timestamp-ms": 2000,
+                    "summary": {"operation": "overwrite"},
+                    "manifest-list": f"{path}/metadata/snap-2.avro",
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [{"snapshot-id": 2, "timestamp-ms": 2000}],
+        }
+        with open(os.path.join(tmp, "metadata", "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(tmp, "metadata", "version-hint.text"), "w") as fh:
+            fh.write("1")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _ICEBERG_MOR_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_mor_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg"),
+)
+def iceberg_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 merge-on-read (VERDICT r10 #5): the snapshot carries a
+    position-delete file removing keys ≡3 (mod 10); sources/iceberg.py
+    must replay the content=1 delete manifest and anti-join the scan's
+    ``(_metadata.file_path, _metadata.row_index)`` against it — the
+    aggregate equals the oracle's direct filter only if every deleted
+    POSITION (not value) is excluded. The anti-join broadcasts the
+    delete set; the data side never shuffles."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_mor_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DELTA_CM_CACHE: dict[str, str] = {}
+
+
+def _delta_cm_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once external Delta table with ``columnMapping.mode=name``
+    (reader protocol 2): data files carry PHYSICAL column names
+    (``col-<uuid>`` style), the schemaString maps them to logical names —
+    the default layout of many modern Delta writers (VERDICT r10 #4)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+
+    key = f"{sf_dir}"
+    if key in _DELTA_CM_CACHE:
+        return _DELTA_CM_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltacm_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "_delta_log"))
+        phys = {
+            "o_orderkey": "col-6a1b2c3d",
+            "o_orderstatus": "col-7e4f5a6b",
+            "o_totalprice": "col-8c9d0e1f",
+        }
+        o = load_table(spark, sf_dir, "orders").select(
+            *[F.col(ln).alias(pn) for ln, pn in phys.items()]
+        )
+
+        def write_one(df: DataFrame, relname: str) -> int:
+            part_dir = os.path.join(tmp, f".stage-{relname}")
+            df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, relname))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            return os.path.getsize(os.path.join(tmp, relname))
+
+        key2 = F.col(phys["o_orderkey"]) % 2
+        sizes = {
+            rel: write_one(o.filter(key2 == i), rel)
+            for i, rel in enumerate(("a.parquet", "b.parquet"))
+        }
+        fields = [
+            {
+                "name": ln,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": pn,
+                },
+            }
+            for i, (ln, pn, t) in enumerate(
+                [
+                    ("o_orderkey", phys["o_orderkey"], "long"),
+                    ("o_orderstatus", phys["o_orderstatus"], "string"),
+                    ("o_totalprice", phys["o_totalprice"], "double"),
+                ]
+            )
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cdl-cm-orders",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps({"type": "struct", "fields": fields}),
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            },
+        ] + [
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": sizes[rel],
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for rel in ("a.parquet", "b.parquet")
+        ]
+        with open(os.path.join(tmp, "_delta_log", "00000000000000000000.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _DELTA_CM_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_column_mapping_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta"),
+)
+def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """columnMapping mode=name read (VERDICT r10 #4): the table's parquet
+    files carry opaque physical column names; sources/delta.py must
+    resolve each logical field through its schemaString
+    ``physicalName`` — a plain name-based read would surface three
+    all-null columns and an empty aggregate, so the oracle match proves
+    the mapping, not just the replay."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_cm_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

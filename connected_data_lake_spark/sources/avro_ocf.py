@@ -185,8 +185,11 @@ def _read_value(schema, r: _Reader, names: dict):
             for _ in range(count):
                 key = r.take(r.read_long()).decode("utf-8")
                 out[key] = _read_value(schema["values"], r, names)
-    if isinstance(t, (dict, list, str)) and t not in _PRIMITIVES:
-        return _read_value(t, r, names)  # {"type": <nested schema>}
+    # {"type": <nested schema or union list or primitive name>} wrapper:
+    # recurse on the attribute directly. (A membership test against
+    # _PRIMITIVES here would raise TypeError for dict/list-typed "type"
+    # attributes — legal Avro like {"type": ["null","long"]} — and the
+    # primitive-str case decodes identically through the recursion.)
     return _read_value(t, r, names)
 
 

@@ -10,10 +10,14 @@ an open, documented format (PROTOCOL.md in the delta-io/delta repo): a
 line: ``metaData`` / ``add`` / ``remove`` / ``protocol`` / ``commitInfo``)
 plus optional parquet checkpoints that compact the action history.
 
-Scope: READ + time travel only, basic reader protocol (minReaderVersion
-<= 1 — no deletion vectors, no column mapping). Writes stay on the native
-manifest format; anything beyond the basic protocol fails loudly rather
-than silently mis-reading.
+Scope: READ + time travel, reader protocol through version 3 with the
+``columnMapping`` (mode=name) and ``timestampNtz`` features — deletion
+vectors, v2 checkpoints, and columnMapping mode=id stay loud gates.
+Writes stay on the native manifest format; anything beyond the supported
+feature set fails loudly rather than silently mis-reading. Commit replay
+validates version CONTIGUITY from the checkpoint (a stale
+``_last_checkpoint`` plus log cleanup cannot produce a silent-gap
+snapshot).
 
 Scale notes (100 TB):
 
@@ -236,6 +240,42 @@ def _as_map_dict(value) -> dict:
     return {k: v for k, v in value}
 
 
+#: Reader features this module actually implements. ``columnMapping`` is
+#: mode=name physical-name resolution (see :func:`read_delta`);
+#: ``timestampNtz`` is free (schemaString types apply exactly, and Spark
+#: has TimestampNTZType). Everything else — deletionVectors, v2Checkpoint,
+#: typeWidening — stays a loud gate.
+_SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "timestampNtz"})
+
+
+def _check_protocol(protocol: dict) -> None:
+    """Loud gate on reader requirements (PROTOCOL.md "Protocol Evolution").
+
+    minReaderVersion 1 = basic. 2 = column mapping (now supported; the
+    mode itself is validated against the metaData at read time — mode=id
+    still gates). 3 = table-features: every listed readerFeature must be
+    one we implement."""
+    v = protocol.get("minReaderVersion", 1)
+    if v <= 2:
+        return
+    if v == 3:
+        if "readerFeatures" not in protocol:
+            raise DeltaProtocolError(
+                "Delta reader protocol 3 without a readerFeatures list is "
+                "malformed — cannot know what the table needs"
+            )
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"Delta readerFeatures {sorted(unsupported)} not supported "
+                "(deletion vectors / v2 checkpoints and other table "
+                "features beyond column mapping)"
+            )
+        return
+    raise DeltaProtocolError(f"Delta reader protocol {v} > 3 not supported")
+
+
 def _replay(store: DeltaLogStore, path: str, version: int | None):
     """Replay the log; returns (metaData dict, active add actions).
 
@@ -266,18 +306,39 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
             f"version {version} not in log (latest <= requested: {resolved})"
         )
 
+    # Contiguity (ADVICE r10): the JSON commits replayed on top of the
+    # checkpoint must form the consecutive run ckpt+1..resolved — a
+    # stale-but-parseable _last_checkpoint combined with log cleanup
+    # (older commits already compacted into a NEWER checkpoint and then
+    # deleted) would otherwise replay with a silent gap and yield a wrong
+    # snapshot. When the pointer-derived checkpoint leaves a hole, retry
+    # with the listing-scan checkpoint (it picks the LATEST checkpoint <=
+    # the requested version, which closes any closable gap); a hole that
+    # survives both means the log itself is broken — refuse.
+    def _gap(ckpt_ver: int) -> list[int]:
+        have = [v for v, _ in commits if v > ckpt_ver]
+        want = list(range(ckpt_ver + 1, resolved + 1))
+        return [] if have == want else (sorted(set(want) - set(have)) or [-1])
+
+    if _gap(ckpt[0] if ckpt else -1):
+        relisted = _checkpoint_from_listing(store, version)
+        if relisted is not None and (ckpt is None or relisted[0] != ckpt[0]):
+            ckpt = relisted
+        missing = _gap(ckpt[0] if ckpt else -1)
+        if missing:
+            raise ValueError(
+                f"Delta log is not contiguous: commit versions {missing} "
+                f"missing between checkpoint {ckpt[0] if ckpt else None} "
+                f"and resolved version {resolved} under {path}"
+            )
+
     meta: dict | None = None
     adds: dict[str, dict] = {}  # decoded path -> add action (last wins)
 
     def apply_action(action: dict) -> None:
         nonlocal meta
         if "protocol" in action:
-            if action["protocol"].get("minReaderVersion", 1) > 1:
-                raise DeltaProtocolError(
-                    "Delta reader protocol "
-                    f"{action['protocol']['minReaderVersion']} > 1 not "
-                    "supported (deletion vectors / column mapping)"
-                )
+            _check_protocol(action["protocol"])
         elif "metaData" in action:
             meta = dict(action["metaData"])
         elif "add" in action:
@@ -326,6 +387,40 @@ def _store_for(path: str, log_store: DeltaLogStore | None) -> DeltaLogStore:
     return DeltaLogStore(os.path.join(local, _LOG_DIR))
 
 
+def _physical_name(f: T.StructField) -> str:
+    """The parquet-file column name under columnMapping mode=name
+    (PROTOCOL.md "Column Mapping"): every field carries a
+    ``delta.columnMapping.physicalName`` in its schemaString metadata."""
+    pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+    if not pn:
+        raise DeltaProtocolError(
+            f"columnMapping enabled but field {f.name!r} has no "
+            "delta.columnMapping.physicalName in schemaString"
+        )
+    return pn
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rewrite nested struct field names to physical names
+    (arrays/maps of structs included); leaf types are unchanged."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -340,14 +435,38 @@ def read_delta(
     ``path`` may be an object-store URL (``s3a://…``) when ``log_store``
     supplies the ``_delta_log`` bytes — Spark's own connector reads the
     data files at that URL.
+
+    ``delta.columnMapping.mode=name`` tables (reader protocol 2, or 3
+    with the ``columnMapping`` feature — the default for many modern
+    writers) are read by resolving each logical field to its
+    ``physicalName``: the parquet scan and the hive-layout check run on
+    physical names, then one projection restores logical names (nested
+    struct renames ride Spark's positional struct cast). mode=id (parquet
+    field-id resolution) stays a loud gate.
     """
     prepare_session(spark)
     meta, adds = _replay(_store_for(path, log_store), path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+    mode = _as_map_dict(meta.get("configuration")).get(
+        "delta.columnMapping.mode", "none"
     )
+    if mode in ("none", "", None):
+        phys = {f.name: f.name for f in schema.fields}
+        phys_schema = schema
+    elif mode == "name":
+        phys = {f.name: _physical_name(f) for f in schema.fields}
+        phys_schema = T.StructType(
+            [
+                T.StructField(phys[f.name], _physical_type(f.dataType), f.nullable)
+                for f in schema.fields
+            ]
+        )
+    else:
+        raise DeltaProtocolError(
+            f"delta.columnMapping.mode={mode!r} not supported (only "
+            "'none' and 'name'; 'id' needs parquet field-id resolution)"
+        )
     if not adds:
         return spark.createDataFrame([], schema)
     base = path.rstrip("/")
@@ -355,17 +474,39 @@ def read_delta(
         f if (os.path.isabs(f) or "://" in f) else f"{base}/{f}"
         for f in (a["path"] for a in adds)
     ]
+    # one projection restores logical names and (for mapped tables) casts
+    # nested structs back to logically-named field types — positional
+    # struct cast, a metadata-only rename, never a data copy
+    from pyspark.sql import functions as F
+
+    def restore(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+                if phys[f.name] in df.columns
+            ]
+        )
+
     if not part_cols:
-        return spark.read.schema(schema).parquet(*files)
+        out = spark.read.schema(phys_schema).parquet(*files)
+        return out if mode in ("none", "", None) else restore(out)
     # partitioned: require the hive-style layout Delta writers produce, so
     # the whole table stays ONE scan relation and Catalyst prunes
     # partitions (plan size independent of partition count — see module
     # scale notes). Both sides of the comparison are DECODED paths: the
     # add path was unquoted at replay, and _hive_escape reproduces the
-    # writer-side escaping of the raw partition VALUE.
+    # writer-side escaping of the raw partition VALUE. Under column
+    # mapping, add-file partitionValues keys AND directory names are
+    # PHYSICAL names (PROTOCOL.md: "partition values use physical names
+    # when column mapping is enabled").
+    phys_parts = [phys[c] for c in part_cols]
+    data_schema = T.StructType(
+        [f for f in phys_schema.fields if f.name not in phys_parts]
+    )
     for a in adds:
         expect = "/".join(
-            f"{c}={_hive_escape(a['partitionValues'].get(c))}" for c in part_cols
+            f"{c}={_hive_escape(a['partitionValues'].get(c))}" for c in phys_parts
         )
         if expect not in a["path"]:
             raise DeltaProtocolError(
@@ -375,14 +516,10 @@ def read_delta(
             )
     reader = spark.read.schema(data_schema).option("basePath", base)
     df = reader.parquet(*files)
-    # partition columns come back via directory inference; cast to the
-    # declared types and restore the declared column order
-    out = df
-    inferred = set(df.columns)
-    for f in schema.fields:
-        if f.name in part_cols and f.name in inferred:
-            out = out.withColumn(f.name, out[f.name].cast(f.dataType))
-    return out.select(*[f.name for f in schema.fields])
+    # partition columns come back via directory inference (as physical
+    # names); restore() casts them to the declared types, renames to
+    # logical, and restores the declared column order
+    return restore(df)
 
 
 def _hive_escape(value: str | None) -> str:

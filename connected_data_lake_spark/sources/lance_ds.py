@@ -72,6 +72,12 @@ def read_lance(
     from pyspark.sql.pandas.types import from_arrow_schema
 
     ds = lance.dataset(path, version=version) if version is not None else lance.dataset(path)
+    # Pin the snapshot ONCE on the driver (ADVICE r10): with version=None
+    # each executor task would otherwise re-open at ITS view of "latest",
+    # so a concurrent commit/compaction between planning and execution
+    # could make tasks read a different snapshot than the fragment ids
+    # were planned from (wrong rows or failing get_fragment).
+    pinned = version if version is not None else ds.version
     arrow_schema = (
         ds.schema
         if columns is None
@@ -88,11 +94,7 @@ def read_lance(
     def _read_fragments(batches):
         import lance as _lance  # executor-side open
 
-        _ds = (
-            _lance.dataset(path, version=version)
-            if version is not None
-            else _lance.dataset(path)
-        )
+        _ds = _lance.dataset(path, version=pinned)
         for batch in batches:
             for fid in batch.column(0).to_pylist():
                 frag = _ds.get_fragment(fid)

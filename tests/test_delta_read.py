@@ -362,3 +362,268 @@ def test_remove_all_yields_empty_snapshot_with_schema(spark, tmp_path):
     assert got.count() == 0
     assert got.columns == ["id", "v", "part"]  # schema survives emptiness
     assert delta_table_version(root) == 2
+
+
+# ---------------------------------------------------------------------------
+# round 11: commit contiguity + columnMapping mode=name
+# ---------------------------------------------------------------------------
+
+CM_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa111",
+                },
+            },
+            {
+                "name": "v",
+                "type": "double",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb222",
+                },
+            },
+            {
+                "name": "part",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": "col-ccc333",
+                },
+            },
+        ],
+    }
+)
+
+
+def _cm_meta(part_cols, mode="name"):
+    return {
+        "metaData": {
+            "id": "cm-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": CM_SCHEMA_JSON,
+            "partitionColumns": part_cols,
+            "configuration": {
+                "delta.columnMapping.mode": mode,
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }
+    }
+
+
+def _write_physical_file(root, rel, ids, vs, parts=None):
+    """Data file with PHYSICAL column names (what a mapped writer emits)."""
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    cols = {
+        "col-aaa111": pa.array(ids, pa.int64()),
+        "col-bbb222": pa.array(vs, pa.float64()),
+    }
+    if parts is not None:  # unpartitioned table: part col lives in the file
+        cols["col-ccc333"] = pa.array(parts, pa.string())
+    pq.write_table(pa.table(cols), full)
+
+
+def test_column_mapping_name_read(spark, tmp_path):
+    """mode=name: parquet files carry physical names; the reader must
+    resolve via schemaString physicalName metadata and surface LOGICAL
+    names — a name-based read of the physical file would return nulls."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical_file(root, "a.parquet", [1, 2], [1.0, 2.0], ["x", "x"])
+    _write_physical_file(root, "b.parquet", [3], [3.0], ["y"])
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta([]),
+            _add("a.parquet"),
+            _add("b.parquet"),
+        ],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["id", "v", "part"]
+    rows = {(r.id, r.v, r.part) for r in got.collect()}
+    assert rows == {(1, 1.0, "x"), (2, 2.0, "x"), (3, 3.0, "y")}
+
+
+def test_column_mapping_partitioned_read(spark, tmp_path):
+    """Partitioned + mapped: directory names and add.partitionValues keys
+    are PHYSICAL names; partition pruning and the hive-layout check must
+    run on physical names, the result on logical ones."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    a, b = "col-ccc333=x/a.parquet", "col-ccc333=y/b.parquet"
+    _write_physical_file(root, a, [1, 2], [1.0, 2.0])
+    _write_physical_file(root, b, [3], [3.0])
+
+    def add(path, part):
+        return {
+            "add": {
+                "path": path,
+                "partitionValues": {"col-ccc333": part},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta(["part"]),
+            add(a, "x"),
+            add(b, "y"),
+        ],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["id", "v", "part"]
+    rows = {(r.id, r.part) for r in got.collect()}
+    assert rows == {(1, "x"), (2, "x"), (3, "y")}
+    # partition pruning still applies on the logical name
+    assert got.filter("part = 'y'").count() == 1
+
+
+def test_column_mapping_id_mode_gate(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical_file(root, "a.parquet", [1], [1.0], ["x"])
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta([], mode="id"),
+            _add("a.parquet"),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="mode='id'"):
+        read_delta(spark, root)
+
+
+def test_reader_features_v3(spark, tmp_path):
+    """Protocol 3: columnMapping/timestampNtz features pass, deletion
+    vectors gate loudly, and a missing readerFeatures list gates."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_physical_file(root, "a.parquet", [1], [1.0], ["x"])
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            _cm_meta([]),
+            _add("a.parquet"),
+        ],
+    )
+    assert read_delta(spark, root).count() == 1
+    root2 = str(tmp_path / "tbl2")
+    os.makedirs(os.path.join(root2, "_delta_log"))
+    _write_commit(
+        os.path.join(root2, "_delta_log"),
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _cm_meta([]),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta(spark, root2)
+
+
+def test_log_gap_detected(spark, tmp_path):
+    """A missing middle commit (cleanup bug / stale listing) must refuse,
+    not silently replay around the hole (ADVICE r10)."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 2, [{"remove": {"path": "b.parquet", "dataChange": True}}])
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="not contiguous"):
+        read_delta(spark, root)
+
+
+def test_stale_pointer_gap_falls_back_to_listing(spark, tmp_path):
+    """_last_checkpoint names an OLD checkpoint whose follow-on commits
+    were already cleaned up (compacted into a newer checkpoint): the
+    reader must detect the gap and re-anchor on the listing-scan (newest)
+    checkpoint instead of replaying with a hole."""
+    root = _make_table(str(tmp_path / "tbl"), partitioned=False)
+    log = os.path.join(root, "_delta_log")
+
+    def ckpt_rows(adds):
+        rows = [
+            {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "metaData": None,
+                "add": None,
+            },
+            {
+                "protocol": None,
+                "metaData": {
+                    "id": "test-table",
+                    "format": {"provider": "parquet"},
+                    "schemaString": SCHEMA_JSON,
+                    "partitionColumns": None,
+                    "configuration": {"appendOnly": "false"},
+                },
+                "add": None,
+            },
+        ]
+        for p in adds:
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": {
+                        "path": p,
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    },
+                }
+            )
+        return rows
+
+    # checkpoint v0 (state after commit 0: a+b) and v1 (after commit 1: b+c)
+    pq.write_table(
+        pa.Table.from_pylist(ckpt_rows(["a.parquet", "b.parquet"])),
+        os.path.join(log, f"{0:020d}.checkpoint.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(ckpt_rows(["b.parquet", "c.parquet"])),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    _write_commit(log, 2, [{"remove": {"path": "b.parquet", "dataChange": True}}])
+    # cleanup removed commits 0 and 1 (compacted into checkpoint v1)...
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # ...but the pointer is STALE: it still names checkpoint v0
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": 4}, fh)
+    got = read_delta(spark, root)
+    assert {r.id for r in got.collect()} == {4}  # c only

@@ -542,3 +542,31 @@ def test_mad_percentile_windows_stay_partitioned(spark, sf_dir):
     assert "Exchange SinglePartition" not in window_part
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_iceberg_mor_delete_join_broadcasts(spark, sf_dir):
+    """Position deletes apply as a BROADCAST left-anti join on the scan's
+    own (_metadata.file_path, row_index) — the data side never shuffles,
+    so delete application costs one broadcast regardless of table size."""
+    plan = plan_of(spark, sf_dir, "iceberg_mor_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iceberg_pruned_read_single_file(spark, sf_dir):
+    """Manifest pruning happens BEFORE Spark plans: the pruned read's
+    relation holds exactly the one matching data file."""
+    df = spec_of("iceberg_pruned_read").spark(spark, sf_dir)
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("F.parquet")
+
+
+def test_delta_column_mapping_pushdown_survives_rename(spark, sf_dir):
+    """The logical→physical projection is metadata-only: aggregation
+    pushes partial aggs map-side and the scan prunes to the three mapped
+    columns (no full-width read behind the rename)."""
+    plan = plan_of(spark, sf_dir, "delta_column_mapping_read")
+    assert "partial_" in plan  # map-side combine before the exchange
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "col-7e4f5a6b" in read_schema and read_schema.count(",") <= 3

@@ -154,3 +154,132 @@ def test_delta_log_replay_over_s3(store, tmp_path):
     # the resolved data file round-trips byte-identically from the store
     got = pq.read_table(io.BytesIO(store.get("b.parquet")))
     assert got.column("id").to_pylist() == [3]
+
+
+def test_iceberg_metadata_replay_over_s3(store, tmp_path):
+    """Iceberg-on-object-store (VERDICT r10 'Next round' #2): a
+    hand-written Iceberg metadata tree uploaded to the bucket replays its
+    metadata JSON + manifest-list + manifest Avro through
+    ObjectStoreIcebergTable + S3HttpStore, including time travel. DATA
+    files stay local-FS here (the store serves only metadata bytes; s3a
+    wiring is covered by test_s3a_session_wiring)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+    from connected_data_lake_spark.sources.iceberg import (
+        ObjectStoreIcebergTable,
+        _latest_metadata_name,
+        _live_files,
+        _pick_snapshot,
+        _PruneContext,
+        _schema_dict_for_snapshot,
+        iceberg_snapshots,
+    )
+    from connected_data_lake_spark.plans.lakeops import (
+        ICEBERG_MANIFEST_ENTRY_SCHEMA,
+        ICEBERG_MANIFEST_FILE_SCHEMA,
+    )
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    fa = os.path.join(root, "data", "a.parquet")
+    fb = os.path.join(root, "data", "b.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int64())}), fa)
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64())}), fb)
+
+    def entry(path, snap, status=1):
+        return {
+            "status": status,
+            "snapshot_id": snap,
+            "sequence_number": snap,
+            "file_sequence_number": snap,
+            "data_file": {
+                "content": 0,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": 1,
+            },
+        }
+
+    m1 = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [entry(fa, 1)])
+    m2 = write_ocf(
+        ICEBERG_MANIFEST_ENTRY_SCHEMA, [entry(fa, 1, status=0), entry(fb, 2)]
+    )
+    assert store.put_if_absent("metadata/m1.avro", m1)
+    assert store.put_if_absent("metadata/m2.avro", m2)
+
+    def mlrec(name, blob, snap):
+        return {
+            "manifest_path": f"{root}/metadata/{name}",
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": snap,
+            "min_sequence_number": 1,
+            "added_snapshot_id": snap,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    ml1 = write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA, [mlrec("m1.avro", m1, 1)])
+    ml2 = write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA, [mlrec("m2.avro", m2, 2)])
+    assert store.put_if_absent("metadata/ml1.avro", ml1)
+    assert store.put_if_absent("metadata/ml2.avro", ml2)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "s3-ice",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 2000,
+        "last-column-id": 1,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"},
+             "manifest-list": f"{root}/metadata/ml1.avro", "schema-id": 0},
+            {"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 2000,
+             "summary": {"operation": "append"},
+             "manifest-list": f"{root}/metadata/ml2.avro", "schema-id": 0},
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 1, "timestamp-ms": 1000},
+            {"snapshot-id": 2, "timestamp-ms": 2000},
+        ],
+    }
+    assert store.put_if_absent("metadata/v1.metadata.json", json.dumps(meta).encode())
+    assert store.put_if_absent("metadata/version-hint.text", b"1")
+
+    ost = ObjectStoreIcebergTable(store, root)
+    assert _latest_metadata_name(ost, root) == "v1.metadata.json"
+    got_meta = json.loads(ost.read_metadata_bytes("v1.metadata.json"))
+    snap = _pick_snapshot(got_meta, None, None)
+    prune = _PruneContext(got_meta, _schema_dict_for_snapshot(got_meta, snap), None)
+    data, dels = _live_files(snap, got_meta, ost, prune)
+    assert sorted(os.path.basename(p) for p in data) == ["a.parquet", "b.parquet"]
+    assert dels == []
+    old = _pick_snapshot(got_meta, None, 1500)
+    data1, _ = _live_files(old, got_meta, ost, prune)
+    assert [os.path.basename(p) for p in data1] == ["a.parquet"]
+    assert [s["snapshot_id"] for s in iceberg_snapshots(root, store=ost)] == [1, 2]
