@@ -448,10 +448,14 @@ def pq_train(
 
     Training runs DRIVER-SIDE on a deterministic sample (first ``sample_n``
     rows by id) — the standard PQ recipe: codebooks are tiny (m·k·d/m =
-    one vector-width of floats per code) and k-means on a few thousand
-    sample rows is numpy-milliseconds via the ‖x‖²-2x·Cᵀ+‖c‖² expansion;
-    the corpus itself never visits the driver (encoding is executor-side,
-    :func:`pq_encode`). Deterministic for a given corpus + seed."""
+    one vector-width of floats per code) and the corpus itself never
+    visits the driver (encoding is executor-side, :func:`pq_encode`).
+    Measured cost: ~1.9 s single-threaded at the default 2048×256-dim
+    sample (SCALE_PQ_DECOMP.json) — a fixed, corpus-size-independent
+    planning/index-build cost, but NOT milliseconds: it is the dominant
+    stage of the knn_pq_topk contract query and the reason that query is
+    disproportionately sensitive to driver CPU contention (SCALE.md r11
+    decomposition). Deterministic for a given corpus + seed."""
     rows = (
         df.select(id_col, emb_col).orderBy(id_col).limit(sample_n).collect()
     )
