@@ -555,24 +555,105 @@ ROTATED_GREEN_R10 = frozenset(
     }
 )
 
-#: Names whose DRIVER-OBSERVABLE behavior changes in round 11 after an
-#: earlier green row. Scope (extended per VERDICT r10 #8): a name enters
-#: this set when ANY of the following change after its last green row —
-#: (a) its query body or oracle SQL, (b) a library function that rewrites
-#: the SQL it submits (the ``rewrite_variadic_len`` r10 precedent), or
-#: (c) an operator/library change that alters its executed plan shape
-#: (not just cache lifecycle / diagnostics bookkeeping). Masked names
-#: forfeit rotation membership and re-enter the driver's 50-name window.
-#:
-#: Round 11: ``iceberg_external_read`` / ``iceberg_time_travel`` re-enter
-#: the window — round 11 rewires the Iceberg reader's metadata access
-#:
-#: through a store abstraction, adds field-ID-based schema resolution,
-#: manifest-entry file pruning, and positional-delete application, all of
-#: which sit on these queries' executed read path.
+#: HISTORICAL (round 11): names whose driver-observable behavior changed
+#: in round 11 after an earlier green row (scope per VERDICT r10 #8:
+#: body/oracle, SQL-rewriting library, or executed-plan-shape change).
+#: Both re-passed in CORRECTNESS_r11 and now sit in ROTATED_GREEN_R11 —
+#: this set no longer participates in the rotation check; kept as the
+#: documented record of the r11 re-verification. ADVICE r11 #4 asked
+#: whether ``delta_external_read``/``delta_time_travel`` (whose read path
+#: round 11 also rewrote) should have re-entered too: they did not need a
+#: mask because the alphabetical window reached their rotated names
+#: anyway — CORRECTNESS_r11 carries green ``z_delta_external_read`` /
+#: ``z_delta_time_travel`` rows over the rewritten path.
 REVERIFY_R11 = frozenset(
     {
         "iceberg_external_read",
+        "iceberg_time_travel",
+    }
+)
+
+#: Driver-green rows from CORRECTNESS_r11 (50/50 in-window pass,
+#: ``tools/rotate_window.py CORRECTNESS_r11.json``) under their stable
+#: names: the three new reader queries (delta_column_mapping_read,
+#: iceberg_pruned_read, iceberg_mor_read), the two REVERIFY_R11 names
+#: re-passed over the rewired Iceberg path, the two Delta queries
+#: re-passed over the rewired Delta path, and the agg/dedup/embedding/
+#: events tail the window re-verified.
+ROTATED_GREEN_R11 = frozenset(
+    {
+        "delta_column_mapping_read",
+        "iceberg_external_read",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
+        "iceberg_time_travel",
+        "agg_approx_distinct",
+        "agg_array_sorted",
+        "agg_bitwise_bool",
+        "agg_corr_covar",
+        "agg_cube",
+        "agg_filter_having",
+        "agg_global_stats",
+        "agg_group_distinct",
+        "agg_grouping_sets",
+        "agg_histogram_buckets",
+        "agg_hll_partial_merge",
+        "agg_median_percentile",
+        "agg_mode_pergroup",
+        "agg_percentile_approx",
+        "agg_rollup",
+        "agg_skew_kurtosis",
+        "agg_stddev_var",
+        "agg_string_concat",
+        "agg_sum_revenue",
+        "cluster_kmeans_embeddings",
+        "contamination_overlap",
+        "curation_dsir_weights",
+        "curation_semdedup",
+        "dedup_cluster_assign",
+        "dedup_cluster_star",
+        "dedup_containment",
+        "dedup_embedding_neardup",
+        "dedup_exact_survivors",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "delta_external_read",
+        "delta_time_travel",
+        "distinct_projection",
+        "embedding_outlier_zscore",
+        "embedding_pca_contract",
+        "embedding_quantize_int8",
+        "embedding_stats",
+        "events_anomaly_mad",
+        "events_daily_top_users",
+        "events_funnel_attribution",
+        "events_funnel_transitions",
+        "events_gap_stats",
+        "events_ohlc_minutely",
+    }
+)
+
+#: Names whose DRIVER-OBSERVABLE behavior changes in round 12 after an
+#: earlier green row (same extended scope as REVERIFY_R11: body/oracle,
+#: SQL-rewriting library, or executed-plan-shape change). Round 12
+#: rewrites BOTH external readers' executed paths again — Delta gains
+#: deletion-vector application and v2-checkpoint replay (sources/delta.py
+#: ``_replay``/``read_delta``), Iceberg gains type-safe identity pruning
+#: (ADVICE r11 #1), per-relation metadata-column projection in
+#: ``_read_mapped`` (ADVICE r11 #2), per-column name fallback + rename
+#: gates (ADVICE r11 #3/#5), transform pruning, equality deletes, and a
+#: size-gated delete anti-join — so every delta_*/iceberg_* query
+#: re-enters the driver window for re-verification.
+REVERIFY_R12 = frozenset(
+    {
+        "delta_column_mapping_read",
+        "delta_external_read",
+        "delta_time_travel",
+        "iceberg_external_read",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
         "iceberg_time_travel",
     }
 )
@@ -610,7 +691,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if final not in REVERIFY_R11 and (
+        if final not in REVERIFY_R12 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
@@ -619,6 +700,7 @@ def all_specs() -> dict[str, QuerySpec]:
             or final in ROTATED_GREEN_R08
             or final in ROTATED_GREEN_R09
             or final in ROTATED_GREEN_R10
+            or final in ROTATED_GREEN_R11
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)
