@@ -723,10 +723,15 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def iceberg_entry_schema(partition_fields: list[tuple[str, str]] | None = None) -> dict:
+def iceberg_entry_schema(
+    partition_fields: list[tuple[str, str]] | None = None,
+    with_equality_ids: bool = False,
+) -> dict:
     """Manifest-entry Avro schema with a typed partition record and
     column-bounds maps (spec "Manifests"; bounds use the array-of-kv
-    encoding real writers emit for ``map<int, bytes>``)."""
+    encoding real writers emit for ``map<int, bytes>``).
+    ``with_equality_ids=True`` adds spec field 135 (``list<int>``) for
+    equality-delete entries."""
     part_fields = [
         {"name": name, "type": ["null", avro_type], "default": None}
         for name, avro_type in (partition_fields or [])
@@ -776,7 +781,19 @@ def iceberg_entry_schema(partition_fields: list[tuple[str, str]] | None = None) 
                             "default": None,
                             "field-id": 128,
                         },
-                    ],
+                    ]
+                    + (
+                        [
+                            {
+                                "name": "equality_ids",
+                                "type": ["null", {"type": "array", "items": "int"}],
+                                "default": None,
+                                "field-id": 135,
+                            }
+                        ]
+                        if with_equality_ids
+                        else []
+                    ),
                 },
             },
         ],
@@ -1357,6 +1374,219 @@ def _delta_cm_orders(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(tmp, ignore_errors=True)
     _DELTA_CM_CACHE[key] = path
     return path
+
+
+_ICEBERG_EQDEL_CACHE: dict[str, str] = {}
+
+
+def _iceberg_eqdel_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once merge-on-read Iceberg table with a GLOBAL EQUALITY
+    delete (the Flink-CDC shape, VERDICT r11 #3): data file A (all
+    orders, data sequence 1), an equality-delete file on ``o_orderkey``
+    removing keys ≡5 (mod 10) at sequence 2, and data file B
+    RE-INSERTING the keys ≡5 (mod 20) at sequence 3. Sequence-number
+    scoping is load-bearing: the delete applies only to strictly-older
+    data, so B's rows survive — a positional-only or unscoped equality
+    application would delete them and diverge from the oracle."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_EQDEL_CACHE:
+        return _ICEBERG_EQDEL_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergeq_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"))
+        os.makedirs(os.path.join(tmp, "metadata"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def install_one(df: DataFrame, rel: str) -> tuple[int, int]:
+            part_dir = os.path.join(tmp, f".stage-{rel}")
+            df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, "data", rel))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            n = spark.read.parquet(os.path.join(tmp, "data", rel)).count()
+            return os.path.getsize(os.path.join(tmp, "data", rel)), n
+
+        a_size, a_n = install_one(o, "a.parquet")
+        d_size, d_n = install_one(
+            o.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey"),
+            "d.parquet",
+        )
+        b_size, b_n = install_one(
+            o.filter(F.col("o_orderkey") % 20 == 5), "b.parquet"
+        )
+
+        def entry(rel: str, seq: int, n: int, size: int, content: int = 0) -> dict:
+            e = {
+                "status": 1,
+                "snapshot_id": seq,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": [1] if content == 2 else None,
+                },
+            }
+            return e
+
+        entry_schema = iceberg_entry_schema(with_equality_ids=True)
+
+        def write_manifest(name: str, entries: list[dict]) -> tuple[str, int]:
+            blob = write_ocf(entry_schema, entries)
+            with open(os.path.join(tmp, "metadata", name), "wb") as fh:
+                fh.write(blob)
+            return f"{path}/metadata/{name}", len(blob)
+
+        m_a, m_a_len = write_manifest("m-a.avro", [entry("a.parquet", 1, a_n, a_size)])
+        m_d, m_d_len = write_manifest(
+            "m-d.avro", [entry("d.parquet", 2, d_n, d_size, content=2)]
+        )
+        m_b, m_b_len = write_manifest("m-b.avro", [entry("b.parquet", 3, b_n, b_size)])
+
+        def ml_rec(mpath: str, mlen: int, content: int, snap: int) -> dict:
+            return {
+                "manifest_path": mpath,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": snap,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+
+        ml_blob = write_ocf(
+            ICEBERG_MANIFEST_FILE_SCHEMA,
+            [
+                ml_rec(m_a, m_a_len, 0, 1),
+                ml_rec(m_b, m_b_len, 0, 3),
+                ml_rec(m_d, m_d_len, 1, 2),
+            ],
+        )
+        with open(os.path.join(tmp, "metadata", "snap-3.avro"), "wb") as fh:
+            fh.write(ml_blob)
+        meta = {
+            "format-version": 2,
+            "table-uuid": "0cdc1cdc-0000-4000-8000-000000000004",
+            "location": path,
+            "last-sequence-number": 3,
+            "last-updated-ms": 3000,
+            "last-column-id": 3,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 3,
+            "snapshots": [
+                {
+                    "snapshot-id": 3,
+                    "sequence-number": 3,
+                    "timestamp-ms": 3000,
+                    "summary": {"operation": "append"},
+                    "manifest-list": f"{path}/metadata/snap-3.avro",
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [{"snapshot-id": 3, "timestamp-ms": 3000}],
+        }
+        with open(os.path.join(tmp, "metadata", "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(tmp, "metadata", "version-hint.text"), "w") as fh:
+            fh.write("1")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _ICEBERG_EQDEL_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_eq_delete_read",
+    oracle="""
+    WITH live AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 <> 5
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 20 = 5
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM live
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg"),
+)
+def iceberg_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL equality-delete merge-on-read (VERDICT r11 #3): the
+    snapshot holds data at sequences 1 and 3 and an equality delete on
+    o_orderkey (keys ≡5 mod 10) at sequence 2. sources/iceberg.py must
+    apply the delete as a null-safe anti-join on the equality column
+    scoped to STRICTLY-older data files — the sequence-3 file re-inserts
+    the keys ≡5 (mod 20) and those rows must survive, so the oracle
+    match proves sequence-number scoping, not just value matching. The
+    delete set broadcasts; the data side never shuffles."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_eqdel_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 @query(

@@ -668,3 +668,487 @@ def test_object_store_s3_scheme_translation():
     assert ost._rel_key("s3a://bkt/tbl/metadata/m.avro") == "metadata/m.avro"
     with pytest.raises(IcebergProtocolError):
         ost._rel_key("s3://other/tbl/metadata/m.avro")
+
+
+# ---------------------------------------------------------------------------
+# round 12: equality deletes, transform pruning, type-safe pruning,
+# per-relation metadata projection, partial-field-id fallback, gates
+# ---------------------------------------------------------------------------
+
+
+def _eq_entry_schema():
+    from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
+
+    return iceberg_entry_schema(with_equality_ids=True)
+
+
+def _eq_table(root):
+    """Data A (ids 1-4, seq 1) + GLOBAL equality delete on id (2,3 at
+    seq 2) + data B (ids 3,9, seq 3) — B re-inserts id 3 AFTER the
+    delete, so sequence scoping is observable in the result."""
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fa = _write_data(root, "a.parquet", [1, 2, 3, 4], "x")
+    fb = _write_data(root, "b.parquet", [3, 9], "y")
+    fd = os.path.join(root, "data", "d.parquet")
+    pq.write_table(pa.table({"id": pa.array([2, 3], pa.int64())}), fd)
+
+    def eq_entry(status, path, seq, content=0, n=1):
+        e = _entry(status, path, seq)
+        e["data_file"]["content"] = content
+        e["data_file"]["record_count"] = n
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+        e["data_file"]["equality_ids"] = [1] if content == 2 else None
+        return e
+
+    schema = _eq_entry_schema()
+
+    def write_avro(name, sch, recs):
+        blob = write_ocf(sch, recs)
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+        return os.path.join(meta_dir, name), len(blob)
+
+    ma, malen = write_avro("ma.avro", schema, [eq_entry(1, fa, 1)])
+    mb, mblen = write_avro("mb.avro", schema, [eq_entry(1, fb, 3)])
+    md, mdlen = write_avro("md.avro", schema, [eq_entry(1, fd, 2, content=2, n=2)])
+    ml, _ = write_avro(
+        "ml.avro",
+        ICEBERG_MANIFEST_FILE_SCHEMA,
+        [
+            _manifest_file_rec(ma, malen, 1),
+            _manifest_file_rec(mb, mblen, 3),
+            _manifest_file_rec(md, mdlen, 2, content=1),
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t",
+        "location": root,
+        "last-sequence-number": 3,
+        "last-updated-ms": 3000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [ICE_SCHEMA],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 3, "sequence-number": 3, "timestamp-ms": 3000,
+             "summary": {"operation": "append"},
+             "manifest-list": ml, "schema-id": 0},
+        ],
+        "snapshot-log": [{"snapshot-id": 3, "timestamp-ms": 3000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root
+
+
+def test_equality_deletes_sequence_scoped(spark, tmp_path):
+    root = _eq_table(str(tmp_path / "tbl"))
+    got = read_iceberg(spark, root)
+    # ids 2,3 deleted from the seq-1 file; seq-3 file's 3 (and 9) SURVIVE
+    assert sorted(r.id for r in got.collect()) == [1, 3, 4, 9]
+    assert got.columns == ["id", "v", "part"]
+
+
+def test_equality_delete_broadcast_plan(spark, tmp_path):
+    root = _eq_table(str(tmp_path / "tbl"))
+    plan = read_iceberg(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert plan.count("LeftAnti") >= 1
+
+
+def test_equality_delete_partition_scoped_gate(spark, tmp_path):
+    """A partition record with non-null values on an equality-delete file
+    means partition scoping — unsupported, must gate loudly."""
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fa = _write_data(root, "a.parquet", [1], "x")
+    fd = os.path.join(root, "data", "d.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), fd)
+    from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
+
+    schema = iceberg_entry_schema([("part", "string")], with_equality_ids=True)
+    ea = _entry(1, fa, 1)
+    ea["data_file"]["partition"] = {"part": None}
+    ea["data_file"]["lower_bounds"] = None
+    ea["data_file"]["upper_bounds"] = None
+    ea["data_file"]["equality_ids"] = None
+    ed = _entry(1, fd, 2)
+    ed["data_file"]["content"] = 2
+    ed["data_file"]["partition"] = {"part": "x"}  # scoped!
+    ed["data_file"]["lower_bounds"] = None
+    ed["data_file"]["upper_bounds"] = None
+    ed["data_file"]["equality_ids"] = [1]
+
+    def write_avro(name, sch, recs):
+        blob = write_ocf(sch, recs)
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+        return os.path.join(meta_dir, name), len(blob)
+
+    ma, malen = write_avro("ma.avro", schema, [ea])
+    md, mdlen = write_avro("md.avro", schema, [ed])
+    ml, _ = write_avro(
+        "ml.avro", ICEBERG_MANIFEST_FILE_SCHEMA,
+        [_manifest_file_rec(ma, malen, 1), _manifest_file_rec(md, mdlen, 2, content=1)],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": root,
+        "last-sequence-number": 2, "last-updated-ms": 2000, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [ICE_SCHEMA],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "part", "transform": "identity", "source-id": 3, "field-id": 1000}
+        ]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [{"snapshot-id": 2, "sequence-number": 2, "timestamp-ms": 2000,
+                       "summary": {"operation": "append"}, "manifest-list": ml,
+                       "schema-id": 0}],
+        "snapshot-log": [{"snapshot-id": 2, "timestamp-ms": 2000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(IcebergProtocolError, match="partition-scoped"):
+        read_iceberg(spark, root)
+
+
+def test_delete_broadcast_row_gate(spark, tmp_path):
+    """Delete row counts beyond the broadcast gate refuse LOUDLY (from
+    manifest record counts alone — no delete bytes read) and the error
+    names the fallback (VERDICT r11 #6)."""
+    root = _mor_table(str(tmp_path / "tbl"))
+    with pytest.raises(IcebergProtocolError, match="delete_broadcast_max_rows"):
+        read_iceberg(spark, root, delete_broadcast_max_rows=0)
+    # the default gate admits the fixture's tiny delete set
+    assert read_iceberg(spark, root).count() == 4
+
+
+def test_mor_deletes_with_schema_evolution_union(spark, tmp_path):
+    """ADVICE r11 #2: positional deletes on a table whose files footer-
+    probe into TWO mapping groups (renamed column in one file) — the
+    anti-join keys must be projected per scan relation, because Union
+    exposes no _metadata columns."""
+    root = str(tmp_path / "tbl")
+    _mor_table(root)
+    # rewrite file b with field ids + the OLD physical name for field 2
+    fb = os.path.join(root, "data", "b.parquet")
+    ided = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v_old", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("part", pa.string(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([5, 6], pa.int64()),
+                "v_old": pa.array([5.0, 6.0], pa.float64()),
+                "part": pa.array(["y", "y"], pa.string()),
+            },
+            schema=ided,
+        ),
+        fb,
+    )
+    got = read_iceberg(spark, root)
+    # two mapping groups (a: plain names, b: id-mapped) + deletes on a
+    assert {(r.id, r.v) for r in got.collect()} == {
+        (1, 1.0), (3, 3.0), (5, 5.0), (6, 6.0)
+    }
+
+
+def test_partial_field_ids_name_fallback(spark, tmp_path):
+    """ADVICE r11 #5: a file with ids on only SOME columns resolves the
+    id-less columns by name instead of silently null-filling."""
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    os.makedirs(os.path.join(root, "data"))
+    fa = os.path.join(root, "data", "a.parquet")
+    mixed = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v", pa.float64()),  # NO field id
+            pa.field("part", pa.string()),  # NO field id
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "v": pa.array([1.5], pa.float64()),
+                "part": pa.array(["x"], pa.string()),
+            },
+            schema=mixed,
+        ),
+        fa,
+    )
+    blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [_entry(1, fa, 1)])
+    m = os.path.join(meta_dir, "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(blob)
+    ml = os.path.join(meta_dir, "ml.avro")
+    with open(ml, "wb") as fh:
+        fh.write(write_ocf(ICEBERG_MANIFEST_FILE_SCHEMA,
+                           [_manifest_file_rec(m, len(blob), 1)]))
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": root,
+        "last-sequence-number": 1, "last-updated-ms": 1000, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [ICE_SCHEMA],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"}, "manifest-list": ml,
+                       "schema-id": 0}],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    rows = read_iceberg(spark, root).collect()
+    assert [(r.id, r.v, r.part) for r in rows] == [(1, 1.5, "x")]
+
+
+def test_object_store_rename_warns(spark, tmp_path):
+    """ADVICE r11 #3: object-store data files (no footer probing) + a
+    rename in the schema history must WARN about name resolution."""
+    import warnings as _warnings
+
+    from connected_data_lake_spark.sources.iceberg import ObjectStoreIcebergTable
+    from connected_data_lake_spark.sources.manifest import InMemoryStore
+
+    root = _make_table(str(tmp_path / "tbl"))
+    meta_file = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(meta_file) as fh:
+        meta = json.load(fh)
+    old_schema = {
+        "schema-id": 1,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v_old", "required": False, "type": "double"},
+            {"id": 3, "name": "part", "required": False, "type": "string"},
+        ],
+    }
+    meta["schemas"] = [meta["schemas"][0], old_schema]
+    with open(meta_file, "w") as fh:
+        json.dump(meta, fh)
+    store = InMemoryStore()
+    meta_dir = os.path.join(root, "metadata")
+    for name in os.listdir(meta_dir):
+        with open(os.path.join(meta_dir, name), "rb") as fh:
+            store.put_if_absent(f"metadata/{name}", fh.read())
+
+    class LocalDataObjectStore(ObjectStoreIcebergTable):
+        # metadata from the store; data "object-store resident" (no
+        # local path) but spark can still read the local file:// URI
+        def spark_data_path(self, uri):
+            return uri
+
+    ost = LocalDataObjectStore(store, root)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = read_iceberg(spark, root, store=ost)
+        got.collect()
+    assert any("renamed" in str(w.message) for w in caught)
+
+
+def test_transform_literal_spec_vectors():
+    """Murmur3 bucket hashes must match the spec's Appendix B vectors."""
+    import datetime as dt
+    import struct as st
+
+    from connected_data_lake_spark.sources.iceberg import (
+        _murmur3_x86_32,
+        _transform_literal,
+    )
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert signed(_murmur3_x86_32(st.pack("<q", 34))) == 2017239379
+    assert signed(_murmur3_x86_32(b"iceberg")) == 1210000089
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert signed(_murmur3_x86_32(st.pack("<q", days))) == -653330422
+    us = int((dt.datetime(2017, 11, 16, 22, 31, 8)
+              - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert signed(_murmur3_x86_32(st.pack("<q", us))) == -2047944441
+
+    assert _transform_literal("bucket[16]", "long", 34) == (3, "bucket")
+    assert _transform_literal("truncate[10]", "long", -7) == (-10, "monotonic")
+    assert _transform_literal("truncate[3]", "string", "iceberg") == ("ice", "monotonic")
+    assert _transform_literal("day", "date", dt.date(2017, 11, 16)) == (17486, "monotonic")
+    assert _transform_literal("month", "date", dt.date(2017, 11, 16)) == (574, "monotonic")
+    assert _transform_literal("year", "date", dt.date(2017, 11, 16)) == (47, "monotonic")
+    assert _transform_literal("hour", "timestamptz",
+                              dt.datetime(1970, 1, 2, 1, 0, 0)) == (25, "monotonic")
+    # unsupported combos never prune
+    assert _transform_literal("bucket[16]", "double", 1.5) == (None, None)
+    assert _transform_literal("nonsense", "long", 1) == (None, None)
+
+
+def test_prune_type_mismatch_keeps_file():
+    """ADVICE r11 #1: a decoded partition value whose Python type doesn't
+    match the literal KEEPS the file (pruning through Python == across
+    types would silently drop matching data)."""
+    from connected_data_lake_spark.sources.iceberg import _PruneContext
+
+    meta = {
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "d", "transform": "identity", "source-id": 1, "field-id": 1000}
+            ]}
+        ]
+    }
+    schema_dict = {
+        "fields": [{"id": 1, "name": "d", "required": False, "type": "date"}]
+    }
+    import datetime as dt
+
+    ctx = _PruneContext(meta, schema_dict, [("d", "=", dt.date(1970, 1, 6))])
+    # Avro decodes date partitions as int days: 5 == date(1970,1,6) is a
+    # TYPE mismatch -> file must be KEPT, not compared-false-and-dropped
+    rec = {"partition": {"d": 5}, "lower_bounds": None, "upper_bounds": None}
+    assert ctx.keep_file(rec, 0) is True
+    # same-type comparisons still prune
+    ctx2 = _PruneContext(meta, schema_dict, [("d", "=", 7)])
+    assert ctx2.keep_file(rec, 0) is False
+    assert ctx2.keep_file({"partition": {"d": 7}}, 0) is True
+
+
+def test_bucket_and_time_transform_pruning():
+    """bucket[N]/days prune '=' filters through partition values; range
+    ops prune through monotonic transforms but never through bucket."""
+    from connected_data_lake_spark.sources.iceberg import (
+        _PruneContext,
+        _murmur3_x86_32,
+    )
+    import struct as st
+
+    meta = {
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1,
+                 "field-id": 1000},
+                {"name": "ts_day", "transform": "day", "source-id": 2,
+                 "field-id": 1001},
+            ]}
+        ]
+    }
+    schema_dict = {"fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "ts", "required": False, "type": "timestamptz"},
+    ]}
+    bucket_of_34 = (_murmur3_x86_32(st.pack("<q", 34)) & 0x7FFFFFFF) % 4
+    ctx = _PruneContext(meta, schema_dict, [("id", "=", 34)])
+    keep = {"partition": {"id_bucket": bucket_of_34, "ts_day": 100}}
+    drop = {"partition": {"id_bucket": (bucket_of_34 + 1) % 4, "ts_day": 100}}
+    assert ctx.keep_file(keep, 0) is True
+    assert ctx.keep_file(drop, 0) is False
+    # range op on a bucketed column never prunes
+    ctx_rng = _PruneContext(meta, schema_dict, [("id", ">", 34)])
+    assert ctx_rng.keep_file(drop, 0) is True
+    # day transform: timestamp literal prunes by day ordinal
+    import datetime as dt
+
+    ctx_day = _PruneContext(
+        meta, schema_dict, [("ts", "<", dt.datetime(1970, 1, 11, 0, 0, 1))]
+    )
+    assert ctx_day.keep_file({"partition": {"ts_day": 10}}, 0) is True
+    assert ctx_day.keep_file({"partition": {"ts_day": 11}}, 0) is False
+    ctx_eq = _PruneContext(
+        meta, schema_dict, [("ts", "=", dt.datetime(1970, 1, 11, 12, 0, 0))]
+    )
+    assert ctx_eq.keep_file({"partition": {"ts_day": 10}}, 0) is True
+    assert ctx_eq.keep_file({"partition": {"ts_day": 9}}, 0) is False
+
+
+def test_transform_pruning_end_to_end(spark, tmp_path):
+    """A bucket[2]-partitioned table prunes to the single matching file
+    BEFORE Spark plans (inputFiles gate, same contract as the identity
+    fixture)."""
+    import struct as st
+
+    from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
+    from connected_data_lake_spark.sources.iceberg import _murmur3_x86_32
+
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+
+    def bucket2(i):
+        return (_murmur3_x86_32(st.pack("<q", i)) & 0x7FFFFFFF) % 2
+
+    ids = list(range(1, 21))
+    g0 = [i for i in ids if bucket2(i) == 0]
+    g1 = [i for i in ids if bucket2(i) == 1]
+    f0 = _write_data(root, "b0.parquet", g0, "x")
+    f1 = _write_data(root, "b1.parquet", g1, "x")
+    schema = iceberg_entry_schema([("id_bucket", "int")])
+
+    def entry(path, b):
+        e = _entry(1, path, 1)
+        e["data_file"]["partition"] = {"id_bucket": b}
+        e["data_file"]["lower_bounds"] = None
+        e["data_file"]["upper_bounds"] = None
+        return e
+
+    def write_avro(name, sch, recs):
+        blob = write_ocf(sch, recs)
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+        return os.path.join(meta_dir, name), len(blob)
+
+    m0, m0len = write_avro("m0.avro", schema, [entry(f0, 0)])
+    m1, m1len = write_avro("m1.avro", schema, [entry(f1, 1)])
+    ml, _ = write_avro("ml.avro", ICEBERG_MANIFEST_FILE_SCHEMA,
+                       [_manifest_file_rec(m0, m0len, 1),
+                        _manifest_file_rec(m1, m1len, 1)])
+    meta = {
+        "format-version": 2, "table-uuid": "t", "location": root,
+        "last-sequence-number": 1, "last-updated-ms": 1000, "last-column-id": 3,
+        "current-schema-id": 0, "schemas": [ICE_SCHEMA],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[2]", "source-id": 1,
+             "field-id": 1000}
+        ]}],
+        "last-partition-id": 1000, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"}, "manifest-list": ml,
+                       "schema-id": 0}],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    target = g1[0]
+    df = read_iceberg(spark, root, filters=[("id", "=", target)])
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("b1.parquet")
+    assert [r.id for r in df.collect()] == [target]
+    # range op keeps both bucket files (bucket cannot order-prune)
+    rng = read_iceberg(spark, root, filters=[("id", ">=", 1)])
+    assert len(rng.inputFiles()) == 2
+    assert rng.count() == 20

@@ -570,3 +570,15 @@ def test_delta_column_mapping_pushdown_survives_rename(spark, sf_dir):
     assert "partial_" in plan  # map-side combine before the exchange
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "col-7e4f5a6b" in read_schema and read_schema.count(",") <= 3
+
+
+def test_iceberg_eq_delete_join_broadcasts(spark, sf_dir):
+    """Equality deletes apply as BROADCAST left-anti joins (delete set +
+    the planning-sized file→sequence map both broadcast) — the data side
+    never shuffles, and nothing degrades to a cartesian product even
+    though the join condition is a compound null-safe + range predicate."""
+    plan = plan_of(spark, sf_dir, "iceberg_eq_delete_read")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
