@@ -1589,6 +1589,158 @@ def iceberg_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_DV_CACHE: dict[str, str] = {}
+
+
+def _delta_dv_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once external Delta table with a file-based DELETION VECTOR
+    (reader protocol 3 + deletionVectors — the default for recent Delta
+    writers, VERDICT r11 #2): one data file holding all orders, whose add
+    action carries a ``storageType=u`` DV removing every row position of
+    an o_orderkey ≡3 (mod 10). Positions are computed by reading the
+    written file back through Spark's own ``_metadata.row_index`` (the
+    exact positions the scan will see), serialized as a CRC-framed
+    RoaringBitmapArray in ``deletion_vector_<uuid>.bin``."""
+    import base64
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+    import uuid as _uuid
+    import zlib
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.roaring import encode_rbm_array
+
+    key = f"{sf_dir}"
+    if key in _DELTA_DV_CACHE:
+        return _DELTA_DV_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltadv_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "_delta_log"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        part_dir = os.path.join(tmp, ".stage-a")
+        o.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(tmp, "a.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+        # deleted positions via the scan's own row_index (planning-sized
+        # collect: one int per deleted fixture row)
+        positions = sorted(
+            r["pos"]
+            for r in spark.read.parquet(os.path.join(tmp, "a.parquet"))
+            .select("o_orderkey", F.col("_metadata.row_index").alias("pos"))
+            .filter(F.col("o_orderkey") % 10 == 3)
+            .collect()
+        )
+        payload = encode_rbm_array(positions)
+        u = _uuid.uuid4()
+        blob = (
+            b"\x01"
+            + _struct.pack(">i", len(payload))
+            + payload
+            + _struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+        )
+        with open(os.path.join(tmp, f"deletion_vector_{u}.bin"), "wb") as fh:
+            fh.write(blob)
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "cdl-dv-orders",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": o.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableDeletionVectors": "true"},
+                }
+            },
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(tmp, "a.parquet")),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": base64.b85encode(u.bytes).decode("ascii"),
+                        "offset": 1,
+                        "sizeInBytes": len(payload),
+                        "cardinality": len(positions),
+                    },
+                }
+            },
+        ]
+        with open(os.path.join(tmp, "_delta_log", "00000000000000000000.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _DELTA_DV_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_dv_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta"),
+)
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read (VERDICT r11 #2): the add action carries a
+    file-based RoaringBitmapArray DV removing keys ≡3 (mod 10) BY ROW
+    POSITION; sources/delta.py must decode it (Base85 uuid → DV file,
+    CRC check) and anti-join the scan's ``(_metadata.file_path,
+    row_index)`` — the aggregate equals the oracle's direct filter only
+    if every deleted POSITION is excluded. The decoded delete set
+    broadcasts; the data side never shuffles."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_dv_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query(
     "delta_column_mapping_read",
     oracle="""

