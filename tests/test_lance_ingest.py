@@ -183,7 +183,20 @@ def test_import_gate_without_lance(spark_module, monkeypatch, tmp_path):
         lance_dataset_version(str(tmp_path))
 
 
-@pytest.mark.skipif(not HAS_LANCE, reason="lance not installed")
+@pytest.mark.skipif(
+    not HAS_LANCE,
+    reason=(
+        "lance not installed and not installable in this sandbox: "
+        "`pip install lance` / `pip download pylance` attempted "
+        "2026-08-15 (rounds 10 AND 12) both fail with DNS resolution "
+        "errors ('Name or service not known' against the pypi mirror) — "
+        "no network egress, so a committed real-bytes fixture cannot be "
+        "produced here either (writing Lance v2 bytes requires the "
+        "library). The plumbing is validated against "
+        "tests/fake_lance_module.py; this test closes the gap the first "
+        "time the real library is importable."
+    ),
+)
 def test_real_lance_round_trip(spark_module, tmp_path):
     import pyarrow as pa
 
