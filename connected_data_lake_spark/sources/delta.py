@@ -618,7 +618,11 @@ def read_delta(
     if mode in ("none", "", None):
         phys = {f.name: f.name for f in schema.fields}
         phys_schema = schema
-    elif mode == "name":
+    elif mode in ("name", "id"):
+        # both mapped modes share the physical-name plane (partition
+        # directory names, add.partitionValues keys, and the restore
+        # projection run on physicalName); mode=id additionally resolves
+        # DATA columns through parquet FIELD IDS at scan time below
         phys = {f.name: _physical_name(f) for f in schema.fields}
         phys_schema = T.StructType(
             [
@@ -629,7 +633,7 @@ def read_delta(
     else:
         raise DeltaProtocolError(
             f"delta.columnMapping.mode={mode!r} not supported (only "
-            "'none' and 'name'; 'id' needs parquet field-id resolution)"
+            "'none', 'name' and 'id')"
         )
     if not adds:
         return spark.createDataFrame([], schema)
@@ -702,8 +706,25 @@ def read_delta(
             .drop("__cdl_fp", "__cdl_pos")
         )
 
+    if mode == "id":
+        id_fields = []
+        for f in schema.fields:
+            cmid = (f.metadata or {}).get("delta.columnMapping.id")
+            if cmid is None:
+                raise DeltaProtocolError(
+                    f"columnMapping mode=id but field {f.name!r} has no "
+                    "delta.columnMapping.id in schemaString"
+                )
+            id_fields.append((int(cmid), phys[f.name]))
+
     if not part_cols:
-        out = apply_dvs(spark.read.schema(phys_schema).parquet(*files))
+        if mode == "id":
+            out = _read_by_field_id(
+                spark, files, base, id_fields, phys_schema, apply_dvs,
+                part_inference=False,
+            )
+        else:
+            out = apply_dvs(spark.read.schema(phys_schema).parquet(*files))
         return out if mode in ("none", "", None) else restore(out)
     # partitioned: require the hive-style layout Delta writers produce, so
     # the whole table stays ONE scan relation and Catalyst prunes
@@ -728,12 +749,84 @@ def read_delta(
                 f"({a['path']!r} vs {expect!r}); non-hive Delta layouts are "
                 "not supported"
             )
+    if mode == "id":
+        data_ids = [
+            (cmid, pname)
+            for (cmid, pname) in id_fields
+            if pname not in phys_parts
+        ]
+        df = _read_by_field_id(
+            spark, files, base, data_ids, data_schema, apply_dvs,
+            part_inference=True, part_names=phys_parts,
+        )
+        return restore(df)
     reader = spark.read.schema(data_schema).option("basePath", base)
     df = apply_dvs(reader.parquet(*files))
     # partition columns come back via directory inference (as physical
     # names); restore() casts them to the declared types, renames to
     # logical, and restores the declared column order
     return restore(df)
+
+
+def _read_by_field_id(
+    spark: SparkSession,
+    files: list[str],
+    base: str,
+    id_fields: list[tuple[int, str]],
+    data_schema: T.StructType,
+    apply_dvs,
+    part_inference: bool,
+    part_names: list[str] | None = None,
+) -> DataFrame:
+    """columnMapping mode=id scan: resolve each expected column by its
+    ``delta.columnMapping.id`` against the parquet footers' field ids
+    (the Iceberg reader's ``_footer_mapping`` machinery — same probe,
+    same per-column physical-name fallback, same zero-resolution loud
+    gate), group files by resolved mapping, read each group as ONE scan
+    relation aliased back to physical names, and union. Deletion vectors
+    apply PER RELATION (before the union — Union exposes no ``_metadata``
+    columns, the ADVICE r11 #2 lesson). Footer probing needs local byte
+    access: object-store mode=id tables gate loudly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from connected_data_lake_spark.sources.iceberg import _footer_mapping
+
+    locals_ = []
+    for f in files:
+        if "://" in f and not f.startswith("file://"):
+            raise DeltaProtocolError(
+                "columnMapping mode=id resolves columns through parquet "
+                f"footers, which are not reachable for {f!r}; read the "
+                "table where its files are locally accessible"
+            )
+        locals_.append(f[len("file://"):] if f.startswith("file://") else f)
+    probe = [{"id": i, "name": n} for i, n in id_fields]
+    with ThreadPoolExecutor(max_workers=min(16, len(locals_))) as pool:
+        mappings = list(pool.map(lambda lp: _footer_mapping(lp, probe), locals_))
+    groups: dict[tuple, list[str]] = {}
+    for lp, mp in zip(locals_, mappings):
+        groups.setdefault(mp, []).append(lp)
+    from pyspark.sql import functions as F
+
+    parts = []
+    for mapping, paths in groups.items():
+        read_fields = [
+            T.StructField(p if p is not None else f.name, f.dataType, True)
+            for p, f in zip(mapping, data_schema.fields)
+        ]
+        reader = spark.read.schema(T.StructType(read_fields))
+        if part_inference:
+            reader = reader.option("basePath", base)
+        df = apply_dvs(reader.parquet(*paths))
+        sel = [
+            F.col(rf.name).alias(f.name)
+            for rf, f in zip(read_fields, data_schema.fields)
+        ] + [F.col(pn) for pn in (part_names or [])]
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _hive_escape(value: str | None) -> str:

@@ -495,10 +495,126 @@ def test_column_mapping_partitioned_read(spark, tmp_path):
     assert got.filter("part = 'y'").count() == 1
 
 
-def test_column_mapping_id_mode_gate(spark, tmp_path):
+def _write_id_file(root, rel, ids, vs, parts=None, names=None):
+    """Data file carrying PARQUET FIELD IDS matching columnMapping.id —
+    with arbitrary (even misleading) column names, which is what mode=id
+    licenses writers to do."""
+    names = names or ["q1", "q2", "q3"]
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    fields = [
+        pa.field(names[0], pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field(names[1], pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+    ]
+    cols = {names[0]: pa.array(ids, pa.int64()), names[1]: pa.array(vs, pa.float64())}
+    if parts is not None:
+        fields.append(
+            pa.field(names[2], pa.string(), metadata={b"PARQUET:field_id": b"3"})
+        )
+        cols[names[2]] = pa.array(parts, pa.string())
+    pq.write_table(pa.table(cols, schema=pa.schema(fields)), full)
+
+
+def test_column_mapping_id_read(spark, tmp_path):
+    """mode=id: columns resolve by PARQUET FIELD ID, not by name — the
+    fixture's file names its columns q1/q2/q3 (matching neither logical
+    nor physical names), so only id resolution can produce values."""
     root = str(tmp_path / "tbl")
     os.makedirs(os.path.join(root, "_delta_log"))
-    _write_physical_file(root, "a.parquet", [1], [1.0], ["x"])
+    _write_id_file(root, "a.parquet", [1, 2], [1.0, 2.0], ["x", "x"])
+    _write_id_file(root, "b.parquet", [3], [3.0], ["y"],
+                   names=["r1", "r2", "r3"])  # second mapping group
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta([], mode="id"),
+            _add("a.parquet"),
+            _add("b.parquet"),
+        ],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["id", "v", "part"]
+    rows = {(r.id, r.v, r.part) for r in got.collect()}
+    assert rows == {(1, 1.0, "x"), (2, 2.0, "x"), (3, 3.0, "y")}
+
+
+def test_column_mapping_id_partitioned(spark, tmp_path):
+    """mode=id + hive partitioning: data columns by field id, partition
+    column via directory inference under its physical name."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    a, b = "col-ccc333=x/a.parquet", "col-ccc333=y/b.parquet"
+    _write_id_file(root, a, [1, 2], [1.0, 2.0])
+    _write_id_file(root, b, [3], [3.0])
+
+    def add(path, part):
+        return {
+            "add": {
+                "path": path,
+                "partitionValues": {"col-ccc333": part},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _cm_meta(["part"], mode="id"),
+            add(a, "x"),
+            add(b, "y"),
+        ],
+    )
+    got = read_delta(spark, root)
+    assert got.columns == ["id", "v", "part"]
+    assert {(r.id, r.part) for r in got.collect()} == {(1, "x"), (2, "x"), (3, "y")}
+    assert got.filter("part = 'y'").count() == 1
+
+
+def test_column_mapping_id_with_deletion_vector(spark, tmp_path):
+    """mode=id + DV: the anti-join applies per mapping-group relation
+    (the union exposes no _metadata), positions still exclude."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_id_file(root, "a.parquet", [1, 2, 3], [1.0, 2.0, 3.0], ["x", "x", "x"])
+    add = _add("a.parquet")
+    add["add"]["deletionVector"] = _dv_descriptor_inline([1])  # id 2
+    meta = _cm_meta([], mode="id")
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                    "writerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            },
+            meta,
+            add,
+        ],
+    )
+    got = read_delta(spark, root)
+    assert {(r.id, r.v) for r in got.collect()} == {(1, 1.0), (3, 3.0)}
+
+
+def test_column_mapping_id_unresolvable_gate(spark, tmp_path):
+    """A mode=id file with NO field ids and NO name overlap cannot be
+    resolved — loud gate, never an all-null misread."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    full = os.path.join(root, "a.parquet")
+    pq.write_table(
+        pa.table({"zz1": pa.array([1], pa.int64()), "zz2": pa.array([1.0], pa.float64())}),
+        full,
+    )
     _write_commit(
         os.path.join(root, "_delta_log"),
         0,
@@ -508,8 +624,8 @@ def test_column_mapping_id_mode_gate(spark, tmp_path):
             _add("a.parquet"),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="mode='id'"):
-        read_delta(spark, root)
+    with pytest.raises(Exception, match="field id"):
+        read_delta(spark, root).collect()
 
 
 def test_reader_features_v3(spark, tmp_path):
