@@ -658,6 +658,93 @@ REVERIFY_R12 = frozenset(
     }
 )
 
+#: Driver-green rows from CORRECTNESS_r12 (50/50 in-window pass,
+#: ``tools/rotate_window.py CORRECTNESS_r12.json``) under their stable
+#: names: the two new reader queries (delta_dv_read,
+#: iceberg_eq_delete_read), the seven REVERIFY_R12 reader names re-passed
+#: over the r12-rewritten paths, and the agg/cluster/curation/dedup/
+#: distinct/embedding/events tail the window re-verified. Names already in
+#: earlier ROTATED_GREEN sets are repeated here harmlessly (membership is
+#: a union); the set records exactly what the r12 driver verified.
+ROTATED_GREEN_R12 = frozenset(
+    {
+        "delta_column_mapping_read",
+        "delta_dv_read",
+        "delta_external_read",
+        "delta_time_travel",
+        "iceberg_eq_delete_read",
+        "iceberg_external_read",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
+        "iceberg_time_travel",
+        "agg_approx_distinct",
+        "agg_array_sorted",
+        "agg_bitwise_bool",
+        "agg_corr_covar",
+        "agg_cube",
+        "agg_filter_having",
+        "agg_global_stats",
+        "agg_group_distinct",
+        "agg_grouping_sets",
+        "agg_histogram_buckets",
+        "agg_hll_partial_merge",
+        "agg_median_percentile",
+        "agg_mode_pergroup",
+        "agg_percentile_approx",
+        "agg_rollup",
+        "agg_skew_kurtosis",
+        "agg_stddev_var",
+        "agg_string_concat",
+        "agg_sum_revenue",
+        "cluster_kmeans_embeddings",
+        "contamination_overlap",
+        "curation_dsir_weights",
+        "curation_semdedup",
+        "dedup_cluster_assign",
+        "dedup_cluster_star",
+        "dedup_containment",
+        "dedup_embedding_neardup",
+        "dedup_exact_survivors",
+        "dedup_incremental",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "distinct_projection",
+        "embedding_outlier_zscore",
+        "embedding_pca_contract",
+        "embedding_quantize_int8",
+        "embedding_stats",
+        "events_anomaly_mad",
+        "events_daily_top_users",
+        "events_funnel_attribution",
+        "events_funnel_transitions",
+    }
+)
+
+#: Names whose DRIVER-OBSERVABLE behavior changes in round 13 after an
+#: earlier green row (same extended scope as REVERIFY_R11/R12). Round 13
+#: touches both external readers again — Delta gains within-version
+#: remove-before-add action reconciliation keyed by (path, dv uniqueId)
+#: (ADVICE r12 #1), a null-safe DV offset parse (ADVICE r12 #4), and a
+#: bitmap-container-capable RoaringBitmapArray encoder feeding the
+#: delta_dv_read fixture; Iceberg gains strict id-only footer resolution
+#: for id-carrying files (ADVICE r12 #2) and field-id resolution of
+#: equality-delete files (ADVICE r12 #3) — so every delta_*/iceberg_*
+#: query re-enters the driver window for re-verification.
+REVERIFY_R13 = frozenset(
+    {
+        "delta_column_mapping_read",
+        "delta_dv_read",
+        "delta_external_read",
+        "delta_time_travel",
+        "iceberg_eq_delete_read",
+        "iceberg_external_read",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
+        "iceberg_time_travel",
+    }
+)
+
 
 def _renamed(spec: QuerySpec, new_name: str) -> QuerySpec:
     return QuerySpec(
@@ -691,7 +778,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if final not in REVERIFY_R12 and (
+        if final not in REVERIFY_R13 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
@@ -701,6 +788,7 @@ def all_specs() -> dict[str, QuerySpec]:
             or final in ROTATED_GREEN_R09
             or final in ROTATED_GREEN_R10
             or final in ROTATED_GREEN_R11
+            or final in ROTATED_GREEN_R12
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)

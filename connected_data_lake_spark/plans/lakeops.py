@@ -1772,3 +1772,168 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# external Hudi (COPY_ON_WRITE) — round 13 completes the reader triad
+# ---------------------------------------------------------------------------
+
+_HUDI_TBL_CACHE: dict[str, str] = {}
+
+
+def _hudi_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once external Hudi COW table derived from orders. Timeline:
+    instant t1 commits file groups f1 (o_orderkey%2=0 with NEGATED
+    o_totalprice — a deliberately stale slice) and f2 (%2=1); instant t2
+    COW-rewrites group f1 with the correct values. Reading the latest
+    snapshot must therefore pick the NEWEST slice per file group (plain
+    "read every parquet under the root" would double-count f1 AND
+    surface the negated prices), and ``as_of_instant=t1`` exposes the
+    stale slice for time travel. Slices carry a real
+    ``_hoodie_commit_time`` meta column the reader must drop."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+
+    key = f"{sf_dir}"
+    if key in _HUDI_TBL_CACHE:
+        return _HUDI_TBL_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_huditbl_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    t1, t2 = "20260101000000000", "20260102000000000"
+    done = os.path.join(path, ".hoodie", f"{t2}.commit")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, ".hoodie"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+        def write_slice(df: DataFrame, file_id: str, instant: str) -> str:
+            rel = f"{file_id}_0-1-0_{instant}.parquet"
+            stage = os.path.join(tmp, f".stage-{file_id}-{instant}")
+            df.select(
+                F.lit(instant).alias("_hoodie_commit_time"), "*"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, rel))
+            shutil.rmtree(stage, ignore_errors=True)
+            return rel
+
+        even = F.col("o_orderkey") % 2 == 0
+        stale = o.filter(even).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        f1_t1 = write_slice(stale, "f1", t1)
+        f2_t1 = write_slice(o.filter(~even), "f2", t1)
+        f1_t2 = write_slice(o.filter(even), "f1", t2)
+
+        def commit(instant: str, stats: dict) -> None:
+            meta = {
+                "partitionToWriteStats": {
+                    part: [{"fileId": fid, "path": rel} for fid, rel in lst]
+                    for part, lst in stats.items()
+                },
+                "operationType": "UPSERT",
+            }
+            with open(os.path.join(tmp, ".hoodie", f"{instant}.commit"), "w") as fh:
+                _json.dump(meta, fh)
+
+        commit(t1, {"": [("f1", f1_t1), ("f2", f2_t1)]})
+        commit(t2, {"": [("f1", f1_t2)]})
+        with open(os.path.join(tmp, ".hoodie", "hoodie.properties"), "w") as fh:
+            fh.write(
+                "hoodie.table.name=cdl_orders\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\n"
+            )
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale_dir = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale_dir)
+                    shutil.rmtree(stale_dir, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _HUDI_TBL_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_external_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi"),
+)
+def hudi_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot read of an EXTERNAL Hudi COPY_ON_WRITE table
+    (round 13 — the third lakehouse format beside Delta and Iceberg):
+    sources/hudi.py replays the .hoodie timeline and picks the newest
+    completed file slice PER FILE GROUP. The fixture's group f1 has two
+    slices — the older one with negated prices — so the aggregate equals
+    the oracle's plain scan of orders ONLY if slice resolution is right
+    (double-count or stale-slice reads both flip the sum). Timeline
+    replay is driver-side planning metadata; the data scan is one pruned
+    parquet relation over the resolved slices."""
+    from connected_data_lake_spark.sources.hudi import read_hudi
+
+    path = _hudi_orders(spark, sf_dir)
+    return (
+        read_hudi(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "hudi_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 2 = 0
+                          THEN -o_totalprice ELSE o_totalprice END), 2)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi"),
+)
+def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-scoped Hudi read (``as_of_instant=t1``): the snapshot
+    BEFORE the COW rewrite still sees group f1's stale slice (negated
+    even-key prices), which the oracle reproduces with a CASE — the
+    match proves the instant ceiling excludes t2's newer slice while the
+    latest-read query above includes it."""
+    from connected_data_lake_spark.sources.hudi import read_hudi
+
+    path = _hudi_orders(spark, sf_dir)
+    return (
+        read_hudi(spark, path, as_of_instant="20260101000000000")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

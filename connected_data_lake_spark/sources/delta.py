@@ -316,6 +316,19 @@ def _check_protocol(protocol: dict) -> None:
 DELETE_BROADCAST_MAX_ROWS = 20_000_000
 
 
+def _dv_unique_id(dv: dict | None) -> str | None:
+    """PROTOCOL.md deletion-vector uniqueId: ``storageType +
+    pathOrInlineDv`` with ``@offset`` appended when the descriptor has an
+    offset. This is the second half of the (path, dvId) action-
+    reconciliation key — ``None`` for files with no deletion vector (so
+    non-DV tables degenerate to path-only keying)."""
+    if not dv or dv.get("storageType") is None:
+        return None
+    base = f"{dv.get('storageType')}{dv.get('pathOrInlineDv')}"
+    off = dv.get("offset")
+    return f"{base}@{off}" if off is not None else base
+
+
 def _dv_payload(dv: dict, table_path: str, log_store: DeltaLogStore) -> bytes:
     """Deletion-vector descriptor → serialized RoaringBitmapArray bytes.
 
@@ -359,7 +372,10 @@ def _dv_payload(dv: dict, table_path: str, log_store: DeltaLogStore) -> bytes:
         raise DeltaProtocolError(
             f"deletion-vector file format version {data[0] if data else None} != 1"
         )
-    off = int(dv.get("offset", 1))
+    # parquet-checkpoint rows carry the optional offset struct field as an
+    # explicit null (ADVICE r12 #4) — treat None like absent. Offset 0 is
+    # impossible: byte 0 is the format-version byte.
+    off = int(dv.get("offset") or 1)
     (size,) = struct.unpack_from(">i", data, off)
     payload = data[off + 4:off + 4 + size]
     if len(payload) != size:
@@ -398,6 +414,54 @@ def _dv_row_indexes(dv: dict, table_path: str, log_store: DeltaLogStore) -> list
             f"declares cardinality {card}"
         )
     return vals
+
+
+def _dv_rows_distributed(
+    spark: SparkSession, dv_adds: list, table_path: str
+) -> DataFrame:
+    """Executor-side deletion-vector decode (the above-gate scale path):
+    DV DESCRIPTORS ship to executors as JSON rows (planning-sized — one
+    per file), each executor opens its own DV files and emits
+    ``(__cdl_fp, __cdl_pos)`` — delete state never concentrates on the
+    driver, and the downstream anti-join shuffles instead of
+    broadcasting. Local tables only: the executor opens DV files by
+    filesystem path (inline ``i`` descriptors decode anywhere)."""
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+
+    desc_rows = [
+        (_norm_path_py(p), json.dumps(d)) for p, d in dv_adds
+    ]
+    src = spark.createDataFrame(
+        desc_rows,
+        T.StructType(
+            [
+                T.StructField("__cdl_fp", T.StringType(), False),
+                T.StructField("dv", T.StringType(), False),
+            ]
+        ),
+    )
+    if len(desc_rows) > 1:
+        src = src.repartition(min(len(desc_rows), 256))
+    out_schema = T.StructType(
+        [
+            T.StructField("__cdl_fp", T.StringType(), False),
+            T.StructField("__cdl_pos", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fp, dvj in zip(pdf["__cdl_fp"], pdf["dv"]):
+                dv = json.loads(dvj)
+                pos = _dv_row_indexes(dv, table_path, None)
+                if pos:
+                    yield pd.DataFrame(
+                        {"__cdl_fp": [fp] * len(pos), "__cdl_pos": pos}
+                    )
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def _replay(store: DeltaLogStore, path: str, version: int | None):
@@ -457,7 +521,14 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
             )
 
     meta: dict | None = None
-    adds: dict[str, dict] = {}  # decoded path -> add action (last wins)
+    # Active-file map keyed by (path, deletionVector.uniqueId) — the
+    # PROTOCOL.md "Action Reconciliation" key. A DV-update commit legally
+    # carries remove{path, oldDV} and add{path, newDV} for the SAME path
+    # in ONE version with insignificant line order (ADVICE r12 #1): under
+    # path-only keying an add line preceding its remove line would drop
+    # the fresh file; under (path, dvId) keying the two actions touch
+    # DIFFERENT entries, so order cannot matter.
+    adds: dict[tuple[str, str | None], dict] = {}
 
     def apply_action(action: dict) -> None:
         nonlocal meta
@@ -469,9 +540,13 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
             a = dict(action["add"])
             a["path"] = unquote(a["path"])
             a["partitionValues"] = _as_map_dict(a.get("partitionValues"))
-            adds[a["path"]] = a
+            adds[(a["path"], _dv_unique_id(a.get("deletionVector")))] = a
         elif "remove" in action:
-            adds.pop(unquote(action["remove"]["path"]), None)
+            r = action["remove"]
+            adds.pop(
+                (unquote(r["path"]), _dv_unique_id(r.get("deletionVector"))),
+                None,
+            )
 
     start = 0
     if ckpt is not None:
@@ -524,6 +599,21 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
 
     if meta is None:
         raise ValueError(f"Delta log has no metaData action: {path}")
+    # Post-replay invariant: one live logical file per PHYSICAL path. Two
+    # live adds sharing a path (possible only in a log that re-added a
+    # path under a new DV without removing the old logical file) would
+    # scan the parquet file twice and duplicate rows — refuse loudly.
+    by_path: dict[str, int] = {}
+    for p, _dvid in adds:
+        by_path[p] = by_path.get(p, 0) + 1
+    dups = sorted(p for p, n in by_path.items() if n > 1)
+    if dups:
+        raise DeltaProtocolError(
+            f"Delta log is broken: data file(s) {dups} have multiple live "
+            "add actions under different deletionVector ids — a writer "
+            "must remove the old (path, dv) logical file when re-adding "
+            "the path."
+        )
     return meta, list(adds.values())
 
 
@@ -595,8 +685,11 @@ def read_delta(
     writers) are read by resolving each logical field to its
     ``physicalName``: the parquet scan and the hive-layout check run on
     physical names, then one projection restores logical names (nested
-    struct renames ride Spark's positional struct cast). mode=id (parquet
-    field-id resolution) stays a loud gate.
+    struct renames ride Spark's positional struct cast). mode=id tables
+    resolve data columns through parquet FIELD IDS read from each file's
+    footer (``_read_by_field_id``) — footer probing needs locally
+    reachable data files, so an object-store mode=id table gates loudly
+    rather than guessing by name.
 
     ``deletionVectors`` tables (reader protocol 3 — ON BY DEFAULT in
     recent Delta writers) read exactly: each add-file's DV is decoded
@@ -675,34 +768,57 @@ def read_delta(
             return df
         total = sum(int(d.get("cardinality") or 0) for _p, d in dv_adds)
         if total > delete_broadcast_max_rows:
-            raise DeltaProtocolError(
+            # scale path (VERDICT r11 #6): executors decode their own DV
+            # files and the anti-join SHUFFLES — delete state partitioned,
+            # never replicated, never driver-resident. Needs executor
+            # byte access: local tables, or inline-only descriptors.
+            remote = "://" in path and not path.startswith("file://")
+            if remote and any(
+                d.get("storageType") != "i" for _p, d in dv_adds
+            ):
+                raise DeltaProtocolError(
+                    f"snapshot carries ~{total} deletion-vector rows > "
+                    f"delete_broadcast_max_rows={delete_broadcast_max_rows} "
+                    "and its DV files are not executor-reachable on an "
+                    "object-store table — compact/PURGE the table to fold "
+                    "DVs in, or raise the gate knowingly."
+                )
+            import warnings
+
+            warnings.warn(
                 f"snapshot carries ~{total} deletion-vector rows > "
                 f"delete_broadcast_max_rows={delete_broadcast_max_rows}; "
-                "refusing the broadcast anti-join (executor-OOM risk). "
-                "Compact/PURGE the table to fold DVs in, or raise the gate "
-                "knowingly — the scale path is executor-side DV decode + a "
-                "per-file sort-merge anti-join, not yet implemented."
+                "decoding DVs executor-side and applying a shuffled "
+                "anti-join instead of a broadcast. Compact/PURGE to fold "
+                "DVs in and avoid the extra shuffle.",
+                stacklevel=2,
             )
-        pairs = []
-        for abs_path, d in dv_adds:
-            fp = _norm_path_py(abs_path)
-            pairs.extend((fp, int(pos)) for pos in _dv_row_indexes(d, path, store))
-        dels = spark.createDataFrame(
-            pairs,
-            T.StructType(
-                [
-                    T.StructField("__cdl_fp", T.StringType(), False),
-                    T.StructField("__cdl_pos", T.LongType(), False),
-                ]
-            ),
-        )
+            dels = _dv_rows_distributed(spark, dv_adds, path)
+        else:
+            pairs = []
+            for abs_path, d in dv_adds:
+                fp = _norm_path_py(abs_path)
+                pairs.extend(
+                    (fp, int(pos)) for pos in _dv_row_indexes(d, path, store)
+                )
+            dels = F.broadcast(
+                spark.createDataFrame(
+                    pairs,
+                    T.StructType(
+                        [
+                            T.StructField("__cdl_fp", T.StringType(), False),
+                            T.StructField("__cdl_pos", T.LongType(), False),
+                        ]
+                    ),
+                )
+            )
         return (
             df.select(
                 "*",
                 _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
                 F.col("_metadata.row_index").alias("__cdl_pos"),
             )
-            .join(F.broadcast(dels), ["__cdl_fp", "__cdl_pos"], "left_anti")
+            .join(dels, ["__cdl_fp", "__cdl_pos"], "left_anti")
             .drop("__cdl_fp", "__cdl_pos")
         )
 
@@ -810,8 +926,16 @@ def _read_by_field_id(
 
     parts = []
     for mapping, paths in groups.items():
+        # absent columns read under a sentinel name so the scan
+        # null-fills them — the logical name could resolve a same-named
+        # physical column carrying a DIFFERENT field id after a
+        # drop-and-re-add (ADVICE r12 #2)
         read_fields = [
-            T.StructField(p if p is not None else f.name, f.dataType, True)
+            T.StructField(
+                p if p is not None else f"__cdl_absent_{f.name}",
+                f.dataType,
+                True,
+            )
             for p, f in zip(mapping, data_schema.fields)
         ]
         reader = spark.read.schema(T.StructType(read_fields))

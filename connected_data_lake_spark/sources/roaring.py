@@ -10,9 +10,11 @@ row indexes in ``[i·2³², (i+1)·2³²)``.
 
 The DECODER handles all three portable container types (array, bitmap,
 run). The ENCODER exists for fixtures and tests — it emits array
-containers only, which the spec permits for any cardinality ≤ 4096 per
-container and which every conformant reader (including this decoder)
-accepts; hand-built DVs in this repo stay far below that bound.
+containers for cardinality ≤ 4096 per 2^16 block and 8 KiB bitmap
+containers above that, exactly as the format spec prescribes (run
+containers are a pure space optimization the encoder never needs); at
+sf0.1 the delta_dv_read fixture deletes ~15k positions per block, so
+the bitmap path is exercised by a driver-green query.
 
 Scale note: decoding runs DRIVER-side on delete metadata whose total
 cardinality is gated by the caller (see ``read_delta``'s
@@ -106,34 +108,35 @@ def decode_rbm_array(buf: bytes) -> list[int]:
 
 
 def encode_rbm_array(values: list[int]) -> bytes:
-    """Sorted 64-bit values → serialized RoaringBitmapArray (array
-    containers only — fixture/test support; see module docstring)."""
-    by_high: dict[int, dict[int, list[int]]] = {}
+    """Sorted 64-bit values → serialized RoaringBitmapArray (array and
+    bitmap containers — fixture/test support; see module docstring)."""
+    by_high: dict[int, dict[int, set[int]]] = {}
     for v in values:
         if v < 0:
             raise RoaringFormatError("negative row index")
-        by_high.setdefault(v >> 32, {}).setdefault((v >> 16) & 0xFFFF, []).append(
+        by_high.setdefault(v >> 32, {}).setdefault((v >> 16) & 0xFFFF, set()).add(
             v & 0xFFFF
         )
     n_bitmaps = (max(by_high) + 1) if by_high else 0
     parts = [struct.pack("<iq", MAGIC, n_bitmaps)]
     for i in range(n_bitmaps):
-        containers = by_high.get(i, {})
+        containers = {k: sorted(s) for k, s in by_high.get(i, {}).items()}
         keys = sorted(containers)
         parts.append(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, len(keys)))
         for k in keys:
-            if len(containers[k]) > 4096:
-                raise RoaringFormatError(
-                    "encoder supports array containers only (<=4096 values "
-                    "per 2^16 block)"
-                )
             parts.append(struct.pack("<HH", k, len(containers[k]) - 1))
         # offset header (always emitted under the no-run cookie)
         off = 4 + 4 + 4 * len(keys) + 4 * len(keys)
         for k in keys:
             parts.append(struct.pack("<I", off))
-            off += 2 * len(containers[k])
+            off += 8192 if len(containers[k]) > 4096 else 2 * len(containers[k])
         for k in keys:
-            vals = sorted(containers[k])
-            parts.append(struct.pack(f"<{len(vals)}H", *vals))
+            vals = containers[k]
+            if len(vals) > 4096:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                parts.append(struct.pack("<1024Q", *words))
+            else:
+                parts.append(struct.pack(f"<{len(vals)}H", *vals))
     return b"".join(parts)

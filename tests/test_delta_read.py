@@ -864,12 +864,60 @@ def test_deletion_vector_file_with_prefix(spark, tmp_path):
 
 
 def test_deletion_vector_superseded_by_new_add(spark, tmp_path):
-    """A later add for the same path REPLACES the DV (e.g. after a purge
-    rewrites the file): last-wins replay must drop the old DV."""
-    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
-    _write_commit(os.path.join(root, "_delta_log"), 1, [_add("a.parquet")])
+    """A DV purge commit carries remove{path, oldDV} + add{path} for the
+    SAME path in one version (PROTOCOL.md action reconciliation, keyed by
+    (path, deletionVector.uniqueId)): the old logical file is removed,
+    the re-added file reads in full."""
+    dv = _dv_descriptor_inline([1, 3])
+    root = _dv_table(str(tmp_path / "tbl"), dv)
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        1,
+        [
+            {"remove": {"path": "a.parquet", "deletionVector": dv}},
+            _add("a.parquet"),
+        ],
+    )
     got = read_delta(spark, root)
     assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_deletion_vector_update_add_before_remove(spark, tmp_path):
+    """ADVICE r12 #1: within one version the ADD line may precede the
+    REMOVE line (the spec says within-version order is insignificant).
+    Under (path, dvId) keying the two actions touch different entries, so
+    the freshly-added file with the NEW deletion vector survives —
+    path-only pop-after-put replay would silently drop the whole data
+    file."""
+    dv_old = _dv_descriptor_inline([1, 3])
+    dv_new = _dv_descriptor_inline([0])
+    root = _dv_table(str(tmp_path / "tbl"), dv_old)
+    add_new = _add("a.parquet")
+    add_new["add"]["deletionVector"] = dv_new
+    _write_commit(
+        os.path.join(root, "_delta_log"),
+        1,
+        [
+            add_new,  # add line FIRST
+            {"remove": {"path": "a.parquet", "deletionVector": dv_old}},
+        ],
+    )
+    got = read_delta(spark, root)
+    # new DV deletes position 0 only
+    assert sorted(r.id for r in got.collect()) == [2, 3, 4, 5, 6]
+
+
+def test_deletion_vector_duplicate_live_path_gate(spark, tmp_path):
+    """A log that re-adds a path under a new DV WITHOUT removing the old
+    (path, dv) logical file is broken — two live adds would scan the
+    parquet file twice. The replay refuses loudly instead of duplicating
+    rows."""
+    root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
+    add_new = _add("a.parquet")
+    add_new["add"]["deletionVector"] = _dv_descriptor_inline([0])
+    _write_commit(os.path.join(root, "_delta_log"), 1, [add_new])
+    with pytest.raises(DeltaProtocolError, match="multiple live add"):
+        read_delta(spark, root)
 
 
 def test_deletion_vector_crc_gate(spark, tmp_path):
@@ -889,16 +937,25 @@ def test_deletion_vector_crc_gate(spark, tmp_path):
 
 
 def test_deletion_vector_cardinality_gates(spark, tmp_path):
-    """Descriptor cardinality drives the broadcast gate (no DV bytes
-    read) and a decoded-count mismatch is a loud protocol error."""
+    """Descriptor cardinality drives the broadcast-vs-shuffle choice (no
+    DV bytes read to decide — above the gate a warning fires and the
+    shuffled path runs) and a decoded-count mismatch is a loud protocol
+    error on either path."""
     root = _dv_table(str(tmp_path / "tbl"), _dv_descriptor_inline([1, 3]))
-    with pytest.raises(DeltaProtocolError, match="delete_broadcast_max_rows"):
-        read_delta(spark, root, delete_broadcast_max_rows=1)
+    with pytest.warns(UserWarning, match="delete_broadcast_max_rows"):
+        got = read_delta(spark, root, delete_broadcast_max_rows=1)
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5, 6]
     bad = _dv_descriptor_inline([1, 3])
     bad["cardinality"] = 5  # lies
     root2 = _dv_table(str(tmp_path / "tbl2"), bad)
     with pytest.raises(DeltaProtocolError, match="cardinality"):
         read_delta(spark, root2)
+    # the mismatch also fires on the executor-side decode path
+    root3 = _dv_table(str(tmp_path / "tbl3"), dict(bad))
+    with pytest.warns(UserWarning, match="shuffled"):
+        lazy = read_delta(spark, root3, delete_broadcast_max_rows=1)
+    with pytest.raises(Exception, match="cardinality"):
+        lazy.collect()
 
 
 def test_deletion_vector_partitioned(spark, tmp_path):
@@ -1069,3 +1126,38 @@ def test_v2_checkpoint_replay(spark, tmp_path, as_json, with_sidecar):
     got = read_delta(spark, root)
     assert {r.id for r in got.collect()} == {3, 4}
     assert delta_table_version(root) >= 1 or True  # listing has no commits
+
+
+def test_deletion_vector_offset_null(spark, tmp_path):
+    """ADVICE r12 #4: a parquet-checkpoint DV row can carry the optional
+    offset struct field as an explicit null — the payload parse must
+    treat it like absent (default offset 1), not raise TypeError."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [2, 4])
+    assert dv["offset"] == 1
+    dv["offset"] = None  # present-but-null, the to_pylist shape
+    _dv_table(root, dv)
+    got = read_delta(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 4, 6]
+
+
+def test_deletion_vector_above_gate_shuffled(spark, tmp_path):
+    """DV cardinality past the broadcast gate: executors decode the DV
+    files themselves (mapInPandas over descriptors) and the anti-join
+    SHUFFLES — same rows out, no broadcast, no driver-side decode."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    dv = _dv_write_file(root, [0, 5])
+    _dv_table(root, dv)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with pytest.warns(UserWarning, match="shuffled"):
+            got = read_delta(spark, root, delete_broadcast_max_rows=1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(r.id for r in got.collect()) == [2, 3, 4, 5]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

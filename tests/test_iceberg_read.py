@@ -682,16 +682,21 @@ def _eq_entry_schema():
     return iceberg_entry_schema(with_equality_ids=True)
 
 
-def _eq_table(root):
+def _eq_table(root, delete_file_writer=None):
     """Data A (ids 1-4, seq 1) + GLOBAL equality delete on id (2,3 at
     seq 2) + data B (ids 3,9, seq 3) — B re-inserts id 3 AFTER the
-    delete, so sequence scoping is observable in the result."""
+    delete, so sequence scoping is observable in the result.
+    ``delete_file_writer(path)`` overrides how the equality-delete
+    parquet bytes are laid out (rename/field-id scenarios)."""
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir)
     fa = _write_data(root, "a.parquet", [1, 2, 3, 4], "x")
     fb = _write_data(root, "b.parquet", [3, 9], "y")
     fd = os.path.join(root, "data", "d.parquet")
-    pq.write_table(pa.table({"id": pa.array([2, 3], pa.int64())}), fd)
+    if delete_file_writer is not None:
+        delete_file_writer(fd)
+    else:
+        pq.write_table(pa.table({"id": pa.array([2, 3], pa.int64())}), fd)
 
     def eq_entry(status, path, seq, content=0, n=1):
         e = _entry(status, path, seq)
@@ -757,6 +762,50 @@ def test_equality_deletes_sequence_scoped(spark, tmp_path):
     # ids 2,3 deleted from the seq-1 file; seq-3 file's 3 (and 9) SURVIVE
     assert sorted(r.id for r in got.collect()) == [1, 3, 4, 9]
     assert got.columns == ["id", "v", "part"]
+
+
+def test_equality_delete_file_field_id_resolution(spark, tmp_path):
+    """ADVICE r12 #3: a delete file written BEFORE the equality column
+    was renamed carries the OLD physical name + parquet field ids. The
+    reader must resolve the delete column by FIELD ID: a current-name
+    read would surface it all-null, delete nothing here (non-null data
+    keys) — and over-delete on nullable ones."""
+
+    def writer(path):
+        sch = pa.schema(
+            [pa.field("id_old", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+        )
+        pq.write_table(
+            pa.table({"id_old": pa.array([2, 3], pa.int64())}, schema=sch), path
+        )
+
+    root = _eq_table(str(tmp_path / "tbl"), delete_file_writer=writer)
+    got = read_iceberg(spark, root)
+    assert sorted(r.id for r in got.collect()) == [1, 3, 4, 9]
+
+
+def test_equality_delete_file_missing_column_gate(spark, tmp_path):
+    """A delete file that carries NO column for an equality_ids field (by
+    id or id-less name) must refuse loudly — null-filling it would
+    delete every data row with a null in that column."""
+
+    def writer(path):
+        sch = pa.schema(
+            [pa.field("zzz", pa.int64(), metadata={b"PARQUET:field_id": b"99"})]
+        )
+        pq.write_table(
+            pa.table({"zzz": pa.array([2, 3], pa.int64())}, schema=sch), path
+        )
+
+    root = _eq_table(str(tmp_path / "tbl"), delete_file_writer=writer)
+    # single-column probe: _footer_mapping's zero-resolution gate fires;
+    # multi-column id-sets with a partial miss hit the per-column
+    # "carries no column" gate in _apply_equality_deletes
+    with pytest.raises(
+        IcebergProtocolError,
+        match="(carries no column|no expected column resolves)",
+    ):
+        read_iceberg(spark, root).collect()
 
 
 def test_equality_delete_broadcast_plan(spark, tmp_path):
@@ -827,14 +876,51 @@ def test_equality_delete_partition_scoped_gate(spark, tmp_path):
 
 
 def test_delete_broadcast_row_gate(spark, tmp_path):
-    """Delete row counts beyond the broadcast gate refuse LOUDLY (from
-    manifest record counts alone — no delete bytes read) and the error
-    names the fallback (VERDICT r11 #6)."""
+    """Delete row counts beyond the broadcast gate (from manifest record
+    counts alone — no delete bytes read) fall back to a SHUFFLED
+    anti-join with a loud warning: same result, delete state partitioned
+    across executors instead of replicated (VERDICT r11 #6)."""
     root = _mor_table(str(tmp_path / "tbl"))
-    with pytest.raises(IcebergProtocolError, match="delete_broadcast_max_rows"):
-        read_iceberg(spark, root, delete_broadcast_max_rows=0)
-    # the default gate admits the fixture's tiny delete set
-    assert read_iceberg(spark, root).count() == 4
+    # disable Catalyst's stat-based auto-broadcast so the plan shows what
+    # the reader FORCES: above the gate it must not force a broadcast
+    # (at 100 TB stats would pick SMJ on their own)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with pytest.warns(UserWarning, match="delete_broadcast_max_rows"):
+            above = read_iceberg(spark, root, delete_broadcast_max_rows=0)
+        plan = above._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert {r.id for r in above.collect()} == {1, 3, 5, 6}
+        # under the gate the broadcast IS forced (hint beats threshold)
+        under = read_iceberg(spark, root)
+        uplan = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in uplan or "BroadcastNestedLoop" in uplan
+        assert under.count() == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_equality_delete_above_gate_shuffled(spark, tmp_path):
+    """Equality deletes past the gate keep exact sequence-scoped
+    semantics through the shuffled anti-join path."""
+    root = _eq_table(str(tmp_path / "tbl"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with pytest.warns(UserWarning, match="shuffled anti-join"):
+            got = read_iceberg(spark, root, delete_broadcast_max_rows=0)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the file→sequence map join stays broadcast (one row per data
+        # file, planning-sized at any scale); the DELETE anti-join must
+        # not be forced to broadcast
+        anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_lines and all("Broadcast" not in ln for ln in anti_lines)
+        assert sorted(r.id for r in got.collect()) == [1, 3, 4, 9]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_mor_deletes_with_schema_evolution_union(spark, tmp_path):
@@ -1152,3 +1238,118 @@ def test_transform_pruning_end_to_end(spark, tmp_path):
     rng = read_iceberg(spark, root, filters=[("id", ">=", 1)])
     assert len(rng.inputFiles()) == 2
     assert rng.count() == 20
+
+
+def test_footer_mapping_id_only_for_id_carrying_columns(tmp_path):
+    """ADVICE r12 #2: the per-column NAME fallback applies only to parquet
+    columns that themselves carry no field id. A same-named column with a
+    DIFFERENT id (the drop-and-re-add-under-same-name scenario) must
+    resolve to None (read null), never to the old column's data."""
+    from connected_data_lake_spark.sources.iceberg import _footer_mapping
+
+    path = str(tmp_path / "f.parquet")
+    sch = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("score", pa.float64(), metadata={b"PARQUET:field_id": b"5"}),
+            pa.field("legacy", pa.string()),  # no field id
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "score": pa.array([0.5], pa.float64()),
+                "legacy": pa.array(["a"], pa.string()),
+            },
+            schema=sch,
+        ),
+        path,
+    )
+    # expected field 9 named "score": the file's "score" carries id 5 —
+    # must NOT match by name (stale data); resolves absent
+    assert _footer_mapping(path, [{"id": 9, "name": "score"}, {"id": 1, "name": "id"}]) == (None, "id")
+    # id-carrying column resolves by id even under a new logical name
+    assert _footer_mapping(path, [{"id": 5, "name": "renamed"}]) == ("score",)
+    # id-LESS column still resolves by name (mixed-file fallback survives)
+    assert _footer_mapping(path, [{"id": 7, "name": "legacy"}]) == ("legacy",)
+
+
+def test_drop_readd_same_name_reads_null(spark, tmp_path):
+    """End-to-end drop/re-add: current schema re-added "v" under field id
+    4; an old file carries a "v" column with field id 2. The re-added
+    column must read NULL from the old file, not the dropped column's
+    stale values."""
+    root = str(tmp_path / "tbl")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    os.makedirs(os.path.join(root, "data"))
+    fa = os.path.join(root, "data", "a.parquet")
+    sch = pa.schema(
+        [
+            pa.field("id", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v", pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("part", pa.string(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "v": pa.array([1.5, 2.5], pa.float64()),
+                "part": pa.array(["x", "x"], pa.string()),
+            },
+            schema=sch,
+        ),
+        fa,
+    )
+    readd_schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 4, "name": "v", "required": False, "type": "double"},
+            {"id": 3, "name": "part", "required": False, "type": "string"},
+        ],
+    }
+    blob = write_ocf(ICEBERG_MANIFEST_ENTRY_SCHEMA, [_entry(1, fa, 1)])
+    m = os.path.join(meta_dir, "m.avro")
+    with open(m, "wb") as fh:
+        fh.write(blob)
+    ml = os.path.join(meta_dir, "ml.avro")
+    with open(ml, "wb") as fh:
+        fh.write(
+            write_ocf(
+                ICEBERG_MANIFEST_FILE_SCHEMA,
+                [_manifest_file_rec(m, len(blob), 1)],
+            )
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 1000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [readd_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"}, "manifest-list": ml,
+             "schema-id": 0},
+        ],
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1000}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    got = read_iceberg(spark, root)
+    rows = {(r.id, r.v) for r in got.collect()}
+    assert rows == {(1, None), (2, None)}  # NULL, never 1.5/2.5

@@ -593,3 +593,19 @@ def test_delta_dv_delete_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hudi_read_one_pruned_relation(spark, sf_dir):
+    """Hudi slice resolution happens BEFORE Spark plans: the latest
+    snapshot scans exactly the two live slices (f1@t2, f2@t1 — never the
+    superseded f1@t1), in ONE scan relation with map-side partial aggs;
+    the _hoodie meta column is pruned out of the read entirely."""
+    df = spec_of("hudi_external_read").spark(spark, sf_dir)
+    files = df.inputFiles()
+    assert len(files) == 2
+    assert not any("f1_0-1-0_20260101000000000" in f for f in files)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "_hoodie_commit_time" not in read_schema

@@ -74,3 +74,29 @@ def test_multi_bitmap_high_bits():
     vals = [3, (1 << 32) + 7]
     enc = encode_rbm_array(vals)
     assert decode_rbm_array(enc) == vals
+
+
+def test_bitmap_container_encode_roundtrip():
+    """Encoder emits an 8 KiB bitmap container above 4096 values per
+    2^16 block (the sf0.1 delta_dv_read fixture shape: ~15k deleted
+    positions in block 0) and array containers at or below the bound —
+    mixed blocks round-trip through the decoder's independent paths."""
+    dense = list(range(0, 2 * 8000, 2))  # 8000 values in block 0
+    sparse = [65536 * 2 + v for v in (1, 9, 4096)]  # array path, block 2
+    high = [(1 << 32) + 65536 * 3 + 4097]  # second 32-bit bitmap
+    vals = sorted(dense + sparse + high)
+    assert decode_rbm_array(encode_rbm_array(vals)) == vals
+
+
+def test_bitmap_container_encode_boundaries():
+    """4096 values stay an array container; 4097 flip to bitmap; a full
+    2^16 block (cardinality 65536, card-1 still fits uint16) decodes."""
+    for n in (4096, 4097, 65536):
+        vals = list(range(n))
+        assert decode_rbm_array(encode_rbm_array(vals)) == vals
+
+
+def test_encode_deduplicates():
+    """Duplicate inputs collapse: the serialized cardinality is the
+    distinct count, so the decoder never over-reads."""
+    assert decode_rbm_array(encode_rbm_array([5, 5, 9, 9, 9])) == [5, 9]
