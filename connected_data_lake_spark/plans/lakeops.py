@@ -1937,3 +1937,275 @@ def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# external Delta table WRITE path (sources/delta_write.py)
+# ---------------------------------------------------------------------------
+
+#: session-scoped handle to the build-once WRITTEN Delta fixture
+_DELTA_WRITE_CACHE: dict[str, str] = {}
+
+
+def _delta_written_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table produced entirely by this repo's OWN
+    writer (``sources/delta_write.py``) — unlike ``_delta_external_orders``
+    whose log is hand-built JSON, every byte of this table's log, data
+    layout, stats and checkpoint comes from ``write_delta`` /
+    ``checkpoint_delta``. History: v0 creates the table (o_orderkey%3=0,
+    hive-partitioned by o_orderstatus), v1 appends %3=1, a CLASSIC
+    CHECKPOINT lands at v1 (+ ``_last_checkpoint``), v2 appends %3=2 —
+    so a latest read replays checkpoint + one commit (the reader's
+    pointer fast path), and ``version=1`` resolves THROUGH the
+    checkpoint."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        checkpoint_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_WRITE_CACHE:
+        return _DELTA_WRITE_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltawrite_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000002.json")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        key3 = F.col("o_orderkey") % 3
+        write_delta(
+            o.filter(key3 == 0), tmp, mode="error",
+            partition_by=["o_orderstatus"],
+        )
+        write_delta(
+            o.filter(key3 == 1), tmp, mode="append",
+            partition_by=["o_orderstatus"],
+        )
+        checkpoint_delta(tmp)
+        write_delta(
+            o.filter(key3 == 2), tmp, mode="append",
+            partition_by=["o_orderstatus"],
+        )
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _DELTA_WRITE_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lakeops", "delta", "write"),
+)
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-path round-trip: a Delta table created/appended/checkpointed
+    by ``sources/delta_write.py`` (spec add-actions with footer stats,
+    put-if-absent commits, classic checkpoint), read back through
+    ``sources/delta.py`` and filtered to ONE partition — matching the
+    oracle's direct filter over orders proves the writer's hive layout,
+    partitionValues, and log are mutually consistent end to end. The
+    o_orderstatus filter partition-prunes on the written layout
+    (plan-gated in tests/test_plan_quality.py); the latest-snapshot open
+    replays checkpoint + 1 commit via ``_last_checkpoint``."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_written_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "delta_write_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta", "write"),
+)
+def delta_write_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``version=1`` read of the WRITTEN table — the snapshot before the
+    post-checkpoint append, resolved THROUGH the classic checkpoint this
+    repo's own ``checkpoint_delta`` produced (version resolution counts
+    checkpoints; the value diverges from the latest snapshot unless the
+    checkpoint's live-add rows reproduce exactly commits 0-1)."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_written_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# external Iceberg table WRITE path (sources/iceberg_write.py)
+# ---------------------------------------------------------------------------
+
+#: session-scoped handle to the build-once WRITTEN Iceberg fixture
+_ICEBERG_WRITE_CACHE: dict[str, str] = {}
+
+
+def _iceberg_written_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Iceberg v2 table produced entirely by this repo's OWN
+    writer (``sources/iceberg_write.py``) — real Avro manifests/manifest
+    lists via the stdlib OCF codec, field-id-stamped parquet, typed
+    partition records. History: snapshot 1 creates the table
+    (o_orderkey%3=0, identity-partitioned by o_orderstatus), snapshot 2
+    appends %3=1 (manifest-list carry-forward), snapshot 3 appends %3=2
+    — three snapshots, three metadata versions, snapshot-log timestamps
+    for time travel."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.iceberg_write import write_iceberg
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_WRITE_CACHE:
+        return _ICEBERG_WRITE_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergwrite_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "v3.metadata.json")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        key3 = F.col("o_orderkey") % 3
+        # the writer embeds ABSOLUTE file paths in manifests (spec: file
+        # URIs), so the table must be built at its FINAL path — commit 3
+        # (the `done` marker) lands last, and a reader that races the
+        # build resolves an older-but-complete snapshot
+        write_iceberg(
+            o.filter(key3 == 0), path, mode="append",
+            partition_by=["o_orderstatus"],
+        )
+        write_iceberg(
+            o.filter(key3 == 1), path, mode="append",
+            partition_by=["o_orderstatus"],
+        )
+        write_iceberg(
+            o.filter(key3 == 2), path, mode="append",
+            partition_by=["o_orderstatus"],
+        )
+    _ICEBERG_WRITE_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_write_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lakeops", "iceberg", "write"),
+)
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-path round-trip: an Iceberg v2 table created and twice
+    appended by ``sources/iceberg_write.py`` (field-id parquet, Avro
+    manifests with typed partition records + column bounds, manifest-list
+    carry-forward), read back through ``sources/iceberg.py`` with a
+    partition filter — the ``filters=`` pushdown statically prunes the
+    manifest entries to the 'F' partition's files before Spark plans
+    (plan-gated in tests/test_plan_quality.py), and the value match
+    against the oracle proves partition records, carry-forward, and
+    field-id resolution agree end to end."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_written_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path, filters=[("o_orderstatus", "=", "F")])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "iceberg_write_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "write"),
+)
+def iceberg_write_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``snapshot_id=2`` read of the WRITTEN table — the snapshot before
+    the third append; correct only if the writer's manifest-list
+    carry-forward preserved snapshot 1's manifest under snapshot 2 with
+    its original sequence numbers (the value diverges from both the
+    first and the latest snapshot)."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_written_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path, snapshot_id=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

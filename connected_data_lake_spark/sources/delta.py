@@ -11,12 +11,15 @@ line: ``metaData`` / ``add`` / ``remove`` / ``protocol`` / ``commitInfo``)
 plus optional parquet checkpoints that compact the action history.
 
 Scope: READ + time travel, reader protocol through version 3 with the
-``columnMapping`` (mode=name), ``timestampNtz``, ``deletionVectors``
+``columnMapping`` (mode=name and, for locally reachable data files,
+mode=id via parquet field-id footer resolution), ``timestampNtz``,
+``deletionVectors``
 (RoaringBitmapArray decode + broadcast anti-join on the scan's own
 ``(_metadata.file_path, row_index)``, CRC-verified, cardinality-gated)
 and ``v2Checkpoint`` (UUID-named parquet/JSON checkpoints with sidecar
-file-action offload) features — columnMapping mode=id and other reader
-features stay loud gates. Writes stay on the native manifest format;
+file-action offload) features — other reader features stay loud gates.
+Delta WRITES live in the sibling :mod:`sources.delta_write` (create/
+append/overwrite + classic checkpoints at writer protocol (1,2));
 anything beyond the supported feature set fails loudly rather than
 silently mis-reading. Commit replay validates version CONTIGUITY from
 the checkpoint (a stale ``_last_checkpoint`` plus log cleanup cannot
@@ -465,7 +468,8 @@ def _dv_rows_distributed(
 
 
 def _replay(store: DeltaLogStore, path: str, version: int | None):
-    """Replay the log; returns (metaData dict, active add actions).
+    """Replay the log; returns (metaData dict, active add actions,
+    latest protocol action dict — ``{}`` for a log that never wrote one).
 
     Add/remove file paths are percent-decoded once here (PROTOCOL.md:
     paths are RFC 2396 URL-encoded), so the adds dict keys, the returned
@@ -521,6 +525,7 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
             )
 
     meta: dict | None = None
+    proto: dict = {}
     # Active-file map keyed by (path, deletionVector.uniqueId) — the
     # PROTOCOL.md "Action Reconciliation" key. A DV-update commit legally
     # carries remove{path, oldDV} and add{path, newDV} for the SAME path
@@ -531,9 +536,10 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
     adds: dict[tuple[str, str | None], dict] = {}
 
     def apply_action(action: dict) -> None:
-        nonlocal meta
+        nonlocal meta, proto
         if "protocol" in action:
             _check_protocol(action["protocol"])
+            proto = dict(action["protocol"])
         elif "metaData" in action:
             meta = dict(action["metaData"])
         elif "add" in action:
@@ -614,7 +620,7 @@ def _replay(store: DeltaLogStore, path: str, version: int | None):
             "must remove the old (path, dv) logical file when re-adding "
             "the path."
         )
-    return meta, list(adds.values())
+    return meta, list(adds.values()), proto
 
 
 def _store_for(path: str, log_store: DeltaLogStore | None) -> DeltaLogStore:
@@ -702,7 +708,7 @@ def read_delta(
     """
     prepare_session(spark)
     store = _store_for(path, log_store)
-    meta, adds = _replay(store, path, version)
+    meta, adds, _proto = _replay(store, path, version)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     mode = _as_map_dict(meta.get("configuration")).get(

@@ -1,0 +1,500 @@
+"""External Apache Iceberg table WRITE path (no iceberg-spark runtime).
+
+The egress counterpart of :mod:`sources.iceberg` (same rationale as
+:mod:`sources.delta_write` — results computed here must land where the
+user's existing stack can read them; reference context: its datasets
+are S3-resident lake tables, crates/cdl-fs/src/lib.rs:343-353). This
+module writes format-version 2 Iceberg metadata — ``*.metadata.json``,
+manifest lists and manifests as REAL Avro OCF (the stdlib codec in
+:mod:`sources.avro_ocf`), data files as parquet **with field ids in the
+footer** — per iceberg.apache.org/spec, so pyiceberg / Spark's Iceberg
+runtime / Trino / DuckDB iceberg can read what this engine writes, and
+``write_iceberg`` + :func:`sources.iceberg.read_iceberg` round-trips
+in-repo (driver-verified against a DuckDB oracle in
+``plans/lakeops.py::iceberg_write_roundtrip``).
+
+Scope and the loud gates:
+
+- create / append / overwrite of FLAT primitive schemas (nested struct/
+  array/map field-id assignment is not implemented — gate). Appends
+  reuse the table's existing field ids and refuse schema drift.
+- identity partitioning on string/int/long columns (transform writes —
+  bucket/truncate/time — are reader-only; gate).
+- every commit = one new manifest (ADDED entries with real record
+  counts, per-file int/long/string column bounds from parquet FOOTERS)
+  + a manifest list that carries the previous snapshot's manifests
+  forward (append) or drops them (overwrite — old files stay readable
+  via time travel to the prior snapshot), + one new ``v{N}.metadata.json``
+  committed put-if-absent with ``version-hint.text`` updated atomically
+  (HadoopTables convention, matching the reader's discovery order).
+
+Scale notes (100 TB): the data write is one distributed Spark parquet
+write (identity-partition fanout included — partition columns are
+DUPLICATED under staging aliases so the data files keep every column,
+then the alias dirs are parsed back into typed partition values); the
+metadata write is driver-side and proportional to the FILE COUNT of the
+commit, not the data (footer stat reads + one Avro manifest — the same
+planning-metadata class as every Iceberg writer). Manifest-list
+carry-forward is O(manifests), so a long-lived table pays one small
+Avro rewrite per commit, never a data rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import time
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from connected_data_lake_spark.sources.avro_ocf import read_ocf, write_ocf
+from connected_data_lake_spark.sources.iceberg import (
+    IcebergProtocolError,
+    IcebergStore,
+    _latest_metadata_name,
+)
+
+#: Spark → Iceberg primitive type names (spec "Primitive Types").
+_SPARK_TO_ICE: list[tuple[type, str]] = [
+    (T.LongType, "long"),
+    (T.IntegerType, "int"),
+    (T.ShortType, "int"),
+    (T.ByteType, "int"),
+    (T.DoubleType, "double"),
+    (T.FloatType, "float"),
+    (T.StringType, "string"),
+    (T.BooleanType, "boolean"),
+    (T.DateType, "date"),
+    (T.TimestampType, "timestamptz"),
+    (T.BinaryType, "binary"),
+]
+
+#: Iceberg ↔ Avro type for identity PARTITION values we can serialize
+#: into the manifest's typed partition record and the manifest-list
+#: partition summaries.
+_PART_AVRO = {"long": "long", "int": "int", "string": "string"}
+
+
+def _ice_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    for spark_t, ice in _SPARK_TO_ICE:
+        if isinstance(dt, spark_t):
+            return ice
+    raise IcebergProtocolError(
+        f"cannot write Spark type {dt.simpleString()} to Iceberg (flat "
+        "primitive schemas only — nested field-id assignment is not "
+        "implemented)"
+    )
+
+
+def _bound_bytes(ice_type: str, value) -> bytes | None:
+    """Single-value serialization for bounds (spec Appendix D)."""
+    if value is None:
+        return None
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def _with_field_ids(df: DataFrame, ids: dict[str, int]) -> DataFrame:
+    """Attach ``parquet.field.id`` metadata so Spark's parquet writer
+    stamps footer field ids — the reader's id-only resolution then works
+    on our own files exactly as on Spark/Iceberg-runtime-written ones."""
+    from pyspark.sql import functions as F
+
+    # alias(metadata=...) stamps the metadata on the PLAN attributes —
+    # DataFrame.to() updates only the Python-side schema and the parquet
+    # writer never sees it (verified empirically on pyspark 4.1)
+    return df.select(
+        *[
+            F.col(f.name).alias(
+                f.name,
+                metadata={**(f.metadata or {}), "parquet.field.id": ids[f.name]},
+            )
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _footer_stats(local_path: str) -> tuple[int, dict[str, tuple], dict[str, int]]:
+    """(num_rows, {col: (min, max)}, {col: null_count}) from the parquet
+    footer only."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(local_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is not None and st.has_min_max:
+                mn, mx = st.min, st.max
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    bounds = {k: (mins[k], maxs[k]) for k in mins if k in maxs}
+    return meta.num_rows, bounds, nulls
+
+
+def _current_meta(path: str) -> tuple[dict, int] | None:
+    """(metadata dict, metadata version N from v{N}.metadata.json) or
+    None for a fresh table."""
+    store = IcebergStore(path)
+    try:
+        name = _latest_metadata_name(store, path)
+    except (FileNotFoundError, IcebergProtocolError):
+        return None
+    meta = json.loads(store.read_metadata_bytes(name))
+    base = os.path.basename(name)
+    ver = int(base.split(".", 1)[0].lstrip("v"))
+    return meta, ver
+
+
+def _entry_avro_schema(part_fields: list[tuple[str, str]]) -> dict:
+    from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
+
+    return iceberg_entry_schema(
+        [(n, _PART_AVRO[t]) for n, t in part_fields] or None
+    )
+
+
+def _manifest_list_schema() -> dict:
+    from connected_data_lake_spark.plans.lakeops import (
+        ICEBERG_MANIFEST_FILE_SCHEMA_SUMMARIES,
+    )
+
+    return ICEBERG_MANIFEST_FILE_SCHEMA_SUMMARIES
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` to an Iceberg v2 table at local ``path``; returns the
+    committed snapshot id.
+
+    ``mode``: ``append`` (create if absent), ``overwrite`` (the new
+    snapshot's manifest list references only this commit's manifest —
+    prior files stay time-travelable), ``error``, ``ignore``.
+    ``partition_by`` = identity transforms on string/int/long columns;
+    partition values land in each manifest entry's typed partition
+    record AND in the manifest-list partition summaries, so the reader's
+    two-level static pruning works on written tables.
+    """
+    if mode not in ("append", "overwrite", "error", "ignore"):
+        raise ValueError(f"unknown mode {mode!r}")
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in DataFrame")
+
+    spark = df.sparkSession
+    cur = _current_meta(path)
+    if cur is not None and mode == "error":
+        raise FileExistsError(f"Iceberg table already exists: {path}")
+    if cur is not None and mode == "ignore":
+        return int(cur[0]["current-snapshot-id"])
+
+    # ---- schema + field ids ------------------------------------------------
+    if cur is None:
+        ids = {f.name: i + 1 for i, f in enumerate(df.schema.fields)}
+        ice_fields = [
+            {
+                "id": ids[f.name],
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _ice_type(f.dataType),
+            }
+            for f in df.schema.fields
+        ]
+    else:
+        meta0 = cur[0]
+        schemas = {s["schema-id"]: s for s in meta0.get("schemas", [])}
+        cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0.get(
+            "schema"
+        )
+        ice_fields = cur_schema["fields"]
+        theirs = {f["name"]: f["type"] for f in ice_fields}
+        ours = {f.name: _ice_type(f.dataType) for f in df.schema.fields}
+        if theirs != ours:
+            raise ValueError(
+                f"schema mismatch with existing table: table={sorted(theirs.items())} "
+                f"df={sorted(ours.items())} (schema evolution on write is "
+                "not implemented)"
+            )
+        ids = {f["name"]: f["id"] for f in ice_fields}
+        existing_spec = (
+            {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
+                meta0.get("default-spec-id", 0), {"fields": []}
+            )
+        )
+        spec_cols = [
+            pf["name"] for pf in existing_spec.get("fields", [])
+        ]
+        if spec_cols != partition_by:
+            raise ValueError(
+                f"partition_by {partition_by} != existing table's {spec_cols}"
+            )
+        for pf in existing_spec.get("fields", []):
+            if pf.get("transform", "identity") != "identity":
+                raise IcebergProtocolError(
+                    f"cannot write to a table partitioned by transform "
+                    f"{pf['transform']!r} (identity-only writer)"
+                )
+
+    part_fields: list[tuple[str, str]] = []
+    for c in partition_by:
+        t = {f["name"]: f["type"] for f in ice_fields}[c]
+        if t not in _PART_AVRO:
+            raise IcebergProtocolError(
+                f"identity partition on {t!r} column {c!r} not supported "
+                "(string/int/long only)"
+            )
+        part_fields.append((c, t))
+
+    # ---- data files (field-id-stamped parquet, identity fanout) -----------
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    token = uuid.uuid4().hex
+    staging = os.path.join(path, "data", f"_staging_{token}")
+    out = _with_field_ids(df, ids)
+    writer = out.write.mode("overwrite")
+    aliases = [f"__ipart_{c}" for c in partition_by]
+    if partition_by:
+        # duplicate partition columns under aliases: the fanout layout
+        # comes from the alias dirs, the data files keep EVERY column
+        # (identity source columns are stored in Iceberg data files)
+        from pyspark.sql import functions as F
+
+        out = out.select("*", *[
+            F.col(c).alias(a) for c, a in zip(partition_by, aliases)
+        ])
+        writer = out.write.mode("overwrite").partitionBy(*aliases)
+    writer.parquet(staging)
+
+    files: list[tuple[str, dict]] = []  # (relative data path, typed pvals)
+    idx = 0
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, object] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                alias, _, raw = seg.partition("=")
+                col = alias[len("__ipart_"):]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    pvals[col] = None
+                else:
+                    t = dict(part_fields)[col]
+                    pvals[col] = (
+                        int(raw) if t in ("int", "long") else unquote(raw)
+                    )
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            new_rel = f"{token}-{idx:05d}.parquet"
+            os.replace(
+                os.path.join(root, name), os.path.join(path, "data", new_rel)
+            )
+            files.append((new_rel, pvals))
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- snapshot numbering ------------------------------------------------
+    if cur is None:
+        meta0 = None
+        snap_id, seq, meta_ver = 1, 1, 1
+        snapshots: list[dict] = []
+        snap_log: list[dict] = []
+        parent = None
+    else:
+        meta0, prev_ver = cur
+        snapshots = list(meta0.get("snapshots", []))
+        snap_log = list(meta0.get("snapshot-log", []))
+        snap_id = max(s["snapshot-id"] for s in snapshots) + 1 if snapshots else 1
+        seq = int(meta0.get("last-sequence-number", 0)) + 1
+        meta_ver = prev_ver + 1
+        parent = meta0.get("current-snapshot-id")
+
+    now_ms = int(time.time() * 1000)
+    type_of = {f["name"]: f["type"] for f in ice_fields}
+    id_of = {f["name"]: f["id"] for f in ice_fields}
+
+    # ---- manifest ----------------------------------------------------------
+    entries = []
+    n_rows_total = 0
+    for rel, pvals in files:
+        full = os.path.join(path, "data", rel)
+        n_rows, bounds, _nulls = _footer_stats(full)
+        n_rows_total += n_rows
+        lower, upper = [], []
+        for col, (lo, hi) in sorted(bounds.items()):
+            if col not in id_of:
+                continue
+            blo = _bound_bytes(type_of[col], lo)
+            bhi = _bound_bytes(type_of[col], hi)
+            if blo is not None and bhi is not None:
+                lower.append({"key": id_of[col], "value": blo})
+                upper.append({"key": id_of[col], "value": bhi})
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": dict(pvals),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+    mname = f"m-{token}.avro"
+    mblob = write_ocf(_entry_avro_schema(part_fields), entries)
+    with open(os.path.join(path, "metadata", mname), "wb") as fh:
+        fh.write(mblob)
+
+    # ---- manifest list -----------------------------------------------------
+    def _summary(col_type: str, values: list) -> dict:
+        present = [v for v in values if v is not None]
+        return {
+            "contains_null": any(v is None for v in values),
+            "contains_nan": False,
+            "lower_bound": _bound_bytes(col_type, min(present)) if present else None,
+            "upper_bound": _bound_bytes(col_type, max(present)) if present else None,
+        }
+
+    ml_recs = [
+        {
+            "manifest_path": f"{path}/metadata/{mname}",
+            "manifest_length": len(mblob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [
+                _summary(t, [pv.get(c) for _rel, pv in files])
+                for c, t in part_fields
+            ]
+            or None,
+        }
+    ]
+    if mode == "append" and meta0 is not None and parent is not None:
+        prev_snap = next(
+            s for s in snapshots if s["snapshot-id"] == parent
+        )
+        _schema, carried = read_ocf(
+            IcebergStore(path).read_uri(prev_snap["manifest-list"])
+        )
+        ml_schema_fields = {
+            f["name"] for f in _manifest_list_schema()["fields"]
+        }
+        for rec in carried:
+            ml_recs.append(
+                {k: rec.get(k) for k in ml_schema_fields}
+            )
+    ml_name = f"snap-{snap_id}-1-{token}.avro"
+    ml_blob = write_ocf(_manifest_list_schema(), ml_recs)
+    with open(os.path.join(path, "metadata", ml_name), "wb") as fh:
+        fh.write(ml_blob)
+
+    # ---- metadata.json (put-if-absent) + version hint ----------------------
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite"
+        },
+        "manifest-list": f"{path}/metadata/{ml_name}",
+        "schema-id": 0,
+    }
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = parent
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (meta0 or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(ids.values()),
+        "current-schema-id": 0,
+        "schemas": [
+            {"schema-id": 0, "type": "struct", "fields": ice_fields}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": id_of[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, (c, _t) in enumerate(part_fields)
+                ],
+            }
+        ],
+        "last-partition-id": 999 + len(part_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots + [snapshot],
+        "snapshot-log": snap_log + [
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+        ],
+    }
+    meta_dir = os.path.join(path, "metadata")
+    tmp = os.path.join(meta_dir, f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(meta_dir, f"v{meta_ver}.metadata.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit took v{meta_ver} under {path}; "
+            "re-run the write (staged data files are orphaned, not live)"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(meta_dir, f".tmp-hint-{token}")
+    with open(hint, "w") as fh:
+        fh.write(str(meta_ver))
+    os.replace(hint, os.path.join(meta_dir, "version-hint.text"))
+    return snap_id

@@ -65,7 +65,7 @@ def test_replay_100k_adds_is_driver_metadata_fast(tmp_path):
     root = str(tmp_path / "tbl")
     _big_log(root)
     t0 = time.monotonic()
-    meta, adds = _replay(DeltaLogStore(os.path.join(root, "_delta_log")), root, None)
+    meta, adds, _proto = _replay(DeltaLogStore(os.path.join(root, "_delta_log")), root, None)
     elapsed = time.monotonic() - t0
     assert len(adds) == N_ADDS  # 100k - 500 removed + 500 added
     assert meta["partitionColumns"] == ["part"]

@@ -1,0 +1,227 @@
+"""Delta WRITE path (sources/delta_write.py): spec-compliant commit logs
+this repo's own reader — and any external Delta engine — can replay.
+
+Covers create/append/overwrite modes, hive-partitioned layout +
+partitionValues agreement, footer-derived per-file stats, classic
+checkpoints (+ replay after log cleanup), put-if-absent commit
+atomicity behind a concurrent writer, and the loud writer-protocol
+gates (schema/partition mismatch, appendOnly, columnMapping,
+writerFeatures)."""
+
+from __future__ import annotations
+
+import json
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_table_version,
+    read_delta,
+)
+from connected_data_lake_spark.sources.delta_write import (
+    checkpoint_delta,
+    write_delta,
+)
+
+
+def _df(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_append_roundtrip(spark, tbl):
+    assert write_delta(_df(spark, 0, 50), tbl, mode="error") == 0
+    assert write_delta(_df(spark, 50, 100), tbl, mode="append") == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 100
+    assert back.agg(F.sum("k")).first()[0] == sum(range(100))
+    # time travel sees only the first write
+    assert read_delta(spark, tbl, version=0).count() == 50
+
+
+def test_overwrite_replaces_live_set(spark, tbl):
+    write_delta(_df(spark, 0, 100), tbl)
+    write_delta(_df(spark, 0, 10), tbl, mode="overwrite")
+    assert read_delta(spark, tbl).count() == 10
+    # old files stay readable via time travel (logical delete only)
+    assert read_delta(spark, tbl, version=0).count() == 100
+
+
+def test_mode_error_and_ignore(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    with pytest.raises(FileExistsError):
+        write_delta(_df(spark, 0, 10), tbl, mode="error")
+    # ignore: no-op, returns current version, data unchanged
+    assert write_delta(_df(spark, 0, 99), tbl, mode="ignore") == 0
+    assert read_delta(spark, tbl).count() == 10
+
+
+def test_partitioned_layout_matches_partition_values(spark, tbl):
+    write_delta(_df(spark, 0, 90), tbl, partition_by=["p"])
+    commit = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    adds = [
+        json.loads(line)["add"]
+        for line in open(commit)
+        if '"add"' in line
+    ]
+    assert adds, "no add actions committed"
+    for a in adds:
+        # the hive dir name and the recorded partitionValues must agree —
+        # the reader refuses tables where they diverge
+        assert a["path"].startswith(f"p={a['partitionValues']['p']}/")
+    # reading back an equality filter partition-prunes to 1/3 of rows
+    got = read_delta(spark, tbl).filter(F.col("p") == "1")
+    assert got.count() == 30
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan
+
+
+def test_add_stats_from_footer(spark, tbl):
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    commit = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    adds = [json.loads(l)["add"] for l in open(commit) if '"add"' in l]
+    assert len(adds) == 1
+    stats = json.loads(adds[0]["stats"])
+    assert stats["numRecords"] == 100
+    assert stats["minValues"]["k"] == 0 and stats["maxValues"]["k"] == 99
+    assert stats["minValues"]["v"] == 0.0 and stats["maxValues"]["v"] == 148.5
+    assert stats["nullCount"]["k"] == 0
+
+
+def test_checkpoint_then_log_cleanup_replay(spark, tbl):
+    write_delta(_df(spark, 0, 40), tbl, partition_by=["p"])
+    write_delta(_df(spark, 40, 80), tbl, mode="append", partition_by=["p"])
+    assert checkpoint_delta(tbl) == 1
+    assert os.path.isfile(
+        os.path.join(tbl, "_delta_log", f"{1:020d}.checkpoint.parquet")
+    )
+    ptr = json.load(open(os.path.join(tbl, "_delta_log", "_last_checkpoint")))
+    assert ptr["version"] == 1
+    # vacuum the compacted commits: replay must come from the checkpoint
+    for v in (0, 1):
+        os.unlink(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    assert read_delta(spark, tbl).count() == 80
+    # the next write resolves its version THROUGH the checkpoint
+    assert (
+        write_delta(_df(spark, 80, 90), tbl, mode="append", partition_by=["p"])
+        == 2
+    )
+    assert read_delta(spark, tbl).count() == 90
+    assert delta_table_version(tbl) == 2
+
+
+def test_checkpoint_time_travel_through_checkpoint(spark, tbl):
+    write_delta(_df(spark, 0, 30), tbl)
+    write_delta(_df(spark, 30, 60), tbl, mode="append")
+    checkpoint_delta(tbl)
+    write_delta(_df(spark, 60, 90), tbl, mode="append")
+    assert read_delta(spark, tbl, version=1).count() == 60
+    assert read_delta(spark, tbl).count() == 90
+
+
+def test_concurrent_commit_retries_to_next_version(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    # a concurrent writer takes version 1 (commitInfo-only commit is legal)
+    squatter = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    with open(squatter, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "NOOP"}}) + "\n")
+    assert write_delta(_df(spark, 10, 20), tbl, mode="append") == 2
+    assert read_delta(spark, tbl).count() == 20
+
+
+def test_schema_mismatch_refused(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    other = spark.range(0, 5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(other, tbl, mode="append")
+
+
+def test_partitioning_mismatch_refused(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition_by"):
+        write_delta(_df(spark, 10, 20), tbl, mode="append")
+
+
+def test_append_only_table_refuses_overwrite(spark, tbl):
+    write_delta(
+        _df(spark, 0, 10), tbl, configuration={"delta.appendOnly": "true"}
+    )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        write_delta(_df(spark, 0, 5), tbl, mode="overwrite")
+    # appends stay allowed
+    write_delta(_df(spark, 10, 20), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 20
+
+
+def test_column_mapping_table_refuses_write(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    # upgrade the table to columnMapping out-of-band (reader handles it;
+    # the WRITER must refuse rather than write logical-named files)
+    commit = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    meta = None
+    for line in open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")):
+        action = json.loads(line)
+        if "metaData" in action:
+            meta = action["metaData"]
+    meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    with open(commit, "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        write_delta(_df(spark, 10, 20), tbl, mode="append")
+
+
+def test_unsupported_writer_features_gate(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    commit = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    with open(commit, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["generatedColumns"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="generatedColumns"):
+        write_delta(_df(spark, 10, 20), tbl, mode="append")
+
+
+def test_null_partition_value_roundtrip(spark, tbl):
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(
+            F.lit("odd")
+        ).alias("p"),
+    )
+    write_delta(df, tbl, partition_by=["p"])
+    assert glob.glob(os.path.join(tbl, "p=__HIVE_DEFAULT_PARTITION__", "*"))
+    back = read_delta(spark, tbl)
+    assert back.count() == 20
+    assert back.filter(F.col("p").isNull()).count() == 10
+
+
+def test_no_staging_or_tmp_left_behind(spark, tbl):
+    write_delta(_df(spark, 0, 30), tbl, partition_by=["p"])
+    checkpoint_delta(tbl)
+    leftovers = [
+        rel
+        for n in glob.glob(os.path.join(tbl, "**"), recursive=True)
+        if "_staging_" in (rel := os.path.relpath(n, tbl)) or ".tmp-" in rel
+    ]
+    assert leftovers == []

@@ -609,3 +609,45 @@ def test_hudi_read_one_pruned_relation(spark, sf_dir):
     assert "partial_" in plan
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "_hoodie_commit_time" not in read_schema
+
+
+def test_delta_write_roundtrip_partition_prunes(spark, sf_dir):
+    """A table WRITTEN by sources/delta_write.py must partition-prune
+    like any hive-layout parquet table: the o_orderstatus='F' filter
+    lands in PartitionFilters (one partition's files scanned, not a
+    post-scan filter), and the scan reads only the aggregate's columns —
+    the written layout, the logged partitionValues, and Catalyst's
+    directory inference agree end to end."""
+    plan = plan_of(spark, sf_dir, "delta_write_roundtrip")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: ", 1)[1].splitlines()[0]
+    assert "o_orderstatus" in pf, "partition filter not pushed to the scan"
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderkey" not in read_schema, "column pruning lost through write/read"
+
+
+def test_iceberg_write_roundtrip_statically_prunes(spark, sf_dir):
+    """The WRITTEN Iceberg table must prune like the hand-built one:
+    filters=[('o_orderstatus','=','F')] cuts the file list via the
+    writer's own manifest partition records BEFORE Spark plans — the
+    relation holds only the 'F' partition's files (one per append
+    snapshot), not the whole table."""
+    from connected_data_lake_spark.plans.lakeops import (
+        _iceberg_written_orders,
+    )
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_written_orders(spark, sf_dir)
+    import glob
+    import os
+
+    n_all = len(glob.glob(os.path.join(path, "data", "*.parquet")))
+    df = read_iceberg(spark, path, filters=[("o_orderstatus", "=", "F")])
+    files = df.inputFiles()
+    assert 0 < len(files) < n_all
+    # every surviving file holds ONLY 'F' rows (partition fanout wrote
+    # one partition value per file, and the manifest records agree)
+    assert (
+        df.select("o_orderstatus").distinct().collect()[0][0] == "F"
+        and df.select("o_orderstatus").distinct().count() == 1
+    )

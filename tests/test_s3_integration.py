@@ -147,9 +147,9 @@ def test_delta_log_replay_over_s3(store, tmp_path):
 
     ols = ObjectStoreDeltaLog(store)
     assert delta_table_version("s3://ignored", log_store=ols) == 1
-    _meta, adds = _replay(ols, "s3://ignored", None)
+    _meta, adds, _p = _replay(ols, "s3://ignored", None)
     assert [a["path"] for a in adds] == ["b.parquet"]
-    _meta0, adds0 = _replay(ols, "s3://ignored", 0)  # time travel
+    _meta0, adds0, _p0 = _replay(ols, "s3://ignored", 0)  # time travel
     assert [a["path"] for a in adds0] == ["a.parquet"]
     # the resolved data file round-trips byte-identically from the store
     got = pq.read_table(io.BytesIO(store.get("b.parquet")))
