@@ -2209,3 +2209,205 @@ def iceberg_write_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# external Hudi MERGE_ON_READ read path (sources/hudi.py::read_hudi_mor)
+# ---------------------------------------------------------------------------
+
+#: session-scoped handle to the build-once MoR fixture
+_HUDI_MOR_CACHE: dict[str, str] = {}
+
+
+def _hudi_mor_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once external Hudi MERGE_ON_READ table: instant t1 commits
+    ONE base file (all orders, `_hoodie_record_key` = o_orderkey);
+    deltacommit t2 appends a REAL HoodieLogFormat log file
+    (`.f1_<t1>.log.1_0-1-0` — framed blocks, big-endian java maps, raw
+    Avro record payloads) carrying upserts (o_orderkey%10=0 rows with
+    NEGATED price) and deletes (`_hoodie_is_deleted=true` for %10=5) —
+    so the snapshot read is wrong unless log decode, newest-write-wins
+    merge AND delete filtering all work. The upsert/delete record list
+    is a fixture-build collect (one row per changed key), the same
+    planning-sized class as the DV fixture's deleted positions."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import (
+        encode_avro_data_block,
+        write_log_blocks,
+    )
+
+    key = f"{sf_dir}"
+    if key in _HUDI_MOR_CACHE:
+        return _HUDI_MOR_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_hudimor_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    t1, t2 = "20260101000000000", "20260102000000000"
+    done = os.path.join(path, ".hoodie", f"{t2}.deltacommit")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, ".hoodie"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        base_rel = f"f1_0-1-0_{t1}.parquet"
+        stage = os.path.join(tmp, ".stage-base")
+        o.select(
+            F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+            "*",
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(tmp, base_rel))
+        shutil.rmtree(stage, ignore_errors=True)
+
+        avro_schema = {
+            "type": "record",
+            "name": "orders_mor",
+            "fields": [
+                {"name": "_hoodie_record_key", "type": "string"},
+                {"name": "o_orderkey", "type": ["null", "long"], "default": None},
+                {"name": "o_orderstatus", "type": ["null", "string"], "default": None},
+                {"name": "o_totalprice", "type": ["null", "double"], "default": None},
+                {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+            ],
+        }
+        tenth = F.col("o_orderkey") % 10
+        changed = (
+            o.filter(tenth.isin(0, 5))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(tenth == 0, -F.col("o_totalprice"))
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+                (tenth == 5).alias("__del"),
+            )
+            .collect()
+        )
+        records = [
+            {
+                "_hoodie_record_key": str(r["o_orderkey"]),
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": r["o_totalprice"],
+                "_hoodie_is_deleted": bool(r["__del"]),
+            }
+            for r in changed
+        ]
+        log_rel = f".f1_{t1}.log.1_0-1-0"
+        with open(os.path.join(tmp, log_rel), "wb") as fh:
+            fh.write(
+                write_log_blocks(
+                    [encode_avro_data_block(records, avro_schema, t2)]
+                )
+            )
+
+        def commit(instant: str, action: str, rel: str) -> None:
+            meta = {
+                "partitionToWriteStats": {
+                    "": [{"fileId": "f1", "path": rel}]
+                },
+                "operationType": "UPSERT",
+            }
+            with open(
+                os.path.join(tmp, ".hoodie", f"{instant}.{action}"), "w"
+            ) as fh:
+                _json.dump(meta, fh)
+
+        commit(t1, "commit", base_rel)
+        commit(t2, "deltacommit", log_rel)
+        with open(os.path.join(tmp, ".hoodie", "hoodie.properties"), "w") as fh:
+            fh.write(
+                "hoodie.table.name=cdl_orders_mor\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+                "hoodie.table.version=6\n"
+            )
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale_dir = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale_dir)
+                    shutil.rmtree(stale_dir, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _HUDI_MOR_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_mor_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "mor"),
+)
+def hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read of an external Hudi MERGE_ON_READ table
+    (sources/hudi.py::read_hudi_mor): base parquet + a REAL
+    HoodieLogFormat log file merged per `_hoodie_record_key`,
+    newest-write-wins — upserted rows (%10=0, negated price) must come
+    from the LOG, deleted rows (%10=5, `_hoodie_is_deleted`) must
+    vanish, everything else from the BASE. Log decode runs
+    executor-side (one task per file slice, Arrow-batched out); the
+    merge is one shuffle (row_number over record key)."""
+    from connected_data_lake_spark.sources.hudi import read_hudi_mor
+
+    path = _hudi_mor_orders(spark, sf_dir)
+    return (
+        read_hudi_mor(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "hudi_mor_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "mor"),
+)
+def hudi_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``as_of_instant=t1`` on the MoR table: the instant ceiling
+    excludes deltacommit t2, so the read is the pristine base file —
+    no negated prices, no deletions (diverges from the latest snapshot
+    unless the ceiling bounds DELTACOMMITS, not just base commits)."""
+    from connected_data_lake_spark.sources.hudi import read_hudi_mor
+
+    path = _hudi_mor_orders(spark, sf_dir)
+    return (
+        read_hudi_mor(spark, path, as_of_instant="20260101000000000")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -386,3 +386,20 @@ def write_ocf(schema, records, codec: str = "deflate") -> bytes:
         out.write(block)
         out.write(sync)
     return out.getvalue()
+
+
+def encode_record(schema, record) -> bytes:
+    """RAW Avro binary encoding of one record (no OCF container) — the
+    per-record payload format inside Hudi log-file Avro data blocks."""
+    names: dict = {}
+    _collect_names(schema, names)
+    out = io.BytesIO()
+    _write_value(schema, record, out, names)
+    return out.getvalue()
+
+
+def decode_record(schema, data: bytes):
+    """RAW Avro binary decode of one record (no OCF container)."""
+    names: dict = {}
+    _collect_names(schema, names)
+    return _read_value(schema, _Reader(data), names)

@@ -30,10 +30,13 @@ it. Time travel = the same resolution with the instant ceiling
 (``as_of_instant``, inclusive — matching Hudi's
 ``hoodie.datasource.read.end.instanttime`` semantics).
 
-Loud gates — never a silent misread: MERGE_ON_READ tables (log-file
-merging is a different execution plan, not a degraded read), pending
-``.inflight`` data (never listed), ``deltacommit`` instants (MOR-only,
-implies a mis-typed table), commit metadata without write stats.
+MERGE_ON_READ tables read through :func:`read_hudi_mor` (HoodieLogFormat
+block codec + per-file-group newest-write-wins merge — see the MoR
+section below). Loud gates — never a silent misread: ``deltacommit``
+instants under the COW reader (a mis-typed table), pending
+``.inflight`` data (never listed), commit metadata without write
+stats, and in MoR the log block types we do not decode (HFile/parquet/
+CDC data blocks, binary delete blocks).
 
 Scale notes (100 TB):
 
@@ -111,9 +114,12 @@ def _timeline_dirs(root: str) -> list[str]:
     return dirs
 
 
-def _completed_instants(root: str) -> list[tuple[str, str, str]]:
+def _completed_instants(
+    root: str, allow_delta: bool = False
+) -> list[tuple[str, str, str]]:
     """(instant, action, metadata-file path) of every COMPLETED
-    commit/replacecommit, ascending by instant."""
+    commit/replacecommit (plus deltacommit when ``allow_delta`` — the
+    MoR path), ascending by instant."""
     out: list[tuple[str, str, str]] = []
     for d in _timeline_dirs(root):
         for name in os.listdir(d):
@@ -121,11 +127,11 @@ def _completed_instants(root: str) -> list[tuple[str, str, str]]:
             if not m:
                 continue
             instant, action = m.group(1), m.group(2)
-            if action == "deltacommit":
+            if action == "deltacommit" and not allow_delta:
                 raise HudiProtocolError(
                     f"deltacommit instant {name!r} in the timeline — a "
                     "MERGE_ON_READ write on a table this COW reader was "
-                    "pointed at; refusing a read that would miss log files."
+                    "pointed at; use read_hudi_mor."
                 )
             out.append((instant, action, os.path.join(d, name)))
     out.sort(key=lambda t: t[0])
@@ -219,8 +225,9 @@ def read_hudi(
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
         raise HudiProtocolError(
-            f"hoodie.table.type={ttype!r}: only COPY_ON_WRITE is supported "
-            "(MERGE_ON_READ needs log-file merging)"
+            f"hoodie.table.type={ttype!r}: read_hudi is the COPY_ON_WRITE "
+            "snapshot reader — MERGE_ON_READ tables merge log files via "
+            "read_hudi_mor"
         )
     live = _live_slices(root, as_of_instant)
     if not live:
@@ -243,3 +250,441 @@ def hudi_timeline(path: str) -> list[dict]:
         {"instant": i, "action": a}
         for i, a, _p in _completed_instants(root)
     ]
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ: log-file format codec + per-file-group merge
+# ---------------------------------------------------------------------------
+#
+# Hudi MoR file groups accumulate row-level changes in LOG FILES
+# (`.<fileId>_<baseInstant>.log.<version>_<writeToken>`) written by
+# `deltacommit` instants; a snapshot read merges each file group's base
+# parquet with its log records, newest-write-wins per record key. The
+# log container is the HoodieLogFormat published at
+# hudi.apache.org/tech-specs ("Log File Format"): a sequence of blocks
+#
+#   magic "#HUDI#" | block length (8, BE — bytes remaining AFTER this
+#   field) | log format version (4) | block type ordinal (4) | header
+#   map | content length (8) | content | footer map | total block
+#   length (8, including magic — the reverse-scan pointer)
+#
+# header/footer maps are java-DataOutputStream encoded: count(4), then
+# per entry ordinal(4) + utf8 length(4) + bytes. Avro data block
+# content: format version (4) | record count (4) | per record: length
+# (4) + RAW Avro binary decoded with the block header's SCHEMA.
+#
+# Supported blocks: AVRO_DATA_BLOCK (upserts; deletes ride the public
+# `_hoodie_is_deleted` boolean field), COMMAND_BLOCK (rollback: drops
+# earlier blocks whose INSTANT_TIME equals TARGET_INSTANT_TIME),
+# CORRUPT_BLOCK (skipped, like Hudi's reader). HFILE/PARQUET/CDC data
+# blocks and binary DELETE_BLOCKs (Kryo/custom-serialized key arrays)
+# gate loudly.
+#
+# Scale notes (100 TB): log DECODE runs executor-side — one task per
+# FILE SLICE via mapInPandas over the slice list (the same per-file-
+# group merge parallelism Hudi's own reader uses); the driver touches
+# only the timeline JSON. The merge is ONE shuffle: union(base, log
+# rows) → row_number over _hoodie_record_key ordered by write ordinal —
+# record keys are unique within a file group, so the exchange is the
+# unavoidable group-by-key of any MoR merge. Python sees log BYTES only
+# (Arrow-batched out); base parquet stays a plain JVM scan.
+
+_LOG_MAGIC = b"#HUDI#"
+
+#: HoodieLogBlockType ordinals (hudi-common HoodieLogBlock)
+_BLK_COMMAND, _BLK_DELETE, _BLK_CORRUPT, _BLK_AVRO = 0, 1, 2, 3
+
+#: HeaderMetadataType ordinals
+_HDR_INSTANT, _HDR_TARGET_INSTANT, _HDR_SCHEMA, _HDR_COMMAND_TYPE = 0, 1, 2, 3
+
+#: `.<fileId>_<baseInstant>.log.<version>_<writeToken>`
+_LOG_NAME_RE = re.compile(
+    r"^\.(?P<fid>[^_]+(?:-[^_]*)*)_(?P<base>\d+)\.log\.(?P<ver>\d+)(?:_.+)?$"
+)
+
+
+def _read_meta_map(r) -> dict[int, str]:
+    import struct as _s
+
+    (count,) = _s.unpack(">i", r.read(4))
+    out: dict[int, str] = {}
+    for _ in range(count):
+        (ordinal,) = _s.unpack(">i", r.read(4))
+        (ln,) = _s.unpack(">i", r.read(4))
+        out[ordinal] = r.read(ln).decode("utf-8")
+    return out
+
+
+def _write_meta_map(meta: dict[int, str]) -> bytes:
+    import struct as _s
+
+    out = [_s.pack(">i", len(meta))]
+    for k, v in meta.items():
+        b = v.encode("utf-8")
+        out += [_s.pack(">i", k), _s.pack(">i", len(b)), b]
+    return b"".join(out)
+
+
+def read_log_blocks(data: bytes) -> list[dict]:
+    """Parse one log file into blocks: ``{"type", "header", "footer",
+    "content"}`` — framing validated, never guessed (a length mismatch
+    raises instead of misreading)."""
+    import io as _io
+    import struct as _s
+
+    r = _io.BytesIO(data)
+    blocks: list[dict] = []
+    while True:
+        magic = r.read(6)
+        if not magic:
+            return blocks
+        if magic != _LOG_MAGIC:
+            raise HudiProtocolError(
+                f"bad log block magic {magic!r} at offset {r.tell() - 6}"
+            )
+        (blk_len,) = _s.unpack(">q", r.read(8))
+        start = r.tell()
+        (fmt_ver,) = _s.unpack(">i", r.read(4))
+        if fmt_ver != 1:
+            raise HudiProtocolError(f"log format version {fmt_ver} != 1")
+        (btype,) = _s.unpack(">i", r.read(4))
+        header = _read_meta_map(r)
+        (content_len,) = _s.unpack(">q", r.read(8))
+        content = r.read(content_len)
+        footer = _read_meta_map(r)
+        (total_len,) = _s.unpack(">q", r.read(8))
+        if r.tell() - start != blk_len:
+            raise HudiProtocolError(
+                f"log block length mismatch: header says {blk_len}, "
+                f"read {r.tell() - start}"
+            )
+        if total_len != blk_len + 14:
+            raise HudiProtocolError(
+                f"total block length {total_len} != {blk_len + 14}"
+            )
+        blocks.append(
+            {"type": btype, "header": header, "footer": footer, "content": content}
+        )
+
+
+def write_log_blocks(blocks: list[dict]) -> bytes:
+    """Serialize blocks to log-file bytes (fixture/egress helper — the
+    exact inverse of :func:`read_log_blocks`)."""
+    import io as _io
+    import struct as _s
+
+    out = _io.BytesIO()
+    for b in blocks:
+        header = _write_meta_map(b.get("header") or {})
+        footer = _write_meta_map(b.get("footer") or {})
+        content = b.get("content") or b""
+        body = (
+            _s.pack(">i", 1)
+            + _s.pack(">i", b["type"])
+            + header
+            + _s.pack(">q", len(content))
+            + content
+            + footer
+        )
+        blk_len = len(body) + 8  # + trailing total-length field
+        out.write(_LOG_MAGIC)
+        out.write(_s.pack(">q", blk_len))
+        out.write(body)
+        out.write(_s.pack(">q", blk_len + 14))
+    return out.getvalue()
+
+
+def encode_avro_data_block(records: list[dict], schema: dict, instant: str) -> dict:
+    """An AVRO_DATA_BLOCK carrying ``records`` under ``schema`` for
+    deltacommit ``instant`` (fixture/egress helper)."""
+    import json as _json
+    import struct as _s
+
+    from connected_data_lake_spark.sources.avro_ocf import encode_record
+
+    payload = [_s.pack(">i", 3), _s.pack(">i", len(records))]
+    for rec in records:
+        raw = encode_record(schema, rec)
+        payload += [_s.pack(">i", len(raw)), raw]
+    return {
+        "type": _BLK_AVRO,
+        "header": {
+            _HDR_INSTANT: instant,
+            _HDR_SCHEMA: _json.dumps(schema),
+        },
+        "content": b"".join(payload),
+    }
+
+
+def _decode_avro_block(block: dict) -> list[dict]:
+    import json as _json
+    import struct as _s
+
+    from connected_data_lake_spark.sources.avro_ocf import decode_record
+
+    schema = _json.loads(block["header"][_HDR_SCHEMA])
+    content = block["content"]
+    (fmt,) = _s.unpack(">i", content[:4])
+    if fmt not in (2, 3):
+        raise HudiProtocolError(f"Avro data block content version {fmt}")
+    (count,) = _s.unpack(">i", content[4:8])
+    pos = 8
+    out = []
+    for _ in range(count):
+        (ln,) = _s.unpack(">i", content[pos : pos + 4])
+        pos += 4
+        out.append(decode_record(schema, content[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def _slice_log_records(log_paths: list[str]) -> list[tuple[int, dict]]:
+    """Decode one file slice's ordered log files into (ordinal, record)
+    pairs, applying rollback COMMAND blocks (drop earlier blocks whose
+    INSTANT_TIME equals the command's TARGET_INSTANT_TIME) and skipping
+    CORRUPT blocks — runs executor-side, one slice per task."""
+    live: list[dict] = []
+    for p in log_paths:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        for block in read_log_blocks(data):
+            bt = block["type"]
+            if bt == _BLK_CORRUPT:
+                continue
+            if bt == _BLK_COMMAND:
+                target = block["header"].get(_HDR_TARGET_INSTANT)
+                live = [
+                    b
+                    for b in live
+                    if b["header"].get(_HDR_INSTANT) != target
+                ]
+                continue
+            if bt == _BLK_AVRO:
+                live.append(block)
+                continue
+            raise HudiProtocolError(
+                f"unsupported log block type ordinal {bt} (only Avro data "
+                "blocks, rollback command blocks and corrupt-block skips "
+                "are implemented; binary delete blocks should use the "
+                "_hoodie_is_deleted field instead)"
+            )
+    out: list[tuple[int, dict]] = []
+    ordinal = 0
+    for b in live:
+        for rec in _decode_avro_block(b):
+            out.append((ordinal, rec))
+            ordinal += 1
+    return out
+
+
+def _mor_slices(
+    root: str, as_of_instant: str | None
+) -> list[tuple[str | None, list[str]]]:
+    """Resolve MoR file slices: [(base file abs path | None, ordered log
+    file abs paths)] at the instant ceiling. Base files come from
+    commit/compaction write stats; log files from deltacommit write
+    stats, attached to the slice whose baseInstant their NAME carries."""
+    instants = _completed_instants(root, allow_delta=True)
+    if as_of_instant is not None:
+        admitted = [t for t in instants if t[0] <= str(as_of_instant)]
+        if not admitted and instants:
+            raise ValueError(
+                f"as_of_instant {as_of_instant!r} precedes the active "
+                f"timeline (earliest completed instant {instants[0][0]!r})"
+            )
+        instants = admitted
+    bases: dict[tuple[str, str], tuple[str, str]] = {}
+    logs: dict[tuple[str, str, str], list[tuple[str, int, str]]] = {}
+    replaced: set[tuple[str, str]] = set()
+    for instant, action, meta_path in instants:
+        with open(meta_path, "rb") as fh:
+            raw = fh.read()
+        if not raw.strip():
+            continue
+        try:
+            meta = json.loads(raw)
+        except ValueError as exc:
+            raise HudiProtocolError(
+                f"commit metadata {meta_path!r} is not JSON"
+            ) from exc
+        stats = meta.get("partitionToWriteStats")
+        if stats is None:
+            raise HudiProtocolError(
+                f"commit metadata {meta_path!r} has no partitionToWriteStats"
+            )
+        for part, sts in (stats or {}).items():
+            for st in sts or []:
+                fid, rel = st.get("fileId"), st.get("path")
+                if not fid or not rel:
+                    raise HudiProtocolError(
+                        f"write stat without fileId/path in {meta_path!r}"
+                    )
+                name = os.path.basename(rel)
+                if ".log." in name:
+                    m = _LOG_NAME_RE.match(name)
+                    if not m:
+                        raise HudiProtocolError(
+                            f"unparseable log file name {name!r}"
+                        )
+                    key = (part, fid, m.group("base"))
+                    logs.setdefault(key, []).append(
+                        (instant, int(m.group("ver")), rel)
+                    )
+                else:
+                    key2 = (part, fid)
+                    prev = bases.get(key2)
+                    if prev is None or instant >= prev[0]:
+                        bases[key2] = (instant, rel)
+        if action == "replacecommit":
+            for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+                for fid in fids or []:
+                    replaced.add((part, fid))
+    out: list[tuple[str | None, list[str]]] = []
+    claimed: set[tuple[str, str, str]] = set()
+    for (part, fid), (base_instant, rel) in sorted(bases.items()):
+        if (part, fid) in replaced:
+            continue
+        lkey = (part, fid, base_instant)
+        claimed.add(lkey)
+        slice_logs = sorted(logs.get(lkey, []))
+        out.append(
+            (
+                os.path.join(root, rel),
+                [os.path.join(root, lrel) for _i, _v, lrel in slice_logs],
+            )
+        )
+    # logs-only file slices (inserts routed to logs before any base file)
+    for (part, fid, base_instant), entries in sorted(logs.items()):
+        if (part, fid, base_instant) in claimed or (part, fid) in replaced:
+            continue
+        # skip log slices superseded by a NEWER base file of the group
+        cur = bases.get((part, fid))
+        if cur is not None and cur[0] >= base_instant:
+            continue
+        out.append((None, [os.path.join(root, rel) for _i, _v, rel in sorted(entries)]))
+    return out
+
+
+def read_hudi_mor(
+    spark: SparkSession,
+    path: str,
+    as_of_instant: str | None = None,
+) -> DataFrame:
+    """Snapshot-read an external Hudi MERGE_ON_READ table: per file
+    group, base parquet merged with its deltacommit log records,
+    newest-write-wins per ``_hoodie_record_key``, ``_hoodie_is_deleted``
+    rows dropped. ``as_of_instant`` bounds both base-file and
+    deltacommit resolution (inclusive), like the COW reader's."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    prepare_session(spark)
+    root = _local(path)
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    if not os.path.isfile(props_path):
+        raise FileNotFoundError(
+            f"not a Hudi table (no .hoodie/hoodie.properties): {path}"
+        )
+    with open(props_path, encoding="utf-8") as fh:
+        props = _read_properties(fh.read())
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError(
+            f"hoodie.table.type={props.get('hoodie.table.type')!r}: "
+            "read_hudi_mor is for MERGE_ON_READ tables (use read_hudi "
+            "for COPY_ON_WRITE)"
+        )
+    slices = _mor_slices(root, as_of_instant)
+    if not slices:
+        raise ValueError(
+            f"no completed file slices at instant {as_of_instant!r}: {path}"
+        )
+    base_paths = [b for b, _l in slices if b is not None]
+    log_slices = [(i, l) for i, (_b, l) in enumerate(slices) if l]
+    if not base_paths and not log_slices:
+        raise ValueError(f"empty MoR snapshot under {path}")
+
+    # the table schema comes from the base parquet (or, logs-only, the
+    # first data block's embedded Avro schema)
+    if base_paths:
+        base = spark.read.parquet(*base_paths)
+    else:
+        first_recs = _slice_log_records(log_slices[0][1][:1])
+        if not first_recs:
+            raise HudiProtocolError("logs-only table with an empty first block")
+        cols = list(first_recs[0][1].keys())
+        base = None
+    if base is not None:
+        cols = base.columns
+    if "_hoodie_record_key" not in cols:
+        raise HudiProtocolError(
+            "MoR merge needs the _hoodie_record_key meta column "
+            "(virtual-key tables are not supported)"
+        )
+    data_cols = [c for c in cols if not c.startswith("_hoodie_")]
+
+    if base is not None:
+        merged_schema = T.StructType(
+            [base.schema["_hoodie_record_key"]]
+            + [base.schema[c] for c in data_cols]
+            + [
+                T.StructField("_hoodie_is_deleted", T.BooleanType(), True),
+                T.StructField("__cdl_ord", T.LongType(), False),
+            ]
+        )
+        base_side = base.select(
+            "_hoodie_record_key",
+            *data_cols,
+            F.lit(False).alias("_hoodie_is_deleted"),
+            F.lit(-1).cast("long").alias("__cdl_ord"),
+        )
+    else:
+        raise HudiProtocolError(
+            "logs-only MoR tables (no base file in any file group) are "
+            "not supported yet — compact once, or write through COW"
+        )
+
+    union = base_side
+    if log_slices:
+        out_names = [f.name for f in merged_schema.fields]
+
+        def decode(batches):
+            for pdf in batches:
+                for _i, row in pdf.iterrows():
+                    recs = _slice_log_records(list(row["logs"]))
+                    if not recs:
+                        continue
+                    rows = []
+                    for ordinal, rec in recs:
+                        rows.append(
+                            {
+                                **{
+                                    n: rec.get(n)
+                                    for n in out_names
+                                    if n not in ("__cdl_ord",)
+                                },
+                                "__cdl_ord": ordinal,
+                            }
+                        )
+                    yield pd.DataFrame(rows, columns=out_names)
+
+        slice_df = spark.createDataFrame(
+            [(i, logs) for i, logs in log_slices],
+            T.StructType(
+                [
+                    T.StructField("slice_id", T.IntegerType(), False),
+                    T.StructField("logs", T.ArrayType(T.StringType()), False),
+                ]
+            ),
+        ).repartition(max(1, min(len(log_slices), 32)), "slice_id")
+        log_side = slice_df.mapInPandas(decode, merged_schema)
+        union = base_side.unionByName(log_side)
+
+    w = Window.partitionBy("_hoodie_record_key").orderBy(F.desc("__cdl_ord"))
+    snap = (
+        union.withColumn("__cdl_rn", F.row_number().over(w))
+        .filter(F.col("__cdl_rn") == 1)
+        .filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
+    )
+    return snap.select(*data_cols)

@@ -1,0 +1,241 @@
+"""Hudi MERGE_ON_READ read path (sources/hudi.py::read_hudi_mor):
+HoodieLogFormat codec + per-file-group merge semantics.
+
+Fixture tables are hand-built per hudi.apache.org/tech-specs ("Log File
+Format", "Timeline"): framed log blocks with big-endian java metadata
+maps and raw-Avro record payloads, deltacommit timeline instants, and
+`_hoodie_is_deleted` row-level deletes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connected_data_lake_spark.sources.hudi import (
+    HudiProtocolError,
+    _BLK_COMMAND,
+    _BLK_CORRUPT,
+    _HDR_INSTANT,
+    _HDR_TARGET_INSTANT,
+    encode_avro_data_block,
+    read_hudi,
+    read_hudi_mor,
+    read_log_blocks,
+    write_log_blocks,
+)
+
+T1, T2, T3 = "20260101000000000", "20260102000000000", "20260103000000000"
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "mor_rows",
+    "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "k", "type": ["null", "long"], "default": None},
+        {"name": "v", "type": ["null", "double"], "default": None},
+        {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+    ],
+}
+
+
+def _rec(k: int, v: float, deleted: bool = False) -> dict:
+    return {
+        "_hoodie_record_key": str(k),
+        "k": k,
+        "v": v,
+        "_hoodie_is_deleted": deleted,
+    }
+
+
+def _mk_table(spark, root: str, log_blocks_by_instant: dict[str, list[dict]]):
+    """Base file (k=0..9, v=k) at T1 + one log file per deltacommit."""
+    import glob
+    import shutil
+
+    os.makedirs(os.path.join(root, ".hoodie"))
+    base = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("_hoodie_record_key"),
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    stage = os.path.join(root, ".stage")
+    base.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    base_rel = f"f1_0-1-0_{T1}.parquet"
+    os.replace(part, os.path.join(root, base_rel))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def commit(instant: str, action: str, rel: str) -> None:
+        meta = {"partitionToWriteStats": {"": [{"fileId": "f1", "path": rel}]}}
+        with open(os.path.join(root, ".hoodie", f"{instant}.{action}"), "w") as fh:
+            json.dump(meta, fh)
+
+    commit(T1, "commit", base_rel)
+    for i, (instant, blocks) in enumerate(sorted(log_blocks_by_instant.items())):
+        log_rel = f".f1_{T1}.log.{i + 1}_0-1-0"
+        with open(os.path.join(root, log_rel), "wb") as fh:
+            fh.write(write_log_blocks(blocks))
+        commit(instant, "deltacommit", log_rel)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n"
+        )
+    return root
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "mor")
+
+
+def test_log_block_codec_roundtrip():
+    blocks = [
+        encode_avro_data_block([_rec(1, 10.0), _rec(2, 20.0)], AVRO_SCHEMA, T2),
+        {"type": _BLK_COMMAND, "header": {_HDR_TARGET_INSTANT: T2}, "content": b""},
+    ]
+    back = read_log_blocks(write_log_blocks(blocks))
+    assert [b["type"] for b in back] == [3, 0]
+    assert back[0]["header"][_HDR_INSTANT] == T2
+    assert back[1]["header"][_HDR_TARGET_INSTANT] == T2
+
+
+def test_log_block_codec_refuses_bad_framing():
+    good = write_log_blocks([encode_avro_data_block([_rec(1, 1.0)], AVRO_SCHEMA, T2)])
+    with pytest.raises(HudiProtocolError, match="magic"):
+        read_log_blocks(b"NOPE!!" + good[6:])
+    # corrupt the trailing total-length field
+    bad = good[:-8] + b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    with pytest.raises(HudiProtocolError, match="total block length"):
+        read_log_blocks(bad)
+
+
+def test_mor_merge_upsert_and_delete(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {
+            T2: [
+                encode_avro_data_block(
+                    [_rec(3, 333.0), _rec(7, 777.0), _rec(5, 5.0, deleted=True)],
+                    AVRO_SCHEMA,
+                    T2,
+                )
+            ]
+        },
+    )
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, tbl).collect()}
+    assert rows[3] == 333.0 and rows[7] == 777.0  # log wins over base
+    assert 5 not in rows  # _hoodie_is_deleted
+    assert rows[0] == 0.0 and len(rows) == 9
+
+
+def test_mor_newest_write_wins_across_deltacommits(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {
+            T2: [encode_avro_data_block([_rec(1, 111.0)], AVRO_SCHEMA, T2)],
+            T3: [
+                encode_avro_data_block([_rec(1, 999.0)], AVRO_SCHEMA, T3),
+                # re-insert a key the same file deleted earlier? later
+                # block in the SAME file also wins over its predecessor
+                encode_avro_data_block([_rec(2, 222.0)], AVRO_SCHEMA, T3),
+            ],
+        },
+    )
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, tbl).collect()}
+    assert rows[1] == 999.0 and rows[2] == 222.0
+
+
+def test_mor_time_travel_excludes_later_deltacommits(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {T2: [encode_avro_data_block([_rec(1, 111.0)], AVRO_SCHEMA, T2)]},
+    )
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, tbl, as_of_instant=T1).collect()}
+    assert rows[1] == 1.0 and len(rows) == 10
+
+
+def test_mor_rollback_command_block(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {
+            T2: [encode_avro_data_block([_rec(1, 111.0)], AVRO_SCHEMA, T2)],
+            T3: [
+                # rollback of T2's blocks, then a fresh write at T3
+                {
+                    "type": _BLK_COMMAND,
+                    "header": {_HDR_TARGET_INSTANT: T2},
+                    "content": b"",
+                },
+                encode_avro_data_block([_rec(2, 222.0)], AVRO_SCHEMA, T3),
+            ],
+        },
+    )
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, tbl).collect()}
+    assert rows[1] == 1.0  # T2's upsert rolled back → base value
+    assert rows[2] == 222.0
+
+
+def test_mor_corrupt_block_skipped(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {
+            T2: [
+                {"type": _BLK_CORRUPT, "header": {}, "content": b"\xde\xad"},
+                encode_avro_data_block([_rec(1, 111.0)], AVRO_SCHEMA, T2),
+            ]
+        },
+    )
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, tbl).collect()}
+    assert rows[1] == 111.0
+
+
+def test_mor_unsupported_block_type_gate(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {T2: [{"type": 4, "header": {}, "content": b""}]},  # HFILE
+    )
+    with pytest.raises(Exception, match="block type ordinal 4"):
+        read_hudi_mor(spark, tbl).collect()
+
+
+def test_cow_reader_points_mor_tables_at_mor_reader(spark, tbl):
+    _mk_table(spark, tbl, {})
+    with pytest.raises(HudiProtocolError, match="read_hudi_mor"):
+        read_hudi(spark, tbl)
+
+
+def test_mor_reader_refuses_cow_table(spark, tmp_path):
+    root = str(tmp_path / "cow")
+    os.makedirs(os.path.join(root, ".hoodie"))
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=COPY_ON_WRITE\n")
+    with pytest.raises(ValueError, match="read_hudi_mor is for MERGE_ON_READ"):
+        read_hudi_mor(spark, root)
+
+
+def test_mor_plan_one_shuffle_no_cartesian(spark, tbl):
+    _mk_table(
+        spark,
+        tbl,
+        {T2: [encode_avro_data_block([_rec(1, 111.0)], AVRO_SCHEMA, T2)]},
+    )
+    plan = (
+        read_hudi_mor(spark, tbl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the merge is the single record-key exchange (plus the tiny slice-list
+    # repartition feeding mapInPandas)
+    assert plan.count("Exchange hashpartitioning(_hoodie_record_key") == 1
