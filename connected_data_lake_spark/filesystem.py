@@ -142,11 +142,49 @@ class CdlFS:
         from connected_data_lake_spark.sources.rootfs import ROOTFS_COLUMNS, ROOTFS_SCHEMA
 
         df = read_lance(self.spark, lance_path)
+        return self._ingest_external(df, f"Lance dataset at {lance_path}")
+
+    def load_from_delta(self, delta_path: str, version: int | None = None) -> "CdlFS":
+        """Ingest an EXISTING external Delta table (rootfs-shaped rows)
+        as this dataset's table — migration ingress over
+        :func:`sources.delta.read_delta` (log replay, time travel via
+        ``version=``); the rows land in the native transactional format
+        and every query surface works unchanged."""
+        from connected_data_lake_spark.sources.delta import read_delta
+
+        df = read_delta(self.spark, delta_path, version=version)
+        return self._ingest_external(df, f"Delta table at {delta_path}")
+
+    def load_from_iceberg(
+        self, iceberg_path: str, snapshot_id: int | None = None
+    ) -> "CdlFS":
+        """Ingest an EXISTING external Iceberg table (rootfs-shaped rows)
+        via :func:`sources.iceberg.read_iceberg` — same migration ingress
+        as :meth:`load_from_delta`, snapshot-pinned when asked."""
+        from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+        df = read_iceberg(self.spark, iceberg_path, snapshot_id=snapshot_id)
+        return self._ingest_external(df, f"Iceberg table at {iceberg_path}")
+
+    def load_from_hudi(
+        self, hudi_path: str, as_of_instant: str | None = None
+    ) -> "CdlFS":
+        """Ingest an EXISTING external Hudi COPY_ON_WRITE table
+        (rootfs-shaped rows) via :func:`sources.hudi.read_hudi`."""
+        from connected_data_lake_spark.sources.hudi import read_hudi
+
+        df = read_hudi(self.spark, hudi_path, as_of_instant=as_of_instant)
+        return self._ingest_external(df, f"Hudi table at {hudi_path}")
+
+    def _ingest_external(self, df: DataFrame, src_desc: str) -> "CdlFS":
+        """Shared ingress tail: validate rootfs shape, align types, land
+        in the native table, invalidate the ordinal index, re-register."""
+        from connected_data_lake_spark.sources.rootfs import ROOTFS_COLUMNS, ROOTFS_SCHEMA
+
         missing = [c for c in ROOTFS_COLUMNS if c not in df.columns]
         if missing:
             raise ValueError(
-                f"Lance dataset at {lance_path} is not a rootfs table "
-                f"(missing columns: {missing})"
+                f"{src_desc} is not a rootfs table (missing columns: {missing})"
             )
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in ROOTFS_SCHEMA.fields]
@@ -521,3 +559,39 @@ class CdlFS:
             ) from exc
         lance.write_dataset(self.sql(stmt).toArrow(), path, **kwargs)
         return lance.dataset(path)
+
+    def to_delta_table(
+        self,
+        path: str,
+        stmt: str = f"SELECT * FROM {ROOTFS_TABLE}",
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Export ``stmt``'s result as an external DELTA table
+        (:func:`sources.delta_write.write_delta`) — the egress half of
+        :meth:`load_from_delta`: spec commit log + footer stats, readable
+        by delta-spark / delta-rs / DuckDB / Trino. Returns the committed
+        version. Unlike the Arrow exports this is a fully DISTRIBUTED
+        write (one Spark parquet job + a driver-side log commit)."""
+        from connected_data_lake_spark.sources.delta_write import write_delta
+
+        return write_delta(
+            self.sql(stmt), path, mode=mode, partition_by=partition_by
+        )
+
+    def to_iceberg_table(
+        self,
+        path: str,
+        stmt: str = f"SELECT * FROM {ROOTFS_TABLE}",
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Export ``stmt``'s result as an external ICEBERG v2 table
+        (:func:`sources.iceberg_write.write_iceberg`): Avro manifests,
+        field-id-stamped parquet, typed partition records. Returns the
+        committed snapshot id. Distributed like :meth:`to_delta_table`."""
+        from connected_data_lake_spark.sources.iceberg_write import write_iceberg
+
+        return write_iceberg(
+            self.sql(stmt), path, mode=mode, partition_by=partition_by
+        )

@@ -14,8 +14,10 @@ round-trips entirely in-repo (that pairing is driver-verified against
 a DuckDB oracle in ``plans/lakeops.py::delta_write_roundtrip``).
 
 Scope: create / append / overwrite of unpartitioned and hive-partitioned
-tables at writer protocol (1, 2), per-file stats (numRecords, min/max,
-nullCount) in add actions, classic checkpoints + ``_last_checkpoint``
+tables at writer protocol (1, 2) — or (3, 7) with the ``timestampNtz``
+table feature when the schema carries TIMESTAMP_NTZ columns — per-file
+stats (numRecords, min/max, nullCount) in add actions, classic
+checkpoints + ``_last_checkpoint`` (protocol FEATURE lists preserved)
 via :func:`checkpoint_delta`, and optimistic-concurrency commits
 (put-if-absent via ``os.link``; appends retry behind a concurrent
 writer, metadata conflicts abort). Tables whose protocol demands writer
@@ -75,8 +77,27 @@ from connected_data_lake_spark.sources.delta import (
 
 #: Writer features we actually honor. appendOnly is enforced below;
 #: invariants would require expression checking, so any invariant
-#: metadata in the schema gates loudly.
-_SUPPORTED_WRITER_FEATURES = frozenset({"appendOnly", "invariants"})
+#: metadata in the schema gates loudly; timestampNtz is a pure
+#: type-availability feature (nothing to enforce beyond writing the
+#: column, which Spark's parquet writer does).
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {"appendOnly", "invariants", "timestampNtz"}
+)
+
+
+def _needs_ntz(schema: T.StructType) -> bool:
+    def walk(dt: T.DataType) -> bool:
+        if isinstance(dt, T.TimestampNTZType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return any(walk(f.dataType) for f in schema.fields)
 
 #: Stats collected for these leaf types only — the types whose min/max
 #: have an unambiguous JSON serialization per PROTOCOL.md's Per-file
@@ -357,9 +378,23 @@ def write_delta(
             version = 0
         actions: list[dict] = []
         if version == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+            if _needs_ntz(schema):
+                # timestampNtz is a TABLE FEATURE (PROTOCOL.md): reader 3
+                # + writer 7 with the feature named on both lists
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["timestampNtz"],
+                            "writerFeatures": ["timestampNtz"],
+                        }
+                    }
+                )
+            else:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
             actions.append(
                 {
                     "metaData": {
@@ -444,6 +479,8 @@ def checkpoint_delta(path: str) -> int:
             "protocol": {
                 "minReaderVersion": int(proto.get("minReaderVersion", 1) or 1),
                 "minWriterVersion": int(proto.get("minWriterVersion", 2) or 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
             },
             "metaData": none_meta,
             "add": none_add,
@@ -494,6 +531,8 @@ def checkpoint_delta(path: str) -> int:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),

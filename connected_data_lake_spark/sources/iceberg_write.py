@@ -71,6 +71,7 @@ _SPARK_TO_ICE: list[tuple[type, str]] = [
     (T.BooleanType, "boolean"),
     (T.DateType, "date"),
     (T.TimestampType, "timestamptz"),
+    (T.TimestampNTZType, "timestamp"),
     (T.BinaryType, "binary"),
 ]
 

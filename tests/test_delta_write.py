@@ -225,3 +225,20 @@ def test_no_staging_or_tmp_left_behind(spark, tbl):
         if "_staging_" in (rel := os.path.relpath(n, tbl)) or ".tmp-" in rel
     ]
     assert leftovers == []
+
+
+def test_ntz_table_checkpoint_preserves_features(spark, tbl):
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("t"),
+    )
+    write_delta(df, tbl)
+    write_delta(df, tbl, mode="append")
+    checkpoint_delta(tbl)
+    # vacuum the compacted commits: the FEATURE lists must survive in the
+    # checkpoint's protocol row or the reader would mis-gate the table
+    for v in (0, 1):
+        os.unlink(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+    back = read_delta(spark, tbl)
+    assert back.count() == 20
+    assert dict(back.dtypes)["t"] == "timestamp_ntz"
