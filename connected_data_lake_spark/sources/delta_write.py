@@ -613,3 +613,119 @@ def checkpoint_delta(path: str) -> int:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.replace(ptr, os.path.join(log_dir, "_last_checkpoint"))
     return version
+
+
+# ---------------------------------------------------------------------------
+# object-store commit + OPTIMIZE-style compaction
+# ---------------------------------------------------------------------------
+
+
+def commit_delta(log_target, version: int, actions: list[dict]) -> bool:
+    """Put-if-absent commit of ``actions`` as ``_delta_log/<version>.json``.
+
+    ``log_target`` is either a local ``_delta_log`` directory path (the
+    ``os.link`` protocol of :func:`_try_commit`) or a
+    :class:`~connected_data_lake_spark.sources.manifest.ConditionalPutStore`
+    scoped to the TABLE root — then the commit is ONE conditional PUT
+    (S3 ``If-None-Match: *``; HTTP 412 → False), the identical
+    winner/loser contract the native manifest store uses
+    (`sources/manifest.py`), so Delta commit concurrency is safe on an
+    object store without any rename trick. Returns False when a
+    concurrent writer holds the version.
+    """
+    if isinstance(log_target, str):
+        return _try_commit(log_target, version, actions)
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode("utf-8")
+    return log_target.put_if_absent(
+        f"{_LOG_DIR}/{version:020d}.json", payload
+    )
+
+
+def compact_delta(
+    spark,
+    path: str,
+    target_file_rows: int = 1_000_000,
+) -> int:
+    """OPTIMIZE-style bin-packing compaction of a written Delta table:
+    rewrite the LIVE file set into ~``target_file_rows``-row files and
+    commit add+remove with ``dataChange=false`` (readers see the same
+    rows; time travel to pre-compaction versions still works; streaming
+    consumers know no new data arrived). Returns the committed version.
+
+    Scale: one distributed Spark job (scan → repartition → parquet), one
+    metadata commit. The small-file problem this fixes is the dominant
+    failure mode of high-frequency appends at 100 TB — compaction keeps
+    the add-file count (and so log replay and scan planning) bounded.
+    """
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    store = _store_for(path, None)
+    meta, live, proto = _replay(store, path, None)
+    _check_writer_protocol(proto, meta)
+    conf = _as_map_dict(meta.get("configuration"))
+    if conf.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError("delta.appendOnly=true table refuses OPTIMIZE")
+    partition_by = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    total_rows = 0
+    for a in live:
+        try:
+            total_rows += json.loads(a.get("stats") or "{}").get("numRecords") or 0
+        except ValueError:
+            pass
+    df = read_delta(spark, path)
+    n_files = max(1, -(-total_rows // target_file_rows)) if total_rows else 1
+    # one exchange sizes the output files; partitioned tables co-locate
+    # rows with their partition so the hive fanout writes one file per
+    # (task, live partition value) instead of a full cross product
+    df = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    moved = _stage_and_move(df, path, partition_by)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for a in live:
+        rm = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": False,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        actions.append({"remove": rm})
+    for rel, pvals in moved:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                    "stats": _file_stats(os.path.join(path, rel), schema),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetFileRows": str(target_file_rows)
+                },
+                "engineInfo": "connected_data_lake_spark",
+            }
+        }
+    )
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(10):
+        version = delta_table_version(path) + 1
+        if commit_delta(log_dir, version, actions):
+            return version
+        # a concurrent writer landed: re-replay — if the live set moved
+        # under us the rewrite is stale, abort rather than drop their data
+        _m2, live2, _p2 = _replay(store, path, None)
+        if {a["path"] for a in live2} != {a["path"] for a in live}:
+            raise RuntimeError(
+                "concurrent commit changed the live file set during "
+                "OPTIMIZE; re-run compaction"
+            )
+    raise RuntimeError(f"lost the commit race 10 times under {path}")

@@ -242,3 +242,86 @@ def test_ntz_table_checkpoint_preserves_features(spark, tbl):
     back = read_delta(spark, tbl)
     assert back.count() == 20
     assert dict(back.dtypes)["t"] == "timestamp_ntz"
+
+
+def test_commit_delta_on_conditional_put_store(spark):
+    """The object-store commit leg: one conditional PUT per commit, the
+    manifest store's winner/loser contract, replayable through
+    ObjectStoreDeltaLog."""
+    from connected_data_lake_spark.sources.delta import (
+        ObjectStoreDeltaLog,
+        _replay,
+    )
+    from connected_data_lake_spark.sources.delta_write import commit_delta
+    from connected_data_lake_spark.sources.manifest import InMemoryStore
+
+    store = InMemoryStore()
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    meta = {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": spark.range(1).schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    add = {
+        "add": {
+            "path": "a.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+    assert commit_delta(store, 0, [proto, meta, add]) is True
+    # loser: same version again
+    assert commit_delta(store, 0, [proto, meta]) is False
+    assert commit_delta(store, 1, [{"remove": {"path": "a.parquet", "dataChange": True}}]) is True
+    m, adds, p = _replay(ObjectStoreDeltaLog(store), "s3://t", None)
+    assert adds == [] and p["minWriterVersion"] == 2
+    m0, adds0, _ = _replay(ObjectStoreDeltaLog(store), "s3://t", 0)
+    assert [a["path"] for a in adds0] == ["a.parquet"]
+
+
+def test_compact_delta_bin_packs_without_data_change(spark, tbl):
+    import glob as _glob
+
+    for lo in range(0, 100, 20):  # 5 appends → ≥5 small files
+        write_delta(_df(spark, lo, lo + 20), tbl, mode="append")
+    n_before = len(
+        [json.loads(l)["add"]
+         for v in range(5)
+         for l in open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+         if '"add"' in l]
+    )
+    assert n_before >= 5
+    from connected_data_lake_spark.sources.delta_write import compact_delta
+
+    v = compact_delta(spark, tbl, target_file_rows=1_000_000)
+    assert v == 5
+    back = read_delta(spark, tbl)
+    assert back.count() == 100 and back.agg(F.sum("k")).first()[0] == 4950
+    # one live file now; the commit is dataChange=false end to end
+    live_adds = [
+        json.loads(l)["add"]
+        for l in open(os.path.join(tbl, "_delta_log", f"{5:020d}.json"))
+        if '"add"' in l
+    ]
+    assert len(live_adds) == 1 and live_adds[0]["dataChange"] is False
+    # pre-compaction snapshots still read (logical rewrite only)
+    assert read_delta(spark, tbl, version=2).count() == 60
+
+
+def test_compact_delta_partitioned_keeps_layout(spark, tbl):
+    write_delta(_df(spark, 0, 30), tbl, partition_by=["p"])
+    write_delta(_df(spark, 30, 60), tbl, mode="append", partition_by=["p"])
+    from connected_data_lake_spark.sources.delta_write import compact_delta
+
+    compact_delta(spark, tbl, target_file_rows=1_000_000)
+    back = read_delta(spark, tbl)
+    assert back.count() == 60
+    assert back.filter(F.col("p") == "2").count() == 20
+    plan = back.filter(F.col("p") == "2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan

@@ -283,3 +283,48 @@ def test_iceberg_metadata_replay_over_s3(store, tmp_path):
     data1, _ = _live_files(old, got_meta, ost, prune)
     assert [os.path.basename(p) for p in data1] == ["a.parquet"]
     assert [s["snapshot_id"] for s in iceberg_snapshots(root, store=ost)] == [1, 2]
+
+
+def test_delta_write_commit_over_s3(store):
+    """The WRITE half over a real endpoint: commit_delta races through
+    S3 conditional PUT (If-None-Match) — winner True, loser False, the
+    committed log replays through ObjectStoreDeltaLog."""
+    from connected_data_lake_spark.sources.delta import (
+        ObjectStoreDeltaLog,
+        _replay,
+    )
+    from connected_data_lake_spark.sources.delta_write import commit_delta
+
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    actions0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "s3-delta-write",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "w.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    assert commit_delta(store, 0, actions0) is True
+    assert commit_delta(store, 0, actions0) is False  # loser leg
+    _m, adds, _p = _replay(ObjectStoreDeltaLog(store), "s3://ignored", None)
+    assert [a["path"] for a in adds] == ["w.parquet"]
