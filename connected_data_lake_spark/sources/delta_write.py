@@ -729,3 +729,61 @@ def compact_delta(
                 "OPTIMIZE; re-run compaction"
             )
     raise RuntimeError(f"lost the commit race 10 times under {path}")
+
+
+def vacuum_delta(
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delta VACUUM: physically delete data files that are NOT in the
+    current snapshot's live set and whose modification time is older
+    than ``retention_ms`` (default 7 days — the delta-spark default;
+    the retention window is what keeps concurrent readers of recent
+    versions and in-flight time travel safe). Returns the deleted
+    (or, ``dry_run``, deletable) table-relative paths.
+
+    Time travel to versions whose files were vacuumed stops working —
+    exactly Delta's documented trade; the LOG is untouched (log cleanup
+    is checkpoint-driven and separate). Staging/temp directories from
+    crashed writers older than the window are swept too.
+    """
+    import time as _time
+
+    store = _store_for(path, None)
+    _meta, live, _proto = _replay(store, path, None)
+    keep = {a["path"] for a in live}
+    cutoff = _time.time() - retention_ms / 1000.0
+    doomed: list[str] = []
+    for root, dirs, names in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.split(os.sep)[0] == _LOG_DIR:
+            dirs[:] = []
+            continue
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path).replace(os.sep, "/")
+            if not name.endswith(".parquet") and "_staging_" not in rel:
+                continue
+            if rel in keep:
+                continue
+            try:
+                if os.path.getmtime(full) >= cutoff:
+                    continue
+            except OSError:
+                continue
+            doomed.append(rel)
+    if not dry_run:
+        for rel in doomed:
+            try:
+                os.unlink(os.path.join(path, rel))
+            except OSError:
+                pass
+        # sweep now-empty partition dirs so listings stay clean
+        for root, dirs, names in os.walk(path, topdown=False):
+            if root != path and not os.listdir(root):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+    return sorted(doomed)

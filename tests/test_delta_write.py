@@ -325,3 +325,22 @@ def test_compact_delta_partitioned_keeps_layout(spark, tbl):
     assert back.filter(F.col("p") == "2").count() == 20
     plan = back.filter(F.col("p") == "2")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in plan
+
+
+def test_vacuum_deletes_unreferenced_files_after_retention(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import vacuum_delta
+
+    write_delta(_df(spark, 0, 50), tbl)
+    write_delta(_df(spark, 0, 10), tbl, mode="overwrite")
+    # within retention: nothing deletable
+    assert vacuum_delta(tbl, dry_run=True) == []
+    # zero retention: the overwritten version-0 files become deletable
+    doomed = vacuum_delta(tbl, retention_ms=0, dry_run=True)
+    assert doomed, "overwritten files should be vacuumable at 0 retention"
+    vacuum_delta(tbl, retention_ms=0)
+    # current snapshot unaffected; time travel to v0 now fails on scan
+    assert read_delta(spark, tbl).count() == 10
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0).count()
+    # vacuum is idempotent
+    assert vacuum_delta(tbl, retention_ms=0) == []
