@@ -499,3 +499,135 @@ def write_iceberg(
         fh.write(str(meta_ver))
     os.replace(hint, os.path.join(meta_dir, "version-hint.text"))
     return snap_id
+
+
+# ---------------------------------------------------------------------------
+# maintenance: rewrite_data_files + expire_snapshots
+# ---------------------------------------------------------------------------
+
+
+def compact_iceberg(
+    spark, path: str, target_file_rows: int = 1_000_000
+) -> int:
+    """rewrite_data_files-style compaction: read the current snapshot,
+    bin-pack into ~``target_file_rows``-row files, commit as a
+    ``replace`` snapshot whose manifest list carries ONLY the rewritten
+    manifest (prior snapshots stay time-travelable until expired).
+    Returns the new snapshot id. One distributed job + one metadata
+    commit — the same scale shape as :func:`sources.delta_write.
+    compact_delta`, and the reset lever for MoR-style small-file and
+    manifest growth."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0 = cur[0]
+    spec = {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
+        meta0.get("default-spec-id", 0), {"fields": []}
+    )
+    partition_by = [pf["name"] for pf in spec.get("fields", [])]
+    df = read_iceberg(spark, path)
+    total = df.count()
+    n_files = max(1, -(-total // target_file_rows))
+    df = (
+        df.repartition(n_files, *partition_by)
+        if partition_by
+        else df.repartition(n_files)
+    )
+    snap = write_iceberg(df, path, mode="overwrite", partition_by=partition_by)
+    # stamp the honest operation name on the snapshot we just committed
+    cur2 = _current_meta(path)
+    meta2, ver2 = cur2
+    for s in meta2["snapshots"]:
+        if s["snapshot-id"] == snap:
+            s["summary"]["operation"] = "replace"
+    name = os.path.join(path, "metadata", f"v{ver2}.metadata.json")
+    tmp = f"{name}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta2, fh)
+    os.replace(tmp, name)
+    return snap
+
+
+def expire_iceberg_snapshots(
+    path: str,
+    keep_last: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """expire_snapshots: drop all but the newest ``keep_last`` snapshots
+    from the metadata (new ``v{N}.metadata.json``), then delete data
+    files, manifests and manifest lists no RETAINED snapshot references.
+    Returns the deleted (or deletable) table-relative paths. Time travel
+    to expired snapshots stops working — Iceberg's documented trade."""
+    from connected_data_lake_spark.sources.iceberg import IcebergStore
+
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, prev_ver = cur
+    snaps = sorted(meta0.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    retained = snaps[-keep_last:]
+    retained_ids = {s["snapshot-id"] for s in retained}
+    if meta0.get("current-snapshot-id") not in retained_ids:
+        raise ValueError("cannot expire the current snapshot")
+    store = IcebergStore(path)
+    referenced: set[str] = set()
+    for s in retained:
+        ml = s["manifest-list"]
+        referenced.add(ml)
+        _schema, recs = read_ocf(store.read_uri(ml))
+        for rec in recs:
+            referenced.add(rec["manifest_path"])
+            _es, entries = read_ocf(store.read_uri(rec["manifest_path"]))
+            for e in entries:
+                referenced.add(e["data_file"]["file_path"])
+
+    def _norm(p: str) -> str:
+        return os.path.relpath(p, path) if os.path.isabs(p) else p
+
+    ref_rel = {_norm(p) for p in referenced}
+    doomed: list[str] = []
+    for sub in ("data", "metadata"):
+        d = os.path.join(path, sub)
+        for name in sorted(os.listdir(d)):
+            rel = f"{sub}/{name}"
+            if sub == "metadata" and not name.endswith(".avro"):
+                continue  # metadata.json history + hint stay
+            if name.endswith(".parquet") or name.endswith(".avro"):
+                if rel not in ref_rel:
+                    doomed.append(rel)
+    if dry_run:
+        return doomed
+    new_meta = dict(meta0)
+    new_meta["snapshots"] = retained
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta0.get("snapshot-log", [])
+        if e["snapshot-id"] in retained_ids
+    ]
+    meta_ver = prev_ver + 1
+    tmp = os.path.join(path, "metadata", f".tmp-exp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    final = os.path.join(path, "metadata", f"v{meta_ver}.metadata.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit took v{meta_ver}; re-run expiry"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(path, "metadata", f".tmp-hint-{uuid.uuid4().hex}")
+    with open(hint, "w") as fh:
+        fh.write(str(meta_ver))
+    os.replace(hint, os.path.join(path, "metadata", "version-hint.text"))
+    for rel in doomed:
+        try:
+            os.unlink(os.path.join(path, rel))
+        except OSError:
+            pass
+    return doomed

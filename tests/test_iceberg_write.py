@@ -192,3 +192,49 @@ def test_no_staging_left_behind(spark, tbl):
         or ".tmp-" in os.path.relpath(n, tbl)
     ]
     assert leftovers == []
+
+
+def test_compact_iceberg_bin_packs_as_replace_snapshot(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import compact_iceberg
+
+    for lo in range(0, 100, 20):  # 5 append snapshots → ≥5 files
+        write_iceberg(_df(spark, lo, lo + 20), tbl, mode="append")
+    n_before = len(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    assert n_before >= 5
+    snap = compact_iceberg(spark, tbl, target_file_rows=1_000_000)
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 100 and back.agg(F.sum("k")).first()[0] == 4950
+    assert len(back.inputFiles()) == 1  # one live file after bin-pack
+    meta = json.load(
+        open(os.path.join(tbl, "metadata", "v6.metadata.json"))
+    )
+    s = next(x for x in meta["snapshots"] if x["snapshot-id"] == snap)
+    assert s["summary"]["operation"] == "replace"
+    # pre-compaction snapshots still time-travel
+    assert read_iceberg(spark, tbl, snapshot_id=2).count() == 40
+
+
+def test_expire_snapshots_reclaims_unreferenced(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        compact_iceberg,
+        expire_iceberg_snapshots,
+    )
+
+    write_iceberg(_df(spark, 0, 50), tbl)
+    write_iceberg(_df(spark, 50, 100), tbl, mode="append")
+    compact_iceberg(spark, tbl, target_file_rows=1_000_000)
+    doomed = expire_iceberg_snapshots(tbl, keep_last=1, dry_run=True)
+    assert any(d.startswith("data/") for d in doomed)
+    assert any(d.startswith("metadata/") for d in doomed)
+    expire_iceberg_snapshots(tbl, keep_last=1)
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 100
+    # expired snapshot ids are gone from metadata
+    meta = json.load(
+        open(os.path.join(tbl, "metadata", "v4.metadata.json"))
+    )
+    assert len(meta["snapshots"]) == 1
+    with pytest.raises(Exception):
+        read_iceberg(spark, tbl, snapshot_id=1).count()
+    # second expiry is a no-op
+    assert expire_iceberg_snapshots(tbl, keep_last=1, dry_run=True) == []
