@@ -2411,3 +2411,87 @@ def hudi_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once DML-history Delta fixture
+_DELTA_DML_CACHE: dict[str, str] = {}
+
+
+def _delta_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table whose HISTORY is v0 create (all orders,
+    hive-partitioned by o_orderstatus) → v1 ``delete_from_delta``
+    (o_orderkey%10=5) → v2 ``update_delta`` (%10=0: price negated) —
+    both DML ops through the copy-on-write file-rewrite engine
+    (``sources/delta_write.py::_rewrite_matching_files``), so the latest
+    snapshot is wrong unless file-scoped rewrite, remove/add
+    reconciliation AND the predicate scoping all work."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_DML_CACHE:
+        return _DELTA_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltadml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000002.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # built at the final path: the DML history IS the fixture, and
+        # the `done` marker (commit 2) lands last
+        write_delta(o, path, mode="error", partition_by=["o_orderstatus"])
+        delete_from_delta(spark, path, "o_orderkey % 10 = 5")
+        update_delta(
+            spark, path, "o_orderkey % 10 = 0",
+            {"o_totalprice": "-o_totalprice"},
+        )
+    _DELTA_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta", "dml"),
+)
+def delta_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DML round-trip on an external Delta table:
+    DELETE (%10=5 rows gone) then UPDATE (%10=0 prices negated) through
+    file-scoped rewrites — only files the predicate hits move; the
+    aggregate equals the oracle's CASE/filter over orders only if both
+    rewrites and the remove/add commit reconciliation are exact. Same
+    query SEMANTICS as hudi_mor_read's merged snapshot, reached through
+    Delta's CoW mechanism instead of MoR log merge."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_dml_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -787,3 +787,135 @@ def vacuum_delta(
                 except OSError:
                     pass
     return sorted(doomed)
+
+
+# ---------------------------------------------------------------------------
+# DML: DELETE / UPDATE with file-level rewrite granularity
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_matching_files(spark, path: str, condition: str, transform):
+    """Shared DELETE/UPDATE engine: find the data files that contain at
+    least one row matching ``condition`` (predicate-pushed scan over the
+    live set, ONE distinct on ``_metadata.file_path``), rewrite ONLY
+    those files through ``transform``, and commit add+remove. Untouched
+    files never move — the rewrite cost is proportional to the files the
+    predicate hits, not the table (the copy-on-write granularity
+    delta-spark uses)."""
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.delta import read_delta
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+
+    store = _store_for(path, None)
+    meta, live, proto = _replay(store, path, None)
+    _check_writer_protocol(proto, meta)
+    conf = _as_map_dict(meta.get("configuration"))
+    if conf.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError("delta.appendOnly=true table refuses DML")
+    partition_by = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    df = read_delta(spark, path)
+    pred = F.expr(condition)
+    # planning-sized collect: one row per AFFECTED file
+    hit_raw = sorted(
+        r[0]
+        for r in df.filter(pred)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .collect()
+    )
+    hit_paths = {_norm_path_py(p) for p in hit_raw}
+    if not hit_paths:
+        return delta_table_version(path), 0
+    base = path.rstrip("/")
+    by_abs = {
+        _norm_path_py(
+            a["path"] if os.path.isabs(a["path"]) else f"{base}/{a['path']}"
+        ): a
+        for a in live
+    }
+    affected = [by_abs[p] for p in hit_paths if p in by_abs]
+    if len(affected) != len(hit_paths):
+        raise RuntimeError("scan returned files outside the live set")
+
+    # file count is planning-sized; an IN list keeps the scope JVM-side
+    scoped = df.filter(F.col("_metadata.file_path").isin(*hit_raw))
+    rewritten = transform(scoped, pred).select(*[f.name for f in schema.fields])
+    moved = _stage_and_move(rewritten, path, partition_by)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for a in affected:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                }
+            }
+        )
+    n_new = 0
+    for rel, pvals in moved:
+        n_new += 1
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _file_stats(os.path.join(path, rel), schema),
+                }
+            }
+        )
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(10):
+        version = delta_table_version(path) + 1
+        if commit_delta(log_dir, version, actions):
+            return version, len(affected)
+        _m2, live2, _p2 = _replay(store, path, None)
+        if not {a["path"] for a in affected} <= {a["path"] for a in live2}:
+            raise RuntimeError(
+                "concurrent commit removed a file this DML rewrote; re-run"
+            )
+    raise RuntimeError(f"lost the commit race 10 times under {path}")
+
+
+def delete_from_delta(spark, path: str, condition: str) -> int:
+    """DELETE FROM <table> WHERE ``condition`` (SQL expression string):
+    copy-on-write delete — only files containing matches are rewritten
+    without the matching rows; commits add+remove (dataChange=true).
+    Returns the committed version."""
+    version, _n = _rewrite_matching_files(
+        spark,
+        path,
+        condition,
+        lambda scoped, pred: scoped.filter(~pred),
+    )
+    return version
+
+
+def update_delta(
+    spark, path: str, condition: str, assignments: dict[str, str]
+) -> int:
+    """UPDATE <table> SET col=expr, ... WHERE ``condition`` (all SQL
+    expression strings): copy-on-write update over only the files the
+    predicate hits. Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    def xform(scoped, pred):
+        out = scoped
+        for col, expr in assignments.items():
+            if col not in scoped.columns:
+                raise ValueError(f"unknown column {col!r} in UPDATE")
+            out = out.withColumn(
+                col, F.when(pred, F.expr(expr)).otherwise(F.col(col))
+            )
+        return out
+
+    version, _n = _rewrite_matching_files(spark, path, condition, xform)
+    return version

@@ -344,3 +344,57 @@ def test_vacuum_deletes_unreferenced_files_after_retention(spark, tbl):
         read_delta(spark, tbl, version=0).count()
     # vacuum is idempotent
     assert vacuum_delta(tbl, retention_ms=0) == []
+
+
+def test_delete_from_delta_rewrites_only_hit_files(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    # 3 partition files; the predicate hits only p=1
+    write_delta(_df(spark, 0, 90), tbl, partition_by=["p"])
+    adds0 = {
+        json.loads(l)["add"]["path"]
+        for l in open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+        if '"add"' in l
+    }
+    v = delete_from_delta(spark, tbl, "p = '1' AND k < 30")
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 90 - 10  # keys 1,4,...,28 removed
+    assert back.filter("p = '1'").count() == 20
+    # only the p=1 file was removed/rewritten; p=0 and p=2 files untouched
+    commit1 = open(os.path.join(tbl, "_delta_log", f"{1:020d}.json")).read()
+    removed = {
+        json.loads(l)["remove"]["path"]
+        for l in commit1.splitlines()
+        if '"remove"' in l
+    }
+    # file-level granularity: every removed file is a p=1 file that the
+    # predicate could hit; p=0 / p=2 files are never touched
+    assert removed and removed <= {p for p in adds0 if p.startswith("p=1/")}
+    # time travel still sees the pre-delete table
+    assert read_delta(spark, tbl, version=0).count() == 90
+
+
+def test_delete_no_match_is_noop(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 30), tbl)
+    assert delete_from_delta(spark, tbl, "k > 999") == 0  # no new version
+    assert read_delta(spark, tbl).count() == 30
+
+
+def test_update_delta_rewrites_matching_rows(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import update_delta
+
+    write_delta(_df(spark, 0, 90), tbl, partition_by=["p"])
+    v = update_delta(
+        spark, tbl, "p = '2' AND k >= 60", {"v": "v * 100"}
+    )
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 90
+    got = {r["k"]: r["v"] for r in back.filter("p = '2'").collect()}
+    assert got[62] == 62 * 1.5 * 100 and got[59] == 59 * 1.5
+    # unknown column refused
+    with pytest.raises(ValueError, match="unknown column"):
+        update_delta(spark, tbl, "k = 1", {"nope": "1"})
