@@ -2495,3 +2495,84 @@ def delta_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once DML-history Iceberg fixture
+_ICEBERG_DML_CACHE: dict[str, str] = {}
+
+
+def _iceberg_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Iceberg v2 table whose history is snapshot 1 create
+    (all orders, identity-partitioned by o_orderstatus) → snapshot 2
+    ``delete_from_iceberg`` (%10=5) → snapshot 3 ``update_iceberg``
+    (%10=0: price negated) — CoW DML through manifest rewrite (hit
+    entries status=DELETED, survivors EXISTING with original sequence
+    numbers), mirroring the Delta DML fixture."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_DML_CACHE:
+        return _ICEBERG_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icedml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "v3.metadata.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_iceberg(o, path, mode="error", partition_by=["o_orderstatus"])
+        delete_from_iceberg(spark, path, "o_orderkey % 10 = 5")
+        update_iceberg(
+            spark, path, "o_orderkey % 10 = 0",
+            {"o_totalprice": "-o_totalprice"},
+        )
+    _ICEBERG_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "dml"),
+)
+def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DML on an external Iceberg table: DELETE then
+    UPDATE through manifest rewrite — affected manifests re-emit hit
+    entries as DELETED and survivors as EXISTING with their original
+    sequence numbers, untouched manifests carry forward — so the
+    aggregate equals the oracle only if the whole status/sequence
+    machinery is exact. Third member of the DML trio with
+    delta_dml_roundtrip (CoW log) and hudi_mor_read (MoR merge)."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_dml_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -631,3 +631,298 @@ def expire_iceberg_snapshots(
         except OSError:
             pass
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# DML: DELETE / UPDATE via copy-on-write manifest rewrite
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_matching_files_iceberg(spark, path: str, condition: str, transform):
+    """Shared Iceberg DELETE/UPDATE engine (the CoW analogue of the
+    Delta one): one predicate-pushed scan finds the data files with
+    matches, ONLY those files rewrite; the commit re-emits each AFFECTED
+    manifest with hit entries marked DELETED (status 2) and survivors
+    EXISTING (status 0, original sequence numbers preserved — spec
+    "Manifests": existing entries carry the sequence number they were
+    added at), plus one new manifest with the rewritten files, plus the
+    untouched manifests carried as-is."""
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.iceberg import (
+        _norm_path_py,
+        read_iceberg,
+    )
+
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, prev_ver = cur
+    schemas = {s["schema-id"]: s for s in meta0.get("schemas", [])}
+    cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0["schema"]
+    ice_fields = cur_schema["fields"]
+    spec = {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
+        meta0.get("default-spec-id", 0), {"fields": []}
+    )
+    for pf in spec.get("fields", []):
+        if pf.get("transform", "identity") != "identity":
+            raise IcebergProtocolError(
+                "DML on transform-partitioned tables not supported"
+            )
+    partition_by = [pf["name"] for pf in spec.get("fields", [])]
+    type_of = {f["name"]: f["type"] for f in ice_fields}
+    part_fields = [(c, type_of[c]) for c in partition_by]
+    for c, t in part_fields:
+        if t not in _PART_AVRO:
+            raise IcebergProtocolError(
+                f"DML on table partitioned by {t!r} column {c!r} not supported"
+            )
+
+    df = read_iceberg(spark, path)
+    pred = F.expr(condition)
+    hit_raw = sorted(
+        r[0]
+        for r in df.filter(pred)
+        .select(F.col("_metadata.file_path"))
+        .distinct()
+        .collect()
+    )
+    snapshots = list(meta0.get("snapshots", []))
+    parent = meta0.get("current-snapshot-id")
+    if not hit_raw:
+        return parent, 0
+    hit_norm = {_norm_path_py(p) for p in hit_raw}
+
+    # rewrite only the hit files
+    scoped = df.filter(F.col("_metadata.file_path").isin(*hit_raw))
+    rewritten = transform(scoped, pred).select(
+        *[f["name"] for f in ice_fields]
+    )
+    ids = {f["name"]: f["id"] for f in ice_fields}
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    token = uuid.uuid4().hex
+    staging = os.path.join(path, "data", f"_staging_{token}")
+    out = _with_field_ids(rewritten, ids)
+    aliases = [f"__ipart_{c}" for c in partition_by]
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        out = out.select(
+            "*", *[F.col(c).alias(a) for c, a in zip(partition_by, aliases)]
+        )
+        writer = out.write.mode("overwrite").partitionBy(*aliases)
+    writer.parquet(staging)
+    files: list[tuple[str, dict]] = []
+    idx = 0
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, object] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                alias, _, raw = seg.partition("=")
+                col = alias[len("__ipart_"):]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    pvals[col] = None
+                else:
+                    t = dict(part_fields)[col]
+                    pvals[col] = int(raw) if t in ("int", "long") else unquote(raw)
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            new_rel = f"{token}-{idx:05d}.parquet"
+            os.replace(
+                os.path.join(root, name), os.path.join(path, "data", new_rel)
+            )
+            files.append((new_rel, pvals))
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    snap_id = max(s["snapshot-id"] for s in snapshots) + 1
+    seq = int(meta0.get("last-sequence-number", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    id_of = ids
+    entry_schema = _entry_avro_schema(part_fields)
+
+    # new manifest for the rewritten files
+    new_entries = []
+    n_rows_total = 0
+    for rel, pvals in files:
+        full = os.path.join(path, "data", rel)
+        n_rows, bounds, _nulls = _footer_stats(full)
+        n_rows_total += n_rows
+        lower, upper = [], []
+        for col, (lo, hi) in sorted(bounds.items()):
+            if col not in id_of:
+                continue
+            blo, bhi = _bound_bytes(type_of[col], lo), _bound_bytes(type_of[col], hi)
+            if blo is not None and bhi is not None:
+                lower.append({"key": id_of[col], "value": blo})
+                upper.append({"key": id_of[col], "value": bhi})
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": dict(pvals),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+    store = IcebergStore(path)
+    prev_snap = next(s for s in snapshots if s["snapshot-id"] == parent)
+    _ls, prev_manifests = read_ocf(store.read_uri(prev_snap["manifest-list"]))
+    ml_schema_fields = {f["name"] for f in _manifest_list_schema()["fields"]}
+    ml_recs = []
+    mname = f"m-{token}.avro"
+    mblob = write_ocf(entry_schema, new_entries)
+    with open(os.path.join(path, "metadata", mname), "wb") as fh:
+        fh.write(mblob)
+    ml_recs.append(
+        {
+            "manifest_path": f"{path}/metadata/{mname}",
+            "manifest_length": len(mblob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows_total,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+    )
+    n_deleted = 0
+    for mi, rec in enumerate(prev_manifests):
+        if rec.get("content", 0) != 0:
+            ml_recs.append({k: rec.get(k) for k in ml_schema_fields})
+            continue
+        _es, entries = read_ocf(store.read_uri(rec["manifest_path"]))
+        touched = any(
+            _norm_path_py(e["data_file"]["file_path"]) in hit_norm
+            for e in entries
+            if e.get("status", 0) != 2
+        )
+        if not touched:
+            ml_recs.append({k: rec.get(k) for k in ml_schema_fields})
+            continue
+        # re-emit: hit entries DELETED by this snapshot, survivors
+        # EXISTING with their ORIGINAL sequence numbers
+        out_entries = []
+        kept = dels = 0
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue  # already deleted in the source manifest
+            hit = _norm_path_py(e["data_file"]["file_path"]) in hit_norm
+            oe = dict(e)
+            oe["status"] = 2 if hit else 0
+            oe["snapshot_id"] = snap_id if hit else e.get("snapshot_id")
+            out_entries.append(oe)
+            if hit:
+                n_deleted += 1
+                dels += 1
+            else:
+                kept += 1
+        rname = f"m-{token}-rw{mi}.avro"
+        rblob = write_ocf(_es, out_entries)
+        with open(os.path.join(path, "metadata", rname), "wb") as fh:
+            fh.write(rblob)
+        ml_recs.append(
+            {
+                "manifest_path": f"{path}/metadata/{rname}",
+                "manifest_length": len(rblob),
+                "partition_spec_id": rec.get("partition_spec_id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": rec.get("min_sequence_number", 0),
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": dels,
+                "added_rows_count": 0,
+                "existing_rows_count": rec.get("added_rows_count", 0),
+                "deleted_rows_count": 0,
+                "partitions": rec.get("partitions"),
+            }
+        )
+    ml_name = f"snap-{snap_id}-1-{token}.avro"
+    ml_blob = write_ocf(_manifest_list_schema(), ml_recs)
+    with open(os.path.join(path, "metadata", ml_name), "wb") as fh:
+        fh.write(ml_blob)
+
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "parent-snapshot-id": parent,
+        "summary": {"operation": "overwrite"},
+        "manifest-list": f"{path}/metadata/{ml_name}",
+        "schema-id": meta0.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta0)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = snapshots + [snapshot]
+    new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    meta_ver = prev_ver + 1
+    tmp = os.path.join(path, "metadata", f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    final = os.path.join(path, "metadata", f"v{meta_ver}.metadata.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit took v{meta_ver}; re-run the DML"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(path, "metadata", f".tmp-hint-{token}")
+    with open(hint, "w") as fh:
+        fh.write(str(meta_ver))
+    os.replace(hint, os.path.join(path, "metadata", "version-hint.text"))
+    return snap_id, n_deleted
+
+
+def delete_from_iceberg(spark, path: str, condition: str) -> int:
+    """DELETE FROM <iceberg table> WHERE ``condition``: copy-on-write —
+    only files containing matches rewrite; affected manifests re-emit
+    with hit entries status=DELETED. Returns the new snapshot id."""
+    snap, _n = _rewrite_matching_files_iceberg(
+        spark, path, condition, lambda scoped, pred: scoped.filter(~pred)
+    )
+    return snap
+
+
+def update_iceberg(
+    spark, path: str, condition: str, assignments: dict[str, str]
+) -> int:
+    """UPDATE <iceberg table> SET col=expr WHERE ``condition`` —
+    copy-on-write over only the predicate's file hit set."""
+    from pyspark.sql import functions as F
+
+    def xform(scoped, pred):
+        out = scoped
+        for col, expr in assignments.items():
+            if col not in scoped.columns:
+                raise ValueError(f"unknown column {col!r} in UPDATE")
+            out = out.withColumn(
+                col, F.when(pred, F.expr(expr)).otherwise(F.col(col))
+            )
+        return out
+
+    snap, _n = _rewrite_matching_files_iceberg(spark, path, condition, xform)
+    return snap

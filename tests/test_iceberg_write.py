@@ -238,3 +238,46 @@ def test_expire_snapshots_reclaims_unreferenced(spark, tbl):
         read_iceberg(spark, tbl, snapshot_id=1).count()
     # second expiry is a no-op
     assert expire_iceberg_snapshots(tbl, keep_last=1, dry_run=True) == []
+
+
+def test_delete_from_iceberg_cow(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 90), tbl, partition_by=["p"])
+    write_iceberg(_df(spark, 90, 120), tbl, mode="append", partition_by=["p"])
+    snap = delete_from_iceberg(spark, tbl, "p = '1' AND k < 30")
+    assert snap == 3
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 120 - 10
+    assert back.filter("p = '1'").count() == 30
+    # pre-delete snapshot still reads
+    assert read_iceberg(spark, tbl, snapshot_id=2).count() == 120
+    # untouched partitions' ORIGINAL files still serve the new snapshot
+    files = {os.path.basename(f) for f in back.inputFiles()}
+    meta = json.load(open(os.path.join(tbl, "metadata", "v2.metadata.json")))
+    assert meta["current-snapshot-id"] == 2
+
+
+def test_update_iceberg_cow(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import update_iceberg
+
+    write_iceberg(_df(spark, 0, 90), tbl, partition_by=["p"])
+    snap = update_iceberg(spark, tbl, "p = '0' AND k >= 60", {"v": "v + 1000"})
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 90
+    got = {r["k"]: r["v"] for r in back.filter("p = '0'").collect()}
+    assert got[60] == 60 * 1.5 + 1000 and got[57] == 57 * 1.5
+
+
+def test_iceberg_dml_no_match_noop(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 30), tbl)
+    assert delete_from_iceberg(spark, tbl, "k > 999") == 1  # unchanged snap
+    assert read_iceberg(spark, tbl).count() == 30
+    # no new metadata version was committed
+    assert not os.path.isfile(os.path.join(tbl, "metadata", "v2.metadata.json"))
