@@ -239,3 +239,59 @@ def test_mor_plan_one_shuffle_no_cartesian(spark, tbl):
     # the merge is the single record-key exchange (plus the tiny slice-list
     # repartition feeding mapInPandas)
     assert plan.count("Exchange hashpartitioning(_hoodie_record_key") == 1
+
+
+def test_mor_partitioned_file_groups(spark, tmp_path):
+    """Two partitions, two file groups: log records apply only to their
+    own slice; the merge never leaks across partitions."""
+    import glob
+    import shutil
+
+    root = str(tmp_path / "mor_part")
+    os.makedirs(os.path.join(root, ".hoodie"))
+
+    def base_slice(part: str, fid: str, lo: int, hi: int) -> str:
+        df = spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("_hoodie_record_key"),
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        os.makedirs(os.path.join(root, part), exist_ok=True)
+        stage = os.path.join(root, f".stage-{fid}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        partfile = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"{part}/{fid}_0-1-0_{T1}.parquet"
+        os.replace(partfile, os.path.join(root, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+        return rel
+
+    r1 = base_slice("d=a", "f1", 0, 10)
+    r2 = base_slice("d=b", "f2", 10, 20)
+    log_rel = f"d=a/.f1_{T1}.log.1_0-1-0"
+    with open(os.path.join(root, log_rel), "wb") as fh:
+        fh.write(
+            write_log_blocks(
+                [encode_avro_data_block([_rec(3, 333.0)], AVRO_SCHEMA, T2)]
+            )
+        )
+    with open(os.path.join(root, ".hoodie", f"{T1}.commit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "d=a": [{"fileId": "f1", "path": r1}],
+                    "d=b": [{"fileId": "f2", "path": r2}],
+                }
+            },
+            fh,
+        )
+    with open(os.path.join(root, ".hoodie", f"{T2}.deltacommit"), "w") as fh:
+        json.dump(
+            {"partitionToWriteStats": {"d=a": [{"fileId": "f1", "path": log_rel}]}},
+            fh,
+        )
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    rows = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    assert len(rows) == 20
+    assert rows[3] == 333.0  # partition a's log applied
+    assert rows[13] == 13.0  # partition b untouched
