@@ -919,3 +919,163 @@ def update_delta(
 
     version, _n = _rewrite_matching_files(spark, path, condition, xform)
     return version
+
+
+def merge_into_delta(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> int:
+    """MERGE INTO <delta table> USING ``source`` ON key columns ``on``:
+    copy-on-write upsert. Matched target rows update (``SET col=expr``
+    over SOURCE-qualified expressions — reference columns as ``src.col``
+    / ``tgt.col``) or delete; unmatched source rows insert. Only target
+    files CONTAINING matches rewrite (one join to find the file hit set,
+    broadcast when the source is small — AQE decides); inserts land as
+    new files in the same commit. Returns the committed version.
+
+    Duplicate-key sources are refused (a target row matching two source
+    rows has no deterministic result — delta-spark raises the same)."""
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    if when_matched_update and when_matched_delete:
+        raise ValueError("choose ONE of when_matched_update / when_matched_delete")
+    store = _store_for(path, None)
+    meta, live, proto = _replay(store, path, None)
+    _check_writer_protocol(proto, meta)
+    if _as_map_dict(meta.get("configuration")).get("delta.appendOnly") == "true":
+        raise DeltaProtocolError("delta.appendOnly=true table refuses MERGE")
+    partition_by = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cols = [f.name for f in schema.fields]
+    for k in on:
+        if k not in cols or k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from target or source")
+    missing = [c for c in cols if c not in source.columns]
+    if when_not_matched_insert and missing:
+        raise ValueError(f"source lacks insert columns {missing}")
+
+    dup = source.groupBy(*on).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError("source has duplicate merge keys — MERGE is ambiguous")
+
+    tgt = read_delta(spark, path)
+    src = source.select(*[c for c in source.columns if c in cols])
+
+    # 1) planning-sized: which target files contain a matched key. The
+    # _metadata column only resolves directly on the scan relation, so
+    # materialize it BEFORE the join.
+    tgt_fp = tgt.withColumn("__cdl_fp", F.col("_metadata.file_path"))
+    hit_raw = sorted(
+        r[0]
+        for r in tgt_fp.join(src, on, "left_semi")
+        .select("__cdl_fp")
+        .distinct()
+        .collect()
+    )
+
+    actions: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    rewritten_parts: list[DataFrame] = []
+    affected: list[dict] = []
+    if hit_raw:
+        from connected_data_lake_spark.sources.iceberg import _norm_path_py
+
+        hit_norm = {_norm_path_py(p) for p in hit_raw}
+        base = path.rstrip("/")
+        by_abs = {
+            _norm_path_py(
+                a["path"] if os.path.isabs(a["path"]) else f"{base}/{a['path']}"
+            ): a
+            for a in live
+        }
+        affected = [by_abs[p] for p in hit_norm if p in by_abs]
+        scoped = tgt_fp.filter(F.col("__cdl_fp").isin(*hit_raw)).drop("__cdl_fp")
+        joined = scoped.alias("tgt").join(
+            src.alias("src"), on, "left_outer"
+        )
+        matched = F.col(f"src.{on[0]}").isNotNull()
+        if when_matched_delete:
+            out = joined.filter(~matched).select(
+                *[F.col(f"tgt.{c}").alias(c) for c in cols]
+            )
+        else:
+            exprs = []
+            for c in cols:
+                upd = (when_matched_update or {}).get(c)
+                if upd is None:
+                    exprs.append(F.col(f"tgt.{c}").alias(c))
+                else:
+                    exprs.append(
+                        F.when(matched, F.expr(upd))
+                        .otherwise(F.col(f"tgt.{c}"))
+                        .alias(c)
+                    )
+            out = joined.select(*exprs)
+        rewritten_parts.append(out)
+
+    if when_not_matched_insert:
+        inserts = src.alias("src").join(
+            tgt.select(*on).alias("tgt"), on, "left_anti"
+        ).select(*[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in cols])
+        rewritten_parts.append(inserts)
+
+    if not rewritten_parts:
+        return delta_table_version(path)
+    out_df = rewritten_parts[0]
+    for part in rewritten_parts[1:]:
+        out_df = out_df.unionByName(part)
+    moved = _stage_and_move(out_df, path, partition_by)
+    for a in affected:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                }
+            }
+        )
+    for rel, pvals in moved:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pvals),
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _file_stats(os.path.join(path, rel), schema),
+                }
+            }
+        )
+    if not actions:
+        return delta_table_version(path)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"on": json.dumps(on)},
+                "engineInfo": "connected_data_lake_spark",
+            }
+        }
+    )
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(10):
+        version = delta_table_version(path) + 1
+        if commit_delta(log_dir, version, actions):
+            return version
+        _m2, live2, _p2 = _replay(store, path, None)
+        if not {a["path"] for a in affected} <= {a["path"] for a in live2}:
+            raise RuntimeError(
+                "concurrent commit removed a file this MERGE rewrote; re-run"
+            )
+    raise RuntimeError(f"lost the commit race 10 times under {path}")

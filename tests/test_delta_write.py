@@ -398,3 +398,66 @@ def test_update_delta_rewrites_matching_rows(spark, tbl):
     # unknown column refused
     with pytest.raises(ValueError, match="unknown column"):
         update_delta(spark, tbl, "k = 1", {"nope": "1"})
+
+
+def test_merge_into_delta_upsert(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 90), tbl, partition_by=["p"])
+    source = spark.range(0, 5).select(
+        (F.col("id") * 30).alias("k"),          # 0,30,60 exist; 90,120 new
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.lit(-1.0).alias("v"),
+    )
+    v = merge_into_delta(
+        spark, tbl, source, on=["k"],
+        when_matched_update={"v": "src.v"},
+    )
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 92  # 90 + 2 inserts
+    got = {r["k"]: r["v"] for r in back.filter(F.col("k") % 30 == 0).collect()}
+    assert got[0] == -1.0 and got[60] == -1.0     # matched → updated
+    assert got[90] == -1.0 and got[120] == -1.0   # unmatched → inserted
+    assert {r["k"]: r["v"] for r in back.filter("k = 31").collect()} == {31: 46.5}
+
+
+def test_merge_into_delta_matched_delete(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 30), tbl)
+    source = spark.range(0, 3).select(
+        (F.col("id") * 10).alias("k"),
+        F.lit("x").alias("p"),
+        F.lit(0.0).alias("v"),
+    )
+    merge_into_delta(
+        spark, tbl, source, on=["k"],
+        when_matched_delete=True, when_not_matched_insert=False,
+    )
+    back = read_delta(spark, tbl)
+    assert back.count() == 27
+    assert back.filter(F.col("k").isin(0, 10, 20)).count() == 0
+
+
+def test_merge_into_delta_duplicate_source_keys_refused(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 10), tbl)
+    dup = _df(spark, 0, 4).union(_df(spark, 0, 2))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into_delta(spark, tbl, dup, on=["k"])
+
+
+def test_merge_into_delta_noop_when_nothing_matches_or_inserts(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 10), tbl)
+    src = _df(spark, 100, 105)
+    v = merge_into_delta(
+        spark, tbl, src, on=["k"],
+        when_matched_update={"v": "src.v"},
+        when_not_matched_insert=False,
+    )
+    assert v == 0  # no commit
+    assert read_delta(spark, tbl).count() == 10
