@@ -638,15 +638,23 @@ def expire_iceberg_snapshots(
 # ---------------------------------------------------------------------------
 
 
-def _rewrite_matching_files_iceberg(spark, path: str, condition: str, transform):
-    """Shared Iceberg DELETE/UPDATE engine (the CoW analogue of the
-    Delta one): one predicate-pushed scan finds the data files with
-    matches, ONLY those files rewrite; the commit re-emits each AFFECTED
-    manifest with hit entries marked DELETED (status 2) and survivors
-    EXISTING (status 0, original sequence numbers preserved — spec
-    "Manifests": existing entries carry the sequence number they were
-    added at), plus one new manifest with the rewritten files, plus the
-    untouched manifests carried as-is."""
+def _rewrite_matching_files_iceberg(
+    spark,
+    path: str,
+    condition: str | None = None,
+    transform=None,
+    hit_fn=None,
+    rewrite_fn=None,
+):
+    """Shared Iceberg DELETE/UPDATE/MERGE engine (the CoW analogue of
+    the Delta one): one predicate-pushed scan (or ``hit_fn``'s semi-join
+    for MERGE) finds the data files with matches, ONLY those files
+    rewrite; the commit re-emits each AFFECTED manifest with hit entries
+    marked DELETED (status 2) and survivors EXISTING (status 0, original
+    sequence numbers preserved — spec "Manifests": existing entries
+    carry the sequence number they were added at), plus one new manifest
+    with the rewritten files (``rewrite_fn`` may also union NEW rows —
+    MERGE inserts), plus the untouched manifests carried as-is."""
     from pyspark.sql import functions as F
 
     from connected_data_lake_spark.sources.iceberg import (
@@ -679,25 +687,33 @@ def _rewrite_matching_files_iceberg(spark, path: str, condition: str, transform)
             )
 
     df = read_iceberg(spark, path)
-    pred = F.expr(condition)
-    hit_raw = sorted(
-        r[0]
-        for r in df.filter(pred)
-        .select(F.col("_metadata.file_path"))
-        .distinct()
-        .collect()
-    )
+    # the _metadata column resolves only on the scan relation —
+    # materialize it before any join a hit_fn might do
+    df_fp = df.withColumn("__cdl_fp", F.col("_metadata.file_path"))
+    if hit_fn is not None:
+        hit_raw = sorted(hit_fn(df_fp))
+        pred = None
+    else:
+        pred = F.expr(condition)
+        hit_raw = sorted(
+            r[0]
+            for r in df_fp.filter(pred).select("__cdl_fp").distinct().collect()
+        )
     snapshots = list(meta0.get("snapshots", []))
     parent = meta0.get("current-snapshot-id")
-    if not hit_raw:
+    if not hit_raw and rewrite_fn is None:
         return parent, 0
-    hit_norm = {_norm_path_py(p) for p in hit_raw}
 
+    hit_norm = {_norm_path_py(p) for p in hit_raw}
     # rewrite only the hit files
-    scoped = df.filter(F.col("_metadata.file_path").isin(*hit_raw))
-    rewritten = transform(scoped, pred).select(
-        *[f["name"] for f in ice_fields]
+    scoped = (
+        df_fp.filter(F.col("__cdl_fp").isin(*hit_raw)).drop("__cdl_fp")
+        if hit_raw
+        else df.limit(0)
     )
+    rewritten = (
+        rewrite_fn(scoped) if rewrite_fn is not None else transform(scoped, pred)
+    ).select(*[f["name"] for f in ice_fields])
     ids = {f["name"]: f["id"] for f in ice_fields}
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     token = uuid.uuid4().hex
@@ -925,4 +941,94 @@ def update_iceberg(
         return out
 
     snap, _n = _rewrite_matching_files_iceberg(spark, path, condition, xform)
+    return snap
+
+
+def merge_into_iceberg(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> int:
+    """MERGE INTO <iceberg table> USING ``source`` ON ``on``: the same
+    copy-on-write upsert as :func:`sources.delta_write.merge_into_delta`
+    expressed through the manifest-rewrite engine — matched target files
+    rewrite (update via ``src.``/``tgt.``-qualified SET expressions, or
+    delete), unmatched source rows insert into the SAME snapshot's new
+    manifest. Returns the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    if when_matched_update and when_matched_delete:
+        raise ValueError("choose ONE of when_matched_update / when_matched_delete")
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, _v = cur
+    schemas = {s["schema-id"]: s for s in meta0.get("schemas", [])}
+    cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0["schema"]
+    cols = [f["name"] for f in cur_schema["fields"]]
+    for k in on:
+        if k not in cols or k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from target or source")
+    missing = [c for c in cols if c not in source.columns]
+    if when_not_matched_insert and missing:
+        raise ValueError(f"source lacks insert columns {missing}")
+    if source.groupBy(*on).count().filter("count > 1").limit(1).count():
+        raise ValueError("source has duplicate merge keys — MERGE is ambiguous")
+
+    src = source.select(*[c for c in source.columns if c in cols])
+    tgt = read_iceberg(spark, path)
+
+    def hit(df_fp):
+        return [
+            r[0]
+            for r in df_fp.join(src, on, "left_semi")
+            .select("__cdl_fp")
+            .distinct()
+            .collect()
+        ]
+
+    def rewrite(scoped):
+        joined = scoped.alias("tgt").join(src.alias("src"), on, "left_outer")
+        matched = F.col(f"src.{on[0]}").isNotNull()
+        if when_matched_delete:
+            out = joined.filter(~matched).select(
+                *[F.col(f"tgt.{c}").alias(c) for c in cols]
+            )
+        else:
+            exprs = []
+            for c in cols:
+                upd = (when_matched_update or {}).get(c)
+                if upd is None:
+                    exprs.append(F.col(f"tgt.{c}").alias(c))
+                else:
+                    exprs.append(
+                        F.when(matched, F.expr(upd))
+                        .otherwise(F.col(f"tgt.{c}"))
+                        .alias(c)
+                    )
+            out = joined.select(*exprs)
+        if when_not_matched_insert:
+            inserts = src.alias("src").join(
+                tgt.select(*on).alias("tgt"), on, "left_anti"
+            ).select(*[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in cols])
+            out = out.unionByName(inserts)
+        return out
+
+    # no-op fast path: nothing matched AND nothing to insert
+    probe = tgt.select(*on).join(src, on, "left_semi").limit(1).count()
+    if not probe and (
+        not when_not_matched_insert
+        or not src.join(tgt.select(*on), on, "left_anti").limit(1).count()
+    ):
+        return int(meta0["current-snapshot-id"])
+
+    snap, _n = _rewrite_matching_files_iceberg(
+        spark, path, hit_fn=hit, rewrite_fn=rewrite
+    )
     return snap

@@ -281,3 +281,40 @@ def test_iceberg_dml_no_match_noop(spark, tbl):
     assert read_iceberg(spark, tbl).count() == 30
     # no new metadata version was committed
     assert not os.path.isfile(os.path.join(tbl, "metadata", "v2.metadata.json"))
+
+
+def test_merge_into_iceberg_upsert(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        merge_into_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 90), tbl, partition_by=["p"])
+    source = spark.range(0, 5).select(
+        (F.col("id") * 30).alias("k"),  # 0,30,60 exist; 90,120 new
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.lit(-1.0).alias("v"),
+    )
+    snap = merge_into_iceberg(
+        spark, tbl, source, on=["k"], when_matched_update={"v": "src.v"}
+    )
+    assert snap == 2
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 92
+    got = {r["k"]: r["v"] for r in back.filter(F.col("k") % 30 == 0).collect()}
+    assert got[0] == -1.0 and got[60] == -1.0
+    assert got[90] == -1.0 and got[120] == -1.0
+    assert read_iceberg(spark, tbl, snapshot_id=1).count() == 90
+
+
+def test_merge_into_iceberg_noop(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        merge_into_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 10), tbl)
+    snap = merge_into_iceberg(
+        spark, tbl, _df(spark, 100, 105), on=["k"],
+        when_matched_update={"v": "src.v"}, when_not_matched_insert=False,
+    )
+    assert snap == 1
+    assert not os.path.isfile(os.path.join(tbl, "metadata", "v2.metadata.json"))
