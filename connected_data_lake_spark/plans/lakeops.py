@@ -2576,3 +2576,108 @@ def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once MERGE-history Delta fixture
+_DELTA_MERGE_CACHE: dict[str, str] = {}
+
+
+def _delta_merge_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table whose history is v0 create (all orders) →
+    v1 MERGE: source = the %7=0 slice with DOUBLED price plus the same
+    keys shifted past the max key (guaranteed-new inserts with price
+    +0.5) — one commit carrying matched updates AND inserts through the
+    CoW merge engine."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        merge_into_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_MERGE_CACHE:
+        return _DELTA_MERGE_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltamerge_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000001.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(o, path, mode="error", partition_by=["o_orderstatus"])
+        seventh = o.filter(F.col("o_orderkey") % 7 == 0)
+        # shift by max+1: keys start at 0, so a bare +max shift would
+        # collide key 0's twin with the existing max key (found the hard
+        # way — the merge then treats it as a MATCH, which is correct
+        # engine behavior and wrong fixture intent)
+        max_key = o.agg(F.max("o_orderkey")).first()[0]
+        source = seventh.select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(
+            seventh.select(
+                (F.col("o_orderkey") + F.lit(max_key + 1)).alias("o_orderkey"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 0.5).alias("o_totalprice"),
+            )
+        )
+        merge_into_delta(
+            spark, path, source, on=["o_orderkey"],
+            when_matched_update={"o_totalprice": "src.o_totalprice"},
+        )
+    _DELTA_MERGE_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_merge_roundtrip",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+               o_orderstatus,
+               o_totalprice + 0.5
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta", "dml"),
+)
+def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO round-trip on an external Delta table: one commit
+    updates every matched %7=0 row (doubled price, only the files
+    containing those keys rewrite) AND inserts the shifted-key twin rows
+    — the aggregate equals the oracle's CTE only if matched-update
+    scoping, unmatched-insert routing and the remove/add commit all
+    agree."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_merge_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
