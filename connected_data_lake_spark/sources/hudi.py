@@ -688,3 +688,250 @@ def read_hudi_mor(
         .filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False)))
     )
     return snap.select(*data_cols)
+
+
+# ---------------------------------------------------------------------------
+# WRITE path: COPY_ON_WRITE insert / upsert / overwrite
+# ---------------------------------------------------------------------------
+
+
+def write_hudi(
+    df,
+    path: str,
+    record_key: str,
+    mode: str = "insert",
+    partition_by: list[str] | None = None,
+    table_name: str = "cdl_table",
+) -> str:
+    """Write ``df`` to a Hudi COPY_ON_WRITE table at local ``path``;
+    returns the committed instant. The egress third of the lake-writer
+    triad (:mod:`sources.delta_write`, :mod:`sources.iceberg_write`):
+    `.hoodie/hoodie.properties` + completed-instant timeline JSON with
+    ``partitionToWriteStats`` per the table layout this repo's own
+    reader replays (hudi.apache.org/docs "Table & Query Types",
+    "Timeline"), data files named ``<fileId>_<writeToken>_<instant>.
+    parquet`` carrying the ``_hoodie_record_key`` /
+    ``_hoodie_commit_time`` / ``_hoodie_partition_path`` meta columns
+    real Hudi readers expect.
+
+    ``mode``:
+
+    - ``insert`` — new file group(s); create if absent.
+    - ``upsert`` — COW upsert: file groups whose slice contains a
+      matching ``record_key`` REWRITE as a new file slice (newest slice
+      wins at read — the mechanism ``read_hudi`` resolves); rows with
+      unseen keys land in a fresh file group in the same commit.
+    - ``overwrite`` — a ``replacecommit`` replacing every live file
+      group (INSERT_OVERWRITE_TABLE semantics; old slices stay
+      time-travelable).
+
+    Scale: the data write is one distributed Spark job (hive-style
+    fanout via partition aliases, files renamed into place); the
+    timeline write is one driver-side JSON. Upsert's hit-group
+    discovery is one semi-join with the file path materialized from
+    scan metadata — the same planning-sized pattern as the Delta/
+    Iceberg DML engines.
+    """
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    if mode not in ("insert", "upsert", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if record_key not in df.columns:
+        raise ValueError(f"record_key {record_key!r} not in DataFrame")
+    partition_by = list(partition_by or [])
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in DataFrame")
+
+    root = _local(path)
+    hoodie = os.path.join(root, ".hoodie")
+    props_path = os.path.join(hoodie, "hoodie.properties")
+    exists = os.path.isfile(props_path)
+    if exists:
+        with open(props_path, encoding="utf-8") as fh:
+            props = _read_properties(fh.read())
+        if props.get("hoodie.table.type") != "COPY_ON_WRITE":
+            raise HudiProtocolError(
+                "write_hudi writes COPY_ON_WRITE tables only"
+            )
+        if props.get("hoodie.table.recordkey.fields", record_key) != record_key:
+            raise ValueError(
+                f"record_key {record_key!r} != table's "
+                f"{props.get('hoodie.table.recordkey.fields')!r}"
+            )
+        instants = _completed_instants(root)
+        last = instants[-1][0] if instants else "20260101000000000"
+        # instants are ordered lexically AND numerically; bump keeps both
+        instant = str(int(last) + 1)
+    else:
+        os.makedirs(hoodie, exist_ok=True)
+        instant = "20260101000000000"
+
+    token = _uuid.uuid4().hex[:8]
+    meta_cols = [
+        F.lit(instant).alias("_hoodie_commit_time"),
+        F.col(record_key).cast("string").alias("_hoodie_record_key"),
+    ]
+    stats: dict[str, list] = {}
+    replaced: dict[str, list] = {}
+
+    def _fanout(out_df, fid_prefix: str) -> None:
+        """Distributed hive-fanout write; one new file group per output
+        file, partition path recovered from the alias dirs."""
+        staging = os.path.join(root, f".staging_{token}")
+        aliases = [f"__hpart_{c}" for c in partition_by]
+        w = out_df
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            w = w.select(
+                "*", *[F.col(c).alias(a) for c, a in zip(partition_by, aliases)]
+            )
+            writer = w.write.mode("overwrite").partitionBy(*aliases)
+        writer.parquet(staging)
+        idx = 0
+        for d, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(d, staging)
+            part = (
+                ""
+                if rel_dir == "."
+                else "/".join(
+                    seg.split("=", 1)[1] for seg in rel_dir.split(os.sep)
+                )
+            )
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                fid = f"{fid_prefix}-{token}-{idx}"
+                rel = f"{fid}_0-1-0_{instant}.parquet"
+                if part:
+                    os.makedirs(os.path.join(root, part), exist_ok=True)
+                    rel = f"{part}/{rel}"
+                os.replace(os.path.join(d, name), os.path.join(root, rel))
+                stats.setdefault(part, []).append(
+                    {"fileId": fid, "path": rel}
+                )
+                idx += 1
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _rewrite_slice(part: str, fid: str, slice_rel: str, upserts_df):
+        """COW-rewrite one file group: old slice rows with matched keys
+        replaced by the upsert rows, written as a NEW slice of the SAME
+        fileId at this instant."""
+        old = (
+            df.sparkSession.read.parquet(os.path.join(root, slice_rel))
+        )
+        keep = old.join(
+            upserts_df.select(
+                F.col(record_key).cast("string").alias("__k")
+            ),
+            old["_hoodie_record_key"] == F.col("__k"),
+            "left_anti",
+        )
+        merged = keep.unionByName(
+            upserts_df.select(*meta_cols, *data_cols_of(upserts_df)),
+            allowMissingColumns=True,
+        )
+        stage = os.path.join(root, f".staging_{token}_{fid}")
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
+        partfile = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        rel = f"{fid}_0-1-0_{instant}.parquet"
+        if part:
+            rel = f"{part}/{rel}"
+        os.replace(partfile, os.path.join(root, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+        stats.setdefault(part, []).append({"fileId": fid, "path": rel})
+
+    def data_cols_of(d):
+        return [
+            F.col(c)
+            for c in d.columns
+            if not c.startswith("_hoodie_") and not c.startswith("__")
+        ]
+
+    out = df.select(*meta_cols, *data_cols_of(df))
+
+    if mode == "insert" or not exists:
+        _fanout(out, "i")
+    elif mode == "overwrite":
+        for part, fid, _rel in _live_slices(root, None):
+            replaced.setdefault(part, []).append(fid)
+        _fanout(out, "o")
+    else:  # upsert on an existing table
+        live = _live_slices(root, None)
+        spark = df.sparkSession
+        keys = df.select(
+            F.col(record_key).cast("string").alias("__k")
+        ).distinct()
+        hit: list[tuple[str, str, str]] = []
+        for part, fid, rel in live:
+            slice_keys = spark.read.parquet(
+                os.path.join(root, rel)
+            ).select(F.col("_hoodie_record_key").alias("__k"))
+            if slice_keys.join(keys, "__k", "left_semi").limit(1).count():
+                hit.append((part, fid, rel))
+        matched_keys = None
+        for part, fid, rel in hit:
+            slice_keys = spark.read.parquet(os.path.join(root, rel)).select(
+                F.col("_hoodie_record_key").alias("__k")
+            )
+            sub = df.join(
+                slice_keys,
+                df[record_key].cast("string") == F.col("__k"),
+                "left_semi",
+            )
+            _rewrite_slice(part, fid, rel, sub)
+            matched_keys = (
+                sub.select(F.col(record_key).alias("__mk"))
+                if matched_keys is None
+                else matched_keys.unionByName(
+                    sub.select(F.col(record_key).alias("__mk"))
+                )
+            )
+        inserts = df
+        if matched_keys is not None:
+            inserts = df.join(
+                matched_keys.distinct(),
+                df[record_key] == F.col("__mk"),
+                "left_anti",
+            )
+        if inserts.limit(1).count():
+            out_ins = inserts.select(*meta_cols, *data_cols_of(inserts))
+            _fanout(out_ins, "i")
+
+    action = "replacecommit" if (mode == "overwrite" and exists) else "commit"
+    commit_meta: dict = {
+        "partitionToWriteStats": stats,
+        "operationType": mode.upper(),
+    }
+    if replaced:
+        commit_meta["partitionToReplaceFileIds"] = replaced
+    tmp = os.path.join(hoodie, f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(commit_meta, fh)
+    final = os.path.join(hoodie, f"{instant}.{action}")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Hudi commit took instant {instant}; re-run"
+        )
+    finally:
+        os.unlink(tmp)
+    if not exists:
+        with open(props_path, "w") as fh:
+            fh.write(
+                f"hoodie.table.name={table_name}\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\n"
+                f"hoodie.table.recordkey.fields={record_key}\n"
+                + (
+                    f"hoodie.table.partition.fields={','.join(partition_by)}\n"
+                    if partition_by
+                    else ""
+                )
+            )
+    return instant
