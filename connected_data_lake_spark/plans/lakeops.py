@@ -2681,3 +2681,83 @@ def delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once WRITTEN Hudi fixture
+_HUDI_WRITE_CACHE: dict[str, str] = {}
+
+
+def _hudi_written_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Hudi COW table produced by this repo's OWN writer
+    (``sources/hudi.py::write_hudi``): t1 bulk-inserts all orders
+    (partitioned by o_orderstatus, `_hoodie_*` meta columns stamped),
+    t2 COW-UPSERTS the %10=0 slice with negated prices — the hit file
+    groups rewrite as new slices of the SAME fileId, so the latest read
+    is wrong unless newest-slice-per-group resolution picks them up."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import write_hudi
+
+    key = f"{sf_dir}"
+    if key in _HUDI_WRITE_CACHE:
+        return _HUDI_WRITE_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_hudiwrite_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, ".hoodie", "20260101000000001.commit")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_hudi(
+            o, path, record_key="o_orderkey",
+            partition_by=["o_orderstatus"],
+        )
+        upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        write_hudi(
+            upd, path, record_key="o_orderkey", mode="upsert",
+            partition_by=["o_orderstatus"],
+        )
+    _HUDI_WRITE_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_write_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "write"),
+)
+def hudi_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-path round-trip for the THIRD lake format: a Hudi COW
+    table bulk-inserted then COW-upserted by ``write_hudi`` (new file
+    slices of the same file groups), read back through ``read_hudi`` —
+    matching the oracle proves the timeline, the slice supersedence and
+    the upsert's keep/replace split all agree. Completes the egress
+    triad with delta_write_roundtrip / iceberg_write_roundtrip."""
+    from connected_data_lake_spark.sources.hudi import read_hudi
+
+    path = _hudi_written_orders(spark, sf_dir)
+    return (
+        read_hudi(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
