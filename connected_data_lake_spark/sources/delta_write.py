@@ -292,6 +292,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
     max_commit_retries: int = 10,
+    schema_mode: str = "strict",
 ) -> int:
     """Write ``df`` to a Delta table at local ``path``; returns the
     committed version.
@@ -303,7 +304,16 @@ def write_delta(
     ``partition_by`` lays files out hive-style and records
     ``partitionValues`` so both this repo's reader and external engines
     partition-prune.
+
+    ``schema_mode="merge"`` (delta-spark's mergeSchema): NEW df columns
+    append to the table schema as nullable fields via a metaData action
+    in the same commit (old files read null for them — schema-on-read);
+    df may also OMIT existing columns (its files read null there).
+    Overlapping names must type-match exactly — no widening. Default
+    ``strict`` refuses any drift.
     """
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unknown mode {mode!r}")
     partition_by = list(partition_by or [])
@@ -339,11 +349,20 @@ def write_delta(
         existing = T.StructType.fromJson(json.loads(meta["schemaString"]))
         theirs = {f.name: f.dataType for f in existing.fields}
         ours = {f.name: f.dataType for f in df.schema.fields}
-        if theirs != ours:
+        if schema_mode == "merge":
+            clash = [
+                n for n in ours if n in theirs and theirs[n] != ours[n]
+            ]
+            if clash:
+                raise ValueError(
+                    f"schema merge cannot change column types: {clash} "
+                    "(no widening)"
+                )
+        elif theirs != ours:
             raise ValueError(
                 "schema mismatch with existing table: "
                 f"table={sorted(theirs)} df={sorted(ours)} (types must "
-                "match exactly; schema evolution is not implemented)"
+                "match exactly; use schema_mode='merge' to add columns)"
             )
         if list(meta.get("partitionColumns") or []) != partition_by:
             raise ValueError(
@@ -353,6 +372,20 @@ def write_delta(
 
     os.makedirs(log_dir, exist_ok=True)
     schema = df.schema
+    evolved_meta: dict | None = None
+    if exists and schema_mode == "merge" and meta is not None:
+        existing = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        have = {f.name for f in existing.fields}
+        new_fields = [
+            T.StructField(f.name, f.dataType, True)  # evolved cols: nullable
+            for f in df.schema.fields
+            if f.name not in have
+        ]
+        if new_fields:
+            merged = T.StructType(list(existing.fields) + new_fields)
+            evolved_meta = dict(meta)
+            evolved_meta["schemaString"] = merged.json()
+            schema = merged
     moved = _stage_and_move(df, path, partition_by)
     now_ms = int(time.time() * 1000)
     new_adds = [
@@ -413,7 +446,33 @@ def write_delta(
             # the live file set (recompute removes)
             meta, live, proto = _replay(store, path, None)
             _check_writer_protocol(proto, meta)
-            if T.StructType.fromJson(json.loads(meta["schemaString"])) != schema:
+            tip_schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            if evolved_meta is not None:
+                # the evolution was computed against the pre-write tip; a
+                # concurrent schema change invalidates it
+                if {f.name for f in tip_schema.fields} - {
+                    f.name for f in schema.fields
+                }:
+                    raise DeltaProtocolError(
+                        "concurrent metadata change raced the schema merge; "
+                        "re-run the write"
+                    )
+                actions.append({"metaData": evolved_meta})
+            elif schema_mode == "merge":
+                # a narrower df under merge: every staged column must
+                # still exist on the tip with its exact type
+                tip_types = {f.name: f.dataType for f in tip_schema.fields}
+                drift = [
+                    f.name
+                    for f in schema.fields
+                    if tip_types.get(f.name) != f.dataType
+                ]
+                if drift:
+                    raise DeltaProtocolError(
+                        f"concurrent metadata change on columns {drift}; "
+                        "re-run the write"
+                    )
+            elif tip_schema != schema:
                 raise DeltaProtocolError(
                     "concurrent metadata change: table schema no longer "
                     "matches the staged write"

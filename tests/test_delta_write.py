@@ -461,3 +461,28 @@ def test_merge_into_delta_noop_when_nothing_matches_or_inserts(spark, tbl):
     )
     assert v == 0  # no commit
     assert read_delta(spark, tbl).count() == 10
+
+
+def test_schema_merge_adds_nullable_columns(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    wider = _df(spark, 10, 20).withColumn("extra", F.col("k") * 10)
+    # strict refuses
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(wider, tbl, mode="append")
+    v = write_delta(wider, tbl, mode="append", schema_mode="merge")
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 20
+    assert "extra" in back.columns
+    got = {r["k"]: r["extra"] for r in back.collect()}
+    assert got[15] == 150 and got[5] is None  # old files read null
+    # narrower appends are fine under merge (missing cols read null)
+    write_delta(_df(spark, 20, 30), tbl, mode="append", schema_mode="merge")
+    assert read_delta(spark, tbl).filter("extra IS NULL").count() == 20
+
+
+def test_schema_merge_refuses_type_change(spark, tbl):
+    write_delta(_df(spark, 0, 10), tbl)
+    changed = _df(spark, 10, 20).withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(ValueError, match="cannot change column types"):
+        write_delta(changed, tbl, mode="append", schema_mode="merge")
