@@ -189,6 +189,7 @@ def write_iceberg(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    schema_mode: str = "strict",
 ) -> int:
     """Write ``df`` to an Iceberg v2 table at local ``path``; returns the
     committed snapshot id.
@@ -200,7 +201,16 @@ def write_iceberg(
     partition values land in each manifest entry's typed partition
     record AND in the manifest-list partition summaries, so the reader's
     two-level static pruning works on written tables.
+
+    ``schema_mode="merge"``: new df columns evolve the table schema —
+    fresh FIELD IDS from ``last-column-id``, a NEW schema object with a
+    bumped schema-id (old schemas retained per spec), the snapshot
+    stamped with it; old files read null for the new ids via the
+    reader's id-only resolution. Narrower dfs are allowed (their files
+    read null for omitted ids). Types never change.
     """
+    if schema_mode not in ("strict", "merge"):
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unknown mode {mode!r}")
     partition_by = list(partition_by or [])
@@ -233,14 +243,32 @@ def write_iceberg(
         cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0.get(
             "schema"
         )
-        ice_fields = cur_schema["fields"]
+        ice_fields = list(cur_schema["fields"])
         theirs = {f["name"]: f["type"] for f in ice_fields}
         ours = {f.name: _ice_type(f.dataType) for f in df.schema.fields}
-        if theirs != ours:
+        if schema_mode == "merge":
+            clash = [n for n in ours if n in theirs and theirs[n] != ours[n]]
+            if clash:
+                raise ValueError(
+                    f"schema merge cannot change column types: {clash}"
+                )
+            next_id = int(meta0.get("last-column-id", 0))
+            for f in df.schema.fields:
+                if f.name not in theirs:
+                    next_id += 1
+                    ice_fields.append(
+                        {
+                            "id": next_id,
+                            "name": f.name,
+                            "required": False,  # evolved cols: optional
+                            "type": _ice_type(f.dataType),
+                        }
+                    )
+        elif theirs != ours:
             raise ValueError(
                 f"schema mismatch with existing table: table={sorted(theirs.items())} "
-                f"df={sorted(ours.items())} (schema evolution on write is "
-                "not implemented)"
+                f"df={sorted(ours.items())} (use schema_mode='merge' to "
+                "add columns)"
             )
         ids = {f["name"]: f["id"] for f in ice_fields}
         existing_spec = (
@@ -431,6 +459,31 @@ def write_iceberg(
         fh.write(ml_blob)
 
     # ---- metadata.json (put-if-absent) + version hint ----------------------
+    # schema bookkeeping: unchanged schemas keep their id; an evolved
+    # field set gets a NEW schema object with a bumped id, prior schemas
+    # retained (spec: "schemas" is the full history, time travel resolves
+    # each snapshot's schema-id)
+    prev_schemas = list((meta0 or {}).get("schemas", []))
+    match = next(
+        (
+            sch["schema-id"]
+            for sch in prev_schemas
+            if sch.get("fields") == ice_fields
+        ),
+        None,
+    )
+    if match is None:
+        schema_id = (
+            max((sch["schema-id"] for sch in prev_schemas), default=-1) + 1
+        )
+        schemas_out = prev_schemas + [
+            {"schema-id": schema_id, "type": "struct", "fields": ice_fields}
+        ]
+    else:
+        schema_id = match
+        schemas_out = prev_schemas or [
+            {"schema-id": 0, "type": "struct", "fields": ice_fields}
+        ]
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
@@ -439,7 +492,7 @@ def write_iceberg(
             "operation": "append" if mode == "append" else "overwrite"
         },
         "manifest-list": f"{path}/metadata/{ml_name}",
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     if parent is not None:
         snapshot["parent-snapshot-id"] = parent
@@ -450,10 +503,8 @@ def write_iceberg(
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": max(ids.values()),
-        "current-schema-id": 0,
-        "schemas": [
-            {"schema-id": 0, "type": "struct", "fields": ice_fields}
-        ],
+        "current-schema-id": schema_id,
+        "schemas": schemas_out,
         "default-spec-id": 0,
         "partition-specs": [
             {

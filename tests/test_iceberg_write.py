@@ -318,3 +318,40 @@ def test_merge_into_iceberg_noop(spark, tbl):
     )
     assert snap == 1
     assert not os.path.isfile(os.path.join(tbl, "metadata", "v2.metadata.json"))
+
+
+def test_schema_merge_evolves_with_new_field_ids(spark, tbl):
+    write_iceberg(_df(spark, 0, 10), tbl)
+    wider = _df(spark, 10, 20).withColumn("extra", F.col("k") * 10)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_iceberg(wider, tbl, mode="append")
+    snap = write_iceberg(wider, tbl, mode="append", schema_mode="merge")
+    assert snap == 2
+    meta = json.load(open(os.path.join(tbl, "metadata", "v2.metadata.json")))
+    assert meta["current-schema-id"] == 1
+    assert len(meta["schemas"]) == 2  # prior schema retained
+    new_field = next(
+        f
+        for f in meta["schemas"][1]["fields"]
+        if f["name"] == "extra"
+    )
+    assert new_field["id"] == 4 and new_field["required"] is False
+    assert meta["last-column-id"] == 4
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 20 and "extra" in back.columns
+    got = {r["k"]: r["extra"] for r in back.collect()}
+    assert got[15] == 150 and got[5] is None  # old files read null by id
+    # snapshot 1 still reads with ITS OWN (narrower) schema
+    assert "extra" not in read_iceberg(spark, tbl, snapshot_id=1).columns
+    # narrower appends fine under merge, schema unchanged (id 1 reused)
+    write_iceberg(_df(spark, 20, 30), tbl, mode="append", schema_mode="merge")
+    meta3 = json.load(open(os.path.join(tbl, "metadata", "v3.metadata.json")))
+    assert meta3["current-schema-id"] == 1 and len(meta3["schemas"]) == 2
+    assert read_iceberg(spark, tbl).filter("extra IS NULL").count() == 20
+
+
+def test_iceberg_schema_merge_refuses_type_change(spark, tbl):
+    write_iceberg(_df(spark, 0, 10), tbl)
+    changed = _df(spark, 10, 20).withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(ValueError, match="cannot change column types"):
+        write_iceberg(changed, tbl, mode="append", schema_mode="merge")
