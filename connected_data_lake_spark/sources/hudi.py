@@ -650,24 +650,20 @@ def read_hudi_mor(
         out_names = [f.name for f in merged_schema.fields]
 
         def decode(batches):
+            # columnar assembly: one list per output column, not one dict
+            # per record — the Arrow conversion then sees ready columns
+            data_names = [n for n in out_names if n != "__cdl_ord"]
             for pdf in batches:
                 for _i, row in pdf.iterrows():
                     recs = _slice_log_records(list(row["logs"]))
                     if not recs:
                         continue
-                    rows = []
+                    cols: dict[str, list] = {n: [] for n in out_names}
                     for ordinal, rec in recs:
-                        rows.append(
-                            {
-                                **{
-                                    n: rec.get(n)
-                                    for n in out_names
-                                    if n not in ("__cdl_ord",)
-                                },
-                                "__cdl_ord": ordinal,
-                            }
-                        )
-                    yield pd.DataFrame(rows, columns=out_names)
+                        for n in data_names:
+                            cols[n].append(rec.get(n))
+                        cols["__cdl_ord"].append(ordinal)
+                    yield pd.DataFrame(cols, columns=out_names)
 
         slice_df = spark.createDataFrame(
             [(i, logs) for i, logs in log_slices],
