@@ -931,3 +931,90 @@ def write_hudi(
                 )
             )
     return instant
+
+
+def compact_hudi_mor(spark: SparkSession, path: str) -> str:
+    """Compact a MERGE_ON_READ table: materialize the merged snapshot
+    (:func:`read_hudi_mor` — base + log merge, deletes applied) into
+    fresh file groups and commit a ``replacecommit`` replacing every
+    live group, so subsequent reads touch ZERO log files (the reset
+    lever for log-chain growth named in SCALE.md). Old slices stay
+    time-travelable until cleaned. Returns the committed instant.
+
+    This is the INSERT_OVERWRITE form of compaction (whole-snapshot
+    rewrite); Hudi's incremental per-file-group compaction is the
+    upgrade path when only a few groups carry long chains."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    root = _local(path)
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    with open(props_path, encoding="utf-8") as fh:
+        props = _read_properties(fh.read())
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError("compact_hudi_mor is for MERGE_ON_READ tables")
+    merged = read_hudi_mor(spark, path)
+    # re-read the key column for the new base files
+    instants = _completed_instants(root, allow_delta=True)
+    instant = str(int(instants[-1][0]) + 1)
+    token = _uuid.uuid4().hex[:8]
+    live = _mor_slices(root, None)
+    # every live file group is replaced
+    replaced: dict[str, list] = {}
+    for base, _logs in live:
+        if base is None:
+            continue
+        rel = os.path.relpath(base, root)
+        part = os.path.dirname(rel)
+        fid = os.path.basename(rel).split("_", 1)[0]
+        replaced.setdefault(part, []).append(fid)
+
+    # MoR merge output dropped meta columns; restore the record key for
+    # the new base files (the merge keyed on it, so it equals the key
+    # column's string form only if the table was written that way — use
+    # the data itself: recompute from the recordkey field when declared)
+    key_field = props.get("hoodie.table.recordkey.fields")
+    if key_field and key_field in merged.columns:
+        out = merged.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.col(key_field).cast("string").alias("_hoodie_record_key"),
+            *[F.col(c) for c in merged.columns],
+        )
+    else:
+        raise HudiProtocolError(
+            "compaction needs hoodie.table.recordkey.fields naming a "
+            "data column to restore _hoodie_record_key on the new base"
+        )
+    staging = os.path.join(root, f".staging_{token}")
+    out.write.mode("overwrite").parquet(staging)
+    stats: dict[str, list] = {}
+    idx = 0
+    for d, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fid = f"c-{token}-{idx}"
+            rel = f"{fid}_0-1-0_{instant}.parquet"
+            os.replace(os.path.join(d, name), os.path.join(root, rel))
+            stats.setdefault("", []).append({"fileId": fid, "path": rel})
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    meta = {
+        "partitionToWriteStats": stats,
+        "partitionToReplaceFileIds": replaced,
+        "operationType": "COMPACT",
+    }
+    tmp = os.path.join(root, ".hoodie", f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    final = os.path.join(root, ".hoodie", f"{instant}.replacecommit")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(f"concurrent commit took instant {instant}")
+    finally:
+        os.unlink(tmp)
+    return instant

@@ -295,3 +295,35 @@ def test_mor_partitioned_file_groups(spark, tmp_path):
     assert len(rows) == 20
     assert rows[3] == 333.0  # partition a's log applied
     assert rows[13] == 13.0  # partition b untouched
+
+
+def test_compact_mor_folds_logs_into_new_base(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import compact_hudi_mor
+
+    root = str(tmp_path / "mor_c")
+    _mk_table(
+        spark,
+        root,
+        {
+            T2: [
+                encode_avro_data_block(
+                    [_rec(3, 333.0), _rec(5, 5.0, deleted=True)],
+                    AVRO_SCHEMA,
+                    T2,
+                )
+            ]
+        },
+    )
+    # the MoR key field must be declared for compaction to restore keys
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "a") as fh:
+        fh.write("hoodie.table.recordkey.fields=k\n")
+    before = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    instant = compact_hudi_mor(spark, root)
+    after = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    assert after == before  # same merged snapshot
+    assert after[3] == 333.0 and 5 not in after
+    # the compacted read touches ZERO log files: all inputs are the new base
+    files = read_hudi_mor(spark, root).inputFiles()
+    assert files and all(f"_{instant}.parquet" in f for f in files)
+    # pre-compaction snapshot still resolves
+    assert len(read_hudi_mor(spark, root, as_of_instant=T2).collect()) == 9
