@@ -2497,6 +2497,96 @@ def delta_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped handle to the build-once DV-DML-history Delta fixture
+_DELTA_DV_DML_CACHE: dict[str, str] = {}
+
+
+def _delta_dv_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table whose DML history runs through DELETION
+    VECTORS (merge-on-read) instead of file rewrites: v0 create (all
+    orders, hive-partitioned by o_orderstatus, legacy protocol (1,2)) →
+    v1 ``delete_from_delta(mode='dv')`` (%10=5 — the commit also
+    UPGRADES the protocol to table features (3,7) with
+    ``deletionVectors``) → v2 ``update_delta(mode='dv')`` (%10=0: price
+    negated — old row versions masked by a SECOND-generation DV that
+    unions with v1's, only the 10% updated rows written as new files).
+    No original data file is ever rewritten; the snapshot is wrong
+    unless DV encode (RoaringBitmapArray sidecar), (path, dvId) action
+    reconciliation, DV union, and the read-side anti-join all agree."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_DV_DML_CACHE:
+        return _DELTA_DV_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltadvdml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000002.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(o, path, mode="error", partition_by=["o_orderstatus"])
+        delete_from_delta(spark, path, "o_orderkey % 10 = 5", mode="dv")
+        update_delta(
+            spark, path, "o_orderkey % 10 = 0",
+            {"o_totalprice": "-o_totalprice"}, mode="dv",
+        )
+    _DELTA_DV_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_dv_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta", "dml", "dv"),
+)
+def delta_dv_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DML round-trip on a Delta table this repo both
+    writes AND reads: DELETE + UPDATE applied as DELETION-VECTOR commits
+    (``sources/delta_write.py::_dv_mark_matching`` — RoaringBitmapArray
+    sidecars, remove{path,oldDV}+add{path,newDV} reconciliation, in-commit
+    protocol upgrade to (3,7)) and read back through the DV anti-join in
+    ``sources/delta.py``. Same query SEMANTICS as delta_dml_roundtrip —
+    reached with ZERO base-file rewrites: write amplification ∝ changed
+    rows, the mode a 100 TB table needs for selective DML. Reference
+    parity: crates/cdl-fs/src/lib.rs:343-353 (S3 dataset ingest is the
+    migration path; mutable external tables are its beyond-reference
+    extension)."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_dv_dml_orders(spark, sf_dir)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 #: session-scoped handle to the build-once DML-history Iceberg fixture
 _ICEBERG_DML_CACHE: dict[str, str] = {}
 

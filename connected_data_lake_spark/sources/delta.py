@@ -676,9 +676,17 @@ def read_delta(
     version: int | None = None,
     log_store: DeltaLogStore | None = None,
     delete_broadcast_max_rows: int = DELETE_BROADCAST_MAX_ROWS,
+    _keep_position: bool = False,
 ) -> DataFrame:
     """Read an external Delta table as a DataFrame (exact snapshot
     semantics: the active add-file set of the requested version).
+
+    ``_keep_position`` (internal — the deletion-vector WRITE path in
+    ``delta_write.py`` uses it) appends two columns to the result:
+    ``__cdl_fp`` (normalized absolute file path) and ``__cdl_pos`` (the
+    row's PHYSICAL index in its parquet file, ``_metadata.row_index``) —
+    captured at scan time, before any DV anti-join removes rows, so the
+    surviving rows keep their true physical positions.
 
     ``version=None`` reads the latest snapshot; an integer time-travels,
     exactly like the native manifest reader's ``version=`` parameter.
@@ -735,6 +743,14 @@ def read_delta(
             "'none', 'name' and 'id')"
         )
     if not adds:
+        if _keep_position:
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("__cdl_fp", T.StringType(), False),
+                    T.StructField("__cdl_pos", T.LongType(), False),
+                ]
+            )
         return spark.createDataFrame([], schema)
     base = path.rstrip("/")
     files = [
@@ -752,13 +768,14 @@ def read_delta(
     )
 
     def restore(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[
-                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-                if phys[f.name] in df.columns
-            ]
-        )
+        cols = [
+            F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if phys[f.name] in df.columns
+        ]
+        if _keep_position:
+            cols += [F.col("__cdl_fp"), F.col("__cdl_pos")]
+        return df.select(*cols)
 
     dv_adds = [
         (abs_path, a["deletionVector"])
@@ -771,6 +788,12 @@ def read_delta(
         scan's (file, row position) — applied on the RAW scan (before
         restore()'s projection drops _metadata access)."""
         if not dv_adds:
+            if _keep_position:
+                return df.select(
+                    "*",
+                    _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
+                    F.col("_metadata.row_index").alias("__cdl_pos"),
+                )
             return df
         total = sum(int(d.get("cardinality") or 0) for _p, d in dv_adds)
         if total > delete_broadcast_max_rows:
@@ -818,15 +841,12 @@ def read_delta(
                     ),
                 )
             )
-        return (
-            df.select(
-                "*",
-                _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
-                F.col("_metadata.row_index").alias("__cdl_pos"),
-            )
-            .join(dels, ["__cdl_fp", "__cdl_pos"], "left_anti")
-            .drop("__cdl_fp", "__cdl_pos")
-        )
+        out = df.select(
+            "*",
+            _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
+            F.col("_metadata.row_index").alias("__cdl_pos"),
+        ).join(dels, ["__cdl_fp", "__cdl_pos"], "left_anti")
+        return out if _keep_position else out.drop("__cdl_fp", "__cdl_pos")
 
     if mode == "id":
         id_fields = []

@@ -81,7 +81,7 @@ from connected_data_lake_spark.sources.delta import (
 #: type-availability feature (nothing to enforce beyond writing the
 #: column, which Spark's parquet writer does).
 _SUPPORTED_WRITER_FEATURES = frozenset(
-    {"appendOnly", "invariants", "timestampNtz"}
+    {"appendOnly", "invariants", "timestampNtz", "deletionVectors"}
 )
 
 
@@ -716,7 +716,10 @@ def compact_delta(
     failure mode of high-frequency appends at 100 TB — compaction keeps
     the add-file count (and so log replay and scan planning) bounded.
     """
-    from connected_data_lake_spark.sources.delta import read_delta
+    from connected_data_lake_spark.sources.delta import (
+        _dv_unique_id,
+        read_delta,
+    )
 
     store = _store_for(path, None)
     meta, live, proto = _replay(store, path, None)
@@ -748,6 +751,12 @@ def compact_delta(
             "dataChange": False,
             "partitionValues": a.get("partitionValues") or {},
         }
+        # replay keys live files by (path, dv uniqueId): a remove that
+        # drops the descriptor would miss the DV'd logical file. The
+        # compacted output read DVs through read_delta, so OPTIMIZE also
+        # acts as a DV PURGE — deleted rows fold out of the new base files.
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
         actions.append({"remove": rm})
     for rel, pvals in moved:
         actions.append(
@@ -782,7 +791,8 @@ def compact_delta(
         # a concurrent writer landed: re-replay — if the live set moved
         # under us the rewrite is stale, abort rather than drop their data
         _m2, live2, _p2 = _replay(store, path, None)
-        if {a["path"] for a in live2} != {a["path"] for a in live}:
+        key = lambda a: (a["path"], _dv_unique_id(a.get("deletionVector")))
+        if {key(a) for a in live2} != {key(a) for a in live}:
             raise RuntimeError(
                 "concurrent commit changed the live file set during "
                 "OPTIMIZE; re-run compaction"
@@ -812,6 +822,15 @@ def vacuum_delta(
     store = _store_for(path, None)
     _meta, live, _proto = _replay(store, path, None)
     keep = {a["path"] for a in live}
+    # live deletion-vector sidecars are referenced through descriptors,
+    # not add paths — resolve them into the keep set so VACUUM never
+    # reclaims a bitmap the current snapshot still reads
+    for a in live:
+        dv = a.get("deletionVector")
+        if dv:
+            rel_dv = _dv_rel_path(dv)
+            if rel_dv:
+                keep.add(rel_dv)
     cutoff = _time.time() - retention_ms / 1000.0
     doomed: list[str] = []
     for root, dirs, names in os.walk(path):
@@ -822,7 +841,12 @@ def vacuum_delta(
         for name in names:
             full = os.path.join(root, name)
             rel = os.path.relpath(full, path).replace(os.sep, "/")
-            if not name.endswith(".parquet") and "_staging_" not in rel:
+            is_dv_bin = name.startswith("deletion_vector_") and name.endswith(".bin")
+            if (
+                not name.endswith(".parquet")
+                and not is_dv_bin
+                and "_staging_" not in rel
+            ):
                 continue
             if rel in keep:
                 continue
@@ -875,17 +899,15 @@ def _rewrite_matching_files(spark, path: str, condition: str, transform):
     partition_by = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
 
-    df = read_delta(spark, path)
+    # _keep_position exposes __cdl_fp (normalized file path) as a real
+    # column — resolvable even on DV'd snapshots, where the read plan's
+    # anti-join consumes the _metadata pseudo-column
+    df = read_delta(spark, path, _keep_position=True)
     pred = F.expr(condition)
     # planning-sized collect: one row per AFFECTED file
-    hit_raw = sorted(
-        r[0]
-        for r in df.filter(pred)
-        .select(F.col("_metadata.file_path"))
-        .distinct()
-        .collect()
+    hit_paths = sorted(
+        r[0] for r in df.filter(pred).select("__cdl_fp").distinct().collect()
     )
-    hit_paths = {_norm_path_py(p) for p in hit_raw}
     if not hit_paths:
         return delta_table_version(path), 0
     base = path.rstrip("/")
@@ -900,22 +922,23 @@ def _rewrite_matching_files(spark, path: str, condition: str, transform):
         raise RuntimeError("scan returned files outside the live set")
 
     # file count is planning-sized; an IN list keeps the scope JVM-side
-    scoped = df.filter(F.col("_metadata.file_path").isin(*hit_raw))
+    scoped = df.filter(F.col("__cdl_fp").isin(*hit_paths))
     rewritten = transform(scoped, pred).select(*[f.name for f in schema.fields])
     moved = _stage_and_move(rewritten, path, partition_by)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
     for a in affected:
-        actions.append(
-            {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                    "partitionValues": a.get("partitionValues") or {},
-                }
-            }
-        )
+        rm = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        # live files are keyed (path, dv uniqueId) at replay: a CoW
+        # rewrite of a DV'd file must remove THAT logical file
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
     n_new = 0
     for rel, pvals in moved:
         n_new += 1
@@ -937,18 +960,284 @@ def _rewrite_matching_files(spark, path: str, condition: str, transform):
         if commit_delta(log_dir, version, actions):
             return version, len(affected)
         _m2, live2, _p2 = _replay(store, path, None)
-        if not {a["path"] for a in affected} <= {a["path"] for a in live2}:
+        from connected_data_lake_spark.sources.delta import _dv_unique_id
+
+        key = lambda a: (a["path"], _dv_unique_id(a.get("deletionVector")))
+        if not {key(a) for a in affected} <= {key(a) for a in live2}:
             raise RuntimeError(
-                "concurrent commit removed a file this DML rewrote; re-run"
+                "concurrent commit removed or re-marked a file this DML "
+                "rewrote; re-run"
             )
     raise RuntimeError(f"lost the commit race 10 times under {path}")
 
 
-def delete_from_delta(spark, path: str, condition: str) -> int:
-    """DELETE FROM <table> WHERE ``condition`` (SQL expression string):
-    copy-on-write delete — only files containing matches are rewritten
-    without the matching rows; commits add+remove (dataChange=true).
+#: positions the deletion-vector DML path will collect onto the driver
+#: before falling back to copy-on-write (each position is one int; the
+#: default bounds driver state at ~80 MB of raw longs)
+DV_MARK_MAX_ROWS = 10_000_000
+
+
+def _dv_rel_path(dv: dict) -> str | None:
+    """Table-relative path of a storageType=``u`` deletion-vector file
+    (None for inline/absolute descriptors) — the layout contract shared
+    with the reader's ``_dv_payload`` (delta.py)."""
+    import base64
+    import uuid as _uuid
+
+    if dv.get("storageType") != "u":
+        return None
+    enc = dv["pathOrInlineDv"]
+    prefix, tail = enc[:-20], enc[-20:]
+    u = _uuid.UUID(bytes=base64.b85decode(tail))
+    return f"{prefix}/deletion_vector_{u}.bin" if prefix else f"deletion_vector_{u}.bin"
+
+
+def _dv_protocol_upgrade(proto: dict) -> dict | None:
+    """Protocol action upgrading a table to table features with
+    ``deletionVectors``, or None when it already has the feature.
+
+    Upgrading a LEGACY protocol to (3, 7) lists the features the legacy
+    versions implied (PROTOCOL.md Table Features: minWriterVersion=2 ⇒
+    appendOnly + invariants; minReaderVersion=1 ⇒ none) — the same
+    normalization delta-spark performs on feature upgrades."""
+    feats_r = set(proto.get("readerFeatures") or [])
+    feats_w = set(proto.get("writerFeatures") or [])
+    if "deletionVectors" in feats_r and "deletionVectors" in feats_w:
+        return None
+    if not feats_w and int(proto.get("minWriterVersion", 2) or 2) >= 2:
+        feats_w = {"appendOnly", "invariants"}
+    feats_r.add("deletionVectors")
+    feats_w.add("deletionVectors")
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats_r),
+            "writerFeatures": sorted(feats_w | feats_r),
+        }
+    }
+
+
+def _dv_mark_matching(
+    spark,
+    path: str,
+    condition: str,
+    operation: str,
+    new_rows_transform=None,
+    dv_max_rows: int = DV_MARK_MAX_ROWS,
+):
+    """Shared MERGE-ON-READ DML engine: instead of rewriting every file
+    the predicate hits (the CoW engine), mark the matching rows deleted
+    with DELETION VECTORS — per-file RoaringBitmapArray bitmaps in ONE
+    sidecar ``.bin`` file — and commit ``remove{path, oldDV}`` +
+    ``add{path, newDV}`` per affected file. UPDATE additionally writes
+    the transformed matching rows as NEW data files in the same commit.
+
+    Write amplification is proportional to the DELETED ROW COUNT, not
+    the size of the files they live in — on a 100 TB table a point
+    delete costs one bitmap write instead of a gigabyte-scale file
+    rewrite; the read-side cost (one anti-join per scan) is repaid at
+    the next OPTIMIZE, which folds DVs into fresh base files.
+
+    Positions are physical parquet row indexes from the scan's own
+    ``_metadata.row_index`` (``read_delta(_keep_position=True)``), taken
+    AFTER existing DVs apply, so re-deletes union disjoint sets. A file
+    whose every physical row ends up deleted is removed outright (no
+    empty-DV add). Matches above ``dv_max_rows`` fall back to the CoW
+    engine with a warning — bitmap construction is driver-side and a
+    delete that touches most of a file is cheaper rewritten anyway.
+
+    Returns ``(version, n_affected_files, fell_back_to_cow)``.
+    """
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.delta import (
+        _dv_row_indexes,
+        _dv_unique_id,
+        delta_table_version,
+        read_delta,
+    )
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+    from connected_data_lake_spark.sources.roaring import encode_rbm_array
+
+    store = _store_for(path, None)
+    meta, live, proto = _replay(store, path, None)
+    _check_writer_protocol(proto, meta)
+    conf = _as_map_dict(meta.get("configuration"))
+    if conf.get("delta.appendOnly") == "true":
+        raise DeltaProtocolError("delta.appendOnly=true table refuses DML")
+    partition_by = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    df = read_delta(spark, path, _keep_position=True)
+    pred = F.expr(condition)
+    matched = df.filter(pred)
+    n_hits = matched.count()
+    if n_hits == 0:
+        return delta_table_version(path), 0, False
+    if n_hits > dv_max_rows:
+        import warnings
+
+        warnings.warn(
+            f"{operation} matches {n_hits} rows > dv_max_rows={dv_max_rows}; "
+            "falling back to copy-on-write file rewrite (deletion-vector "
+            "construction is driver-side and a delete this wide is cheaper "
+            "rewritten).",
+            stacklevel=3,
+        )
+        return None  # caller runs the CoW engine
+    # planning-sized collect: one row per affected FILE, positions sorted
+    per_file = (
+        matched.groupBy("__cdl_fp")
+        .agg(F.sort_array(F.collect_list("__cdl_pos")).alias("pos"))
+        .collect()
+    )
+
+    base = path.rstrip("/")
+    by_abs = {
+        _norm_path_py(
+            a["path"] if os.path.isabs(a["path"]) else f"{base}/{a['path']}"
+        ): a
+        for a in live
+    }
+    now_ms = int(time.time() * 1000)
+    token = _uuid.uuid4()
+    import base64 as _b64
+
+    enc_uuid = _b64.b85encode(token.bytes).decode()
+    rel_bin = f"deletion_vector_{token}.bin"
+    blob = bytearray(b"\x01")  # format-version byte (delta.py _dv_payload)
+    actions: list[dict] = []
+    upgrade = _dv_protocol_upgrade(proto)
+    affected: list[dict] = []
+    for row in per_file:
+        a = by_abs.get(row["__cdl_fp"])
+        if a is None:
+            raise RuntimeError("scan returned files outside the live set")
+        affected.append(a)
+        old_dv = a.get("deletionVector")
+        old_pos = _dv_row_indexes(old_dv, path, store) if old_dv else []
+        allpos = sorted(set(old_pos) | set(int(p) for p in row["pos"]))
+        remove = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        if old_dv:
+            remove["deletionVector"] = old_dv
+        actions.append({"remove": remove})
+        try:
+            nrec = json.loads(a.get("stats") or "{}").get("numRecords")
+        except ValueError:
+            nrec = None
+        if nrec is not None and len(allpos) >= int(nrec):
+            continue  # every physical row deleted: drop the file outright
+        payload = encode_rbm_array(allpos)
+        offset = len(blob)
+        blob += struct.pack(">i", len(payload))
+        blob += payload
+        blob += struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+        add = {
+            k: v
+            for k, v in a.items()
+            if k in ("path", "partitionValues", "size", "stats")
+        }
+        add["partitionValues"] = a.get("partitionValues") or {}
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc_uuid,
+            "offset": offset,
+            "sizeInBytes": len(payload),
+            "cardinality": len(allpos),
+        }
+        actions.append({"add": add})
+    if len(blob) > 1:  # at least one non-empty bitmap → write the sidecar
+        tmp_bin = os.path.join(path, f".tmp-{token.hex}.bin")
+        with open(tmp_bin, "wb") as fh:
+            fh.write(bytes(blob))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_bin, os.path.join(path, rel_bin))
+    n_new_files = 0
+    if new_rows_transform is not None:
+        rewritten = new_rows_transform(matched, pred).select(
+            *[f.name for f in schema.fields]
+        )
+        for rel, pvals in _stage_and_move(rewritten, path, partition_by):
+            n_new_files += 1
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(pvals),
+                        "size": os.path.getsize(os.path.join(path, rel)),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": _file_stats(os.path.join(path, rel), schema),
+                    }
+                }
+            )
+    commit_actions = ([upgrade] if upgrade else []) + actions + [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": {"mode": "merge-on-read"},
+                "engineInfo": "connected_data_lake_spark",
+            }
+        }
+    ]
+    log_dir = os.path.join(path, _LOG_DIR)
+    affected_keys = {
+        (a["path"], _dv_unique_id(a.get("deletionVector"))) for a in affected
+    }
+    for _attempt in range(10):
+        version = delta_table_version(path) + 1
+        if commit_delta(log_dir, version, commit_actions):
+            return version, len(affected), False
+        _m2, live2, _p2 = _replay(store, path, None)
+        live_keys = {
+            (a["path"], _dv_unique_id(a.get("deletionVector"))) for a in live2
+        }
+        if not affected_keys <= live_keys:
+            raise RuntimeError(
+                "concurrent commit changed a file this DML marked; re-run"
+            )
+    raise RuntimeError(f"lost the commit race 10 times under {path}")
+
+
+def delete_from_delta(
+    spark,
+    path: str,
+    condition: str,
+    mode: str = "cow",
+    dv_max_rows: int = DV_MARK_MAX_ROWS,
+) -> int:
+    """DELETE FROM <table> WHERE ``condition`` (SQL expression string).
+
+    ``mode='cow'`` (default): copy-on-write — only files containing
+    matches are rewritten without the matching rows; add+remove commit.
+    ``mode='dv'``: merge-on-read — matching rows are marked deleted with
+    DELETION VECTORS (reader protocol 3; the table's protocol upgrades
+    in the same commit if needed); no data file moves. Write cost scales
+    with deleted rows, not file sizes — the right mode for selective
+    deletes on large tables (GDPR point deletes, late-data corrections).
     Returns the committed version."""
+    if mode == "dv":
+        out = _dv_mark_matching(
+            spark, path, condition, "DELETE", dv_max_rows=dv_max_rows
+        )
+        if out is not None:
+            return out[0]
+    elif mode != "cow":
+        raise ValueError(f"unknown DELETE mode {mode!r} (use 'cow' or 'dv')")
     version, _n = _rewrite_matching_files(
         spark,
         path,
@@ -959,18 +1248,50 @@ def delete_from_delta(spark, path: str, condition: str) -> int:
 
 
 def update_delta(
-    spark, path: str, condition: str, assignments: dict[str, str]
+    spark,
+    path: str,
+    condition: str,
+    assignments: dict[str, str],
+    mode: str = "cow",
+    dv_max_rows: int = DV_MARK_MAX_ROWS,
 ) -> int:
     """UPDATE <table> SET col=expr, ... WHERE ``condition`` (all SQL
-    expression strings): copy-on-write update over only the files the
-    predicate hits. Returns the committed version."""
+    expression strings).
+
+    ``mode='cow'`` (default): copy-on-write over only the files the
+    predicate hits. ``mode='dv'``: merge-on-read — old versions of the
+    matched rows are masked by deletion vectors and ONLY the updated
+    rows are written out as new files in the same commit (write cost ∝
+    matched rows, not hit-file bytes). Returns the committed version."""
     from pyspark.sql import functions as F
 
+    def check_cols(cols):
+        for col in assignments:
+            if col not in cols:
+                raise ValueError(f"unknown column {col!r} in UPDATE")
+
+    if mode == "dv":
+
+        def new_rows(matched, _pred):
+            check_cols(matched.columns)
+            out = matched
+            for col, expr in assignments.items():
+                out = out.withColumn(col, F.expr(expr))
+            return out
+
+        out = _dv_mark_matching(
+            spark, path, condition, "UPDATE",
+            new_rows_transform=new_rows, dv_max_rows=dv_max_rows,
+        )
+        if out is not None:
+            return out[0]
+    elif mode != "cow":
+        raise ValueError(f"unknown UPDATE mode {mode!r} (use 'cow' or 'dv')")
+
     def xform(scoped, pred):
+        check_cols(scoped.columns)
         out = scoped
         for col, expr in assignments.items():
-            if col not in scoped.columns:
-                raise ValueError(f"unknown column {col!r} in UPDATE")
             out = out.withColumn(
                 col, F.when(pred, F.expr(expr)).otherwise(F.col(col))
             )

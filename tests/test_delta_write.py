@@ -486,3 +486,199 @@ def test_schema_merge_refuses_type_change(spark, tbl):
     changed = _df(spark, 10, 20).withColumn("v", F.col("v").cast("string"))
     with pytest.raises(ValueError, match="cannot change column types"):
         write_delta(changed, tbl, mode="append", schema_mode="merge")
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DML: deletion-vector writes (mode="dv")
+# ---------------------------------------------------------------------------
+
+
+def _live_adds(tbl):
+    """(path, deletionVector) of the current snapshot's live adds."""
+    from connected_data_lake_spark.sources.delta import _replay, _store_for
+
+    _m, live, proto = _replay(_store_for(tbl, None), tbl, None)
+    return live, proto
+
+
+def test_dv_delete_marks_rows_without_rewriting_files(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    # one file per partition dir → every hit file keeps live rows, so the
+    # delete must mark with DVs (never the full-file removal path)
+    write_delta(_df(spark, 0, 90).coalesce(1), tbl, partition_by=["p"])
+    data0 = sorted(glob.glob(os.path.join(tbl, "p=*", "*.parquet")))
+    mtimes0 = {f: os.path.getmtime(f) for f in data0}
+    v = delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 81
+    assert back.filter("k % 10 = 5").count() == 0
+    # NO data file moved — the delete wrote only a DV sidecar + log entry
+    data1 = sorted(glob.glob(os.path.join(tbl, "p=*", "*.parquet")))
+    assert data1 == data0
+    assert {f: os.path.getmtime(f) for f in data1} == mtimes0
+    bins = glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))
+    assert len(bins) == 1
+    # live adds now carry DV descriptors with exact cardinalities
+    live, proto = _live_adds(tbl)
+    dv_cards = sorted(
+        a["deletionVector"]["cardinality"] for a in live if a.get("deletionVector")
+    )
+    assert sum(dv_cards) == 9
+    # the commit upgraded the protocol to table features with DVs
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in set(proto["readerFeatures"])
+    assert "deletionVectors" in set(proto["writerFeatures"])
+    # time travel to the pre-delete snapshot still sees every row
+    assert read_delta(spark, tbl, version=0).count() == 90
+
+
+def test_dv_redelete_unions_with_existing_vector(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    v2 = delete_from_delta(spark, tbl, "k % 10 = 6", mode="dv")
+    back = read_delta(spark, tbl)
+    assert back.count() == 80
+    assert back.filter("k % 10 IN (5, 6)").count() == 0
+    # ONE live logical file per path, its DV the union of both deletes
+    live, _ = _live_adds(tbl)
+    assert sum(int(a["deletionVector"]["cardinality"]) for a in live
+               if a.get("deletionVector")) == 20
+    # the intermediate snapshot shows only the first delete
+    assert read_delta(spark, tbl, version=1).count() == 90
+    assert v2 == 2
+
+
+def test_dv_update_writes_only_updated_rows(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import update_delta
+
+    write_delta(_df(spark, 0, 90).coalesce(1), tbl, partition_by=["p"])
+    data0 = set(glob.glob(os.path.join(tbl, "p=*", "*.parquet")))
+    v = update_delta(spark, tbl, "k % 30 = 7", {"v": "-v"}, mode="dv")
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 90
+    got = {r["k"]: r["v"] for r in back.filter("k % 30 = 7").collect()}
+    assert got == {k: -(k * 1.5) for k in (7, 37, 67)}
+    # original files untouched; new files carry ONLY the 3 updated rows
+    data1 = set(glob.glob(os.path.join(tbl, "p=*", "*.parquet")))
+    assert data0 <= data1
+    new_rows = 0
+    for f in data1 - data0:
+        import pyarrow.parquet as pq
+
+        new_rows += pq.ParquetFile(f).metadata.num_rows
+    assert new_rows == 3
+    # unknown column still refused in dv mode
+    with pytest.raises(ValueError, match="unknown column"):
+        update_delta(spark, tbl, "k = 1", {"nope": "1"}, mode="dv")
+
+
+def test_dv_full_file_delete_removes_file_outright(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 90), tbl, partition_by=["p"])
+    delete_from_delta(spark, tbl, "p = '1'", mode="dv")
+    back = read_delta(spark, tbl)
+    assert back.count() == 60 and back.filter("p = '1'").count() == 0
+    # the p=1 files left the live set entirely — no empty-bitmap adds
+    live, _ = _live_adds(tbl)
+    assert not any(a["path"].startswith("p=1/") for a in live)
+    assert not any(a.get("deletionVector") for a in live)
+    # and no sidecar was written (every affected file was fully deleted)
+    assert glob.glob(os.path.join(tbl, "deletion_vector_*.bin")) == []
+
+
+def test_dv_delete_above_gate_falls_back_to_cow(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 100), tbl)
+    with pytest.warns(UserWarning, match="falling back to copy-on-write"):
+        v = delete_from_delta(spark, tbl, "k < 50", mode="dv", dv_max_rows=10)
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 50
+    # CoW path: no DV sidecar, live adds carry no descriptors
+    assert glob.glob(os.path.join(tbl, "deletion_vector_*.bin")) == []
+    live, _ = _live_adds(tbl)
+    assert not any(a.get("deletionVector") for a in live)
+
+
+def test_dv_then_cow_delete_interoperates(spark, tbl):
+    """A CoW rewrite of a DV'd file must remove the (path, dv) logical
+    file — remove actions carry the descriptor."""
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    delete_from_delta(spark, tbl, "k % 10 = 6")  # CoW on the DV'd file
+    back = read_delta(spark, tbl)
+    assert back.count() == 80
+    assert back.filter("k % 10 IN (5, 6)").count() == 0
+    live, _ = _live_adds(tbl)
+    # the rewrite folded the DV in: fresh files, no descriptors
+    assert not any(a.get("deletionVector") for a in live)
+
+
+def test_optimize_folds_dvs_into_base_files(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import (
+        compact_delta,
+        delete_from_delta,
+        vacuum_delta,
+    )
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 4 = 1", mode="dv")
+    v = compact_delta(spark, tbl)
+    back = read_delta(spark, tbl)
+    assert back.count() == 75 and back.filter("k % 4 = 1").count() == 0
+    live, _ = _live_adds(tbl)
+    assert not any(a.get("deletionVector") for a in live)
+    # pre-OPTIMIZE snapshots still read (both DV'd and original)
+    assert read_delta(spark, tbl, version=1).count() == 75
+    assert read_delta(spark, tbl, version=0).count() == 100
+    # vacuum now reclaims the stale sidecar but never a live one
+    doomed = vacuum_delta(tbl, retention_ms=0)
+    assert any(d.startswith("deletion_vector_") for d in doomed)
+    assert read_delta(spark, tbl).count() == 75
+    assert v == 2
+
+
+def test_vacuum_keeps_live_dv_sidecars(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        vacuum_delta,
+    )
+
+    write_delta(_df(spark, 0, 100), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    doomed = vacuum_delta(tbl, retention_ms=0)
+    assert not any(d.endswith(".bin") for d in doomed)
+    assert read_delta(spark, tbl).count() == 90
+
+
+def test_dv_append_only_table_refuses(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(
+        _df(spark, 0, 10), tbl,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        delete_from_delta(spark, tbl, "k = 1", mode="dv")
+
+
+def test_dv_unknown_mode_refused(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        update_delta,
+    )
+
+    write_delta(_df(spark, 0, 10), tbl)
+    with pytest.raises(ValueError, match="unknown DELETE mode"):
+        delete_from_delta(spark, tbl, "k = 1", mode="nope")
+    with pytest.raises(ValueError, match="unknown UPDATE mode"):
+        update_delta(spark, tbl, "k = 1", {"v": "1"}, mode="nope")
