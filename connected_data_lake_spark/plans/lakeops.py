@@ -2668,6 +2668,95 @@ def iceberg_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped handle to the build-once MoR-DML-history Iceberg fixture
+_ICEBERG_MOR_DML_CACHE: dict[str, str] = {}
+
+
+def _iceberg_mor_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Iceberg v2 table whose DML history runs through
+    MERGE-ON-READ position deletes instead of manifest-rewrite CoW:
+    snapshot 1 create (all orders, identity-partitioned by
+    o_orderstatus) → snapshot 2 ``delete_from_iceberg(mode='mor')``
+    (%10=5 — spec content=1 delete files written in one distributed
+    job, prior manifests carried untouched) → snapshot 3
+    ``update_iceberg(mode='mor')`` (%10=0: price negated — old row
+    versions masked by a second delete manifest, ONLY the updated rows
+    land as new data files). No base data file is ever rewritten; the
+    snapshot is wrong unless the delete-file field ids, manifest-list
+    sequence numbers, and the reader's position anti-join all agree."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+        update_iceberg,
+        write_iceberg,
+    )
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_MOR_DML_CACHE:
+        return _ICEBERG_MOR_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icemordml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "v3.metadata.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_iceberg(o, path, mode="error", partition_by=["o_orderstatus"])
+        delete_from_iceberg(spark, path, "o_orderkey % 10 = 5", mode="mor")
+        update_iceberg(
+            spark, path, "o_orderkey % 10 = 0",
+            {"o_totalprice": "-o_totalprice"}, mode="mor",
+        )
+    _ICEBERG_MOR_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_mor_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "dml", "mor"),
+)
+def iceberg_mor_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DML round-trip on an Iceberg table this repo both
+    writes AND reads: DELETE + UPDATE applied as POSITION-DELETE commits
+    (``sources/iceberg_write.py::_mor_mark_matching_iceberg`` — spec
+    content=1 parquet delete files with reserved field ids 2147483546/
+    2147483545, sorted within each file, content=1 delete manifests,
+    prior manifests carried verbatim) and read back through the
+    position anti-join in ``sources/iceberg.py``. Same query SEMANTICS
+    as iceberg_dml_roundtrip and delta_dv_dml_roundtrip — reached with
+    ZERO base-file rewrites, the MoR half of the Iceberg DML story
+    (write amplification ∝ changed rows at 100 TB)."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_mor_dml_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 #: session-scoped handle to the build-once MERGE-history Delta fixture
 _DELTA_MERGE_CACHE: dict[str, str] = {}
 

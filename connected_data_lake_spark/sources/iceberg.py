@@ -1094,10 +1094,17 @@ def read_iceberg(
     filters: list[tuple] | None = None,
     store: IcebergStore | None = None,
     delete_broadcast_max_rows: int = DELETE_BROADCAST_MAX_ROWS,
+    _keep_position: bool = False,
 ) -> DataFrame:
     """Read an external Iceberg table as a DataFrame (exact snapshot
     semantics: the selected snapshot's live data-file set minus its
     position AND equality deletes).
+
+    ``_keep_position`` (internal — the merge-on-read DML writers in
+    ``iceberg_write.py`` use it) keeps ``__cdl_fp`` (scheme-normalized
+    file path) and ``__cdl_pos`` (physical parquet row index) as output
+    columns, captured inside each scan relation before delete anti-joins
+    run — surviving rows keep their true physical positions.
 
     Defaults to the current snapshot; ``snapshot_id=`` pins one,
     ``as_of_timestamp_ms=`` replays the snapshot log — the same
@@ -1136,12 +1143,24 @@ def read_iceberg(
             df = df.filter(_OPS[op](F.col(col), F.lit(val)))
         return df
 
+    def _empty() -> DataFrame:
+        sch = schema
+        if _keep_position:
+            sch = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("__cdl_fp", T.StringType(), False),
+                    T.StructField("__cdl_pos", T.LongType(), False),
+                ]
+            )
+        return _apply_filters(spark.createDataFrame([], sch))
+
     if snapshot is None:
-        return _apply_filters(spark.createDataFrame([], schema))
+        return _empty()
     prune = _PruneContext(meta, schema_dict, filters)
     fs = _live_files(snapshot, meta, store, prune)
     if not fs.data:
-        return _apply_filters(spark.createDataFrame([], schema))
+        return _empty()
     del_rows = sum(n for _p, n in fs.pos_deletes) + sum(
         n for *_x, n in fs.eq_deletes
     )
@@ -1165,7 +1184,7 @@ def read_iceberg(
             "deletes in) to avoid the extra shuffle.",
             stacklevel=2,
         )
-    need_meta = bool(fs.pos_deletes) or bool(fs.eq_deletes)
+    need_meta = bool(fs.pos_deletes) or bool(fs.eq_deletes) or _keep_position
     df = _read_mapped(
         spark,
         store,
@@ -1196,7 +1215,7 @@ def read_iceberg(
             spark, store, df, fs, schema_dict, schema, meta,
             broadcast_deletes=broadcast_deletes,
         )
-    if need_meta:
+    if need_meta and not _keep_position:
         df = df.drop("__cdl_fp", "__cdl_pos")
     return _apply_filters(df)
 

@@ -689,6 +689,129 @@ def expire_iceberg_snapshots(
 # ---------------------------------------------------------------------------
 
 
+def _stage_iceberg_data_files(
+    spark,
+    path: str,
+    out_df,
+    partition_by: list[str],
+    part_fields: list[tuple[str, str]],
+    ids: dict[str, int],
+    token: str,
+) -> list[tuple[str, dict]]:
+    """Distributed parquet write of ``out_df`` into ``<path>/data/`` with
+    field-id-stamped footers and identity-partition fanout that KEEPS the
+    partition source columns in the data files (alias-dir staging).
+    Returns ``[(relative_name, partition_values)]``."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    staging = os.path.join(path, "data", f"_staging_{token}")
+    out = _with_field_ids(out_df, ids)
+    aliases = [f"__ipart_{c}" for c in partition_by]
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        out = out.select(
+            "*", *[F.col(c).alias(a) for c, a in zip(partition_by, aliases)]
+        )
+        writer = out.write.mode("overwrite").partitionBy(*aliases)
+    writer.parquet(staging)
+    files: list[tuple[str, dict]] = []
+    idx = 0
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, object] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                alias, _, raw = seg.partition("=")
+                col = alias[len("__ipart_"):]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    pvals[col] = None
+                else:
+                    t = dict(part_fields)[col]
+                    pvals[col] = int(raw) if t in ("int", "long") else unquote(raw)
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            new_rel = f"{token}-{idx:05d}.parquet"
+            os.replace(
+                os.path.join(root, name), os.path.join(path, "data", new_rel)
+            )
+            files.append((new_rel, pvals))
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return files
+
+
+def _iceberg_data_entries(
+    path: str,
+    files: list[tuple[str, dict]],
+    snap_id: int,
+    seq: int,
+    id_of: dict[str, int],
+    type_of: dict[str, str],
+) -> tuple[list[dict], int]:
+    """ADDED (status 1) manifest entries for freshly staged data files,
+    with record counts and int/long/string column bounds from parquet
+    FOOTERS only. Returns (entries, total_rows)."""
+    new_entries = []
+    n_rows_total = 0
+    for rel, pvals in files:
+        full = os.path.join(path, "data", rel)
+        n_rows, bounds, _nulls = _footer_stats(full)
+        n_rows_total += n_rows
+        lower, upper = [], []
+        for col, (lo, hi) in sorted(bounds.items()):
+            if col not in id_of:
+                continue
+            blo, bhi = _bound_bytes(type_of[col], lo), _bound_bytes(type_of[col], hi)
+            if blo is not None and bhi is not None:
+                lower.append({"key": id_of[col], "value": blo})
+                upper.append({"key": id_of[col], "value": bhi})
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": dict(pvals),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+    return new_entries, n_rows_total
+
+
+def _commit_iceberg_metadata(
+    path: str, meta0: dict, prev_ver: int, new_meta: dict, token: str
+) -> None:
+    """Put-if-absent commit of ``v{prev_ver+1}.metadata.json`` + atomic
+    version-hint update (the shared tail of every Iceberg commit)."""
+    meta_ver = prev_ver + 1
+    tmp = os.path.join(path, "metadata", f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    final = os.path.join(path, "metadata", f"v{meta_ver}.metadata.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit took v{meta_ver}; re-run the DML"
+        )
+    finally:
+        os.unlink(tmp)
+    hint = os.path.join(path, "metadata", f".tmp-hint-{token}")
+    with open(hint, "w") as fh:
+        fh.write(str(meta_ver))
+    os.replace(hint, os.path.join(path, "metadata", "version-hint.text"))
+
+
 def _rewrite_matching_files_iceberg(
     spark,
     path: str,
@@ -737,10 +860,11 @@ def _rewrite_matching_files_iceberg(
                 f"DML on table partitioned by {t!r} column {c!r} not supported"
             )
 
-    df = read_iceberg(spark, path)
-    # the _metadata column resolves only on the scan relation —
-    # materialize it before any join a hit_fn might do
-    df_fp = df.withColumn("__cdl_fp", F.col("_metadata.file_path"))
+    # _keep_position materializes __cdl_fp inside each scan relation —
+    # the _metadata pseudo-column would not resolve on a snapshot whose
+    # read plan already anti-joined deletes (MoR tables)
+    df_fp = read_iceberg(spark, path, _keep_position=True).drop("__cdl_pos")
+    df = df_fp.drop("__cdl_fp")
     if hit_fn is not None:
         hit_raw = sorted(hit_fn(df_fp))
         pred = None
@@ -766,42 +890,10 @@ def _rewrite_matching_files_iceberg(
         rewrite_fn(scoped) if rewrite_fn is not None else transform(scoped, pred)
     ).select(*[f["name"] for f in ice_fields])
     ids = {f["name"]: f["id"] for f in ice_fields}
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     token = uuid.uuid4().hex
-    staging = os.path.join(path, "data", f"_staging_{token}")
-    out = _with_field_ids(rewritten, ids)
-    aliases = [f"__ipart_{c}" for c in partition_by]
-    writer = out.write.mode("overwrite")
-    if partition_by:
-        out = out.select(
-            "*", *[F.col(c).alias(a) for c, a in zip(partition_by, aliases)]
-        )
-        writer = out.write.mode("overwrite").partitionBy(*aliases)
-    writer.parquet(staging)
-    files: list[tuple[str, dict]] = []
-    idx = 0
-    for root, _dirs, names in os.walk(staging):
-        rel_dir = os.path.relpath(root, staging)
-        pvals: dict[str, object] = {}
-        if rel_dir != ".":
-            for seg in rel_dir.split(os.sep):
-                alias, _, raw = seg.partition("=")
-                col = alias[len("__ipart_"):]
-                if raw == "__HIVE_DEFAULT_PARTITION__":
-                    pvals[col] = None
-                else:
-                    t = dict(part_fields)[col]
-                    pvals[col] = int(raw) if t in ("int", "long") else unquote(raw)
-        for name in sorted(names):
-            if not name.endswith(".parquet"):
-                continue
-            new_rel = f"{token}-{idx:05d}.parquet"
-            os.replace(
-                os.path.join(root, name), os.path.join(path, "data", new_rel)
-            )
-            files.append((new_rel, pvals))
-            idx += 1
-    shutil.rmtree(staging, ignore_errors=True)
+    files = _stage_iceberg_data_files(
+        spark, path, rewritten, partition_by, part_fields, ids, token
+    )
 
     snap_id = max(s["snapshot-id"] for s in snapshots) + 1
     seq = int(meta0.get("last-sequence-number", 0)) + 1
@@ -810,38 +902,9 @@ def _rewrite_matching_files_iceberg(
     entry_schema = _entry_avro_schema(part_fields)
 
     # new manifest for the rewritten files
-    new_entries = []
-    n_rows_total = 0
-    for rel, pvals in files:
-        full = os.path.join(path, "data", rel)
-        n_rows, bounds, _nulls = _footer_stats(full)
-        n_rows_total += n_rows
-        lower, upper = [], []
-        for col, (lo, hi) in sorted(bounds.items()):
-            if col not in id_of:
-                continue
-            blo, bhi = _bound_bytes(type_of[col], lo), _bound_bytes(type_of[col], hi)
-            if blo is not None and bhi is not None:
-                lower.append({"key": id_of[col], "value": blo})
-                upper.append({"key": id_of[col], "value": bhi})
-        new_entries.append(
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"{path}/data/{rel}",
-                    "file_format": "PARQUET",
-                    "partition": dict(pvals),
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(full),
-                    "lower_bounds": lower or None,
-                    "upper_bounds": upper or None,
-                },
-            }
-        )
+    new_entries, n_rows_total = _iceberg_data_entries(
+        path, files, snap_id, seq, id_of, type_of
+    )
     store = IcebergStore(path)
     prev_snap = next(s for s in snapshots if s["snapshot-id"] == parent)
     _ls, prev_manifests = read_ocf(store.read_uri(prev_snap["manifest-list"]))
@@ -944,30 +1007,270 @@ def _rewrite_matching_files_iceberg(
     new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
         {"snapshot-id": snap_id, "timestamp-ms": now_ms}
     ]
-    meta_ver = prev_ver + 1
-    tmp = os.path.join(path, "metadata", f".tmp-{token}.json")
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    final = os.path.join(path, "metadata", f"v{meta_ver}.metadata.json")
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise RuntimeError(
-            f"concurrent Iceberg commit took v{meta_ver}; re-run the DML"
-        )
-    finally:
-        os.unlink(tmp)
-    hint = os.path.join(path, "metadata", f".tmp-hint-{token}")
-    with open(hint, "w") as fh:
-        fh.write(str(meta_ver))
-    os.replace(hint, os.path.join(path, "metadata", "version-hint.text"))
+    _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, token)
     return snap_id, n_deleted
 
 
-def delete_from_iceberg(spark, path: str, condition: str) -> int:
-    """DELETE FROM <iceberg table> WHERE ``condition``: copy-on-write —
-    only files containing matches rewrite; affected manifests re-emit
-    with hit entries status=DELETED. Returns the new snapshot id."""
+def _mor_mark_matching_iceberg(
+    spark,
+    path: str,
+    condition: str,
+    operation: str,
+    new_rows_transform=None,
+    target_delete_file_rows: int = 5_000_000,
+):
+    """Shared MERGE-ON-READ Iceberg DML engine: instead of rewriting the
+    files the predicate hits (the CoW engine), write POSITION DELETE
+    files (spec content=1: ``file_path`` field-id 2147483546 / ``pos``
+    2147483545, sorted by (file_path, pos)) plus a content=1 delete
+    manifest, and carry every prior manifest forward untouched. UPDATE
+    additionally stages the transformed matching rows as new data files
+    under a content=0 manifest in the SAME snapshot.
+
+    Fully distributed: the matched (file, position) pairs never collect
+    on the driver — they broadcast-join the planning-sized (normalized →
+    manifest-declared) path map and write straight to parquet, range-
+    partitioned into ~``target_delete_file_rows``-row delete files, each
+    sorted within itself as the spec requires. Write amplification ∝
+    matched rows; the read-side anti-join cost is repaid at the next
+    ``compact_iceberg``, which folds deletes into fresh base files.
+
+    Positions are physical row indexes from the scan's own
+    ``_metadata.row_index`` (``read_iceberg(_keep_position=True)``),
+    taken AFTER existing deletes apply — re-deletes write disjoint new
+    delete files, no union bookkeeping needed (the reader anti-joins the
+    union of all delete files). Returns (snapshot_id, n_delete_rows).
+    """
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.iceberg import (
+        _norm_path_py,
+        read_iceberg,
+    )
+
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, prev_ver = cur
+    schemas = {s["schema-id"]: s for s in meta0.get("schemas", [])}
+    cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0["schema"]
+    ice_fields = cur_schema["fields"]
+    spec = {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
+        meta0.get("default-spec-id", 0), {"fields": []}
+    )
+    partition_by = [pf["name"] for pf in spec.get("fields", [])]
+    type_of = {f["name"]: f["type"] for f in ice_fields}
+    if new_rows_transform is not None:
+        # UPDATE writes new data files: the identity-fanout staging path
+        # applies, so it inherits the CoW engine's spec restrictions
+        for pf in spec.get("fields", []):
+            if pf.get("transform", "identity") != "identity":
+                raise IcebergProtocolError(
+                    "UPDATE on transform-partitioned tables not supported"
+                )
+        for c in partition_by:
+            if type_of[c] not in _PART_AVRO:
+                raise IcebergProtocolError(
+                    f"UPDATE on table partitioned by {type_of[c]!r} column "
+                    f"{c!r} not supported"
+                )
+    part_fields = [
+        (c, type_of[c]) for c in partition_by if type_of.get(c) in _PART_AVRO
+    ]
+    if len(part_fields) != len(partition_by):
+        # delete manifests only need a NULLABLE partition record; a spec
+        # on an unsupported-avro type cannot be encoded at all
+        raise IcebergProtocolError(
+            "MoR DML on a partition spec with non-int/long/string source "
+            "columns is not supported"
+        )
+    snapshots = list(meta0.get("snapshots", []))
+    parent = meta0.get("current-snapshot-id")
+
+    df = read_iceberg(spark, path, _keep_position=True)
+    pred = F.expr(condition)
+    matched = df.filter(pred)
+
+    # planning-sized: map the scan's normalized paths back to the EXACT
+    # file_path strings the manifests declare (spec: a position delete
+    # row's file_path must equal the target data file's manifest path)
+    store = IcebergStore(path)
+    prev_snap = next(s for s in snapshots if s["snapshot-id"] == parent)
+    ml_schema_fields = {f["name"] for f in _manifest_list_schema()["fields"]}
+    _ls, prev_manifests = read_ocf(store.read_uri(prev_snap["manifest-list"]))
+    map_pairs = []
+    for rec in prev_manifests:
+        if rec.get("content", 0) != 0:
+            continue
+        _es, entries = read_ocf(store.read_uri(rec["manifest_path"]))
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            fp = e["data_file"]["file_path"]
+            map_pairs.append((_norm_path_py(fp), fp))
+    path_map = F.broadcast(
+        spark.createDataFrame(map_pairs, ["__cdl_fp", "file_path"])
+    )
+    dels = (
+        matched.select("__cdl_fp", F.col("__cdl_pos").alias("pos"))
+        .join(path_map, "__cdl_fp")
+        .select("file_path", "pos")
+    )
+    n_hits = dels.count()
+    if n_hits == 0 and new_rows_transform is None:
+        return parent, 0
+
+    token = uuid.uuid4().hex
+    snap_id = max(s["snapshot-id"] for s in snapshots) + 1
+    seq = int(meta0.get("last-sequence-number", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    id_of = {f["name"]: f["id"] for f in ice_fields}
+    ml_recs = [{k: rec.get(k) for k in ml_schema_fields} for rec in prev_manifests]
+
+    if n_hits:
+        # distributed delete-file write: each output file sorted by
+        # (file_path, pos) as the spec requires; field ids stamped
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        n_files = max(1, -(-n_hits // target_delete_file_rows))
+        out = _with_field_ids(
+            dels.repartitionByRange(n_files, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos"),
+            {"file_path": 2147483546, "pos": 2147483545},
+        )
+        staging = os.path.join(path, "data", f"_staging_{token}")
+        out.write.mode("overwrite").parquet(staging)
+        del_files: list[str] = []
+        idx = 0
+        for root, _dirs, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = f"{token}-del-{idx:05d}.parquet"
+                os.replace(
+                    os.path.join(root, name), os.path.join(path, "data", rel)
+                )
+                del_files.append(rel)
+                idx += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        null_part = {c: None for c, _t in part_fields}
+        del_entries = []
+        for rel in del_files:
+            full = os.path.join(path, "data", rel)
+            n_rows, _bounds, _nulls = _footer_stats(full)
+            del_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": f"{path}/data/{rel}",
+                        "file_format": "PARQUET",
+                        "partition": dict(null_part),
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(full),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+            )
+        dm_name = f"m-{token}-del.avro"
+        dm_blob = write_ocf(_entry_avro_schema(part_fields), del_entries)
+        with open(os.path.join(path, "metadata", dm_name), "wb") as fh:
+            fh.write(dm_blob)
+        ml_recs.append(
+            {
+                "manifest_path": f"{path}/metadata/{dm_name}",
+                "manifest_length": len(dm_blob),
+                "partition_spec_id": meta0.get("default-spec-id", 0),
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(del_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_hits,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+        )
+
+    if new_rows_transform is not None:
+        rewritten = new_rows_transform(matched, pred).select(
+            *[f["name"] for f in ice_fields]
+        )
+        files = _stage_iceberg_data_files(
+            spark, path, rewritten, partition_by, part_fields, id_of, token
+        )
+        if files:
+            new_entries, n_rows_total = _iceberg_data_entries(
+                path, files, snap_id, seq, id_of, type_of
+            )
+            nm_name = f"m-{token}-upd.avro"
+            nm_blob = write_ocf(_entry_avro_schema(part_fields), new_entries)
+            with open(os.path.join(path, "metadata", nm_name), "wb") as fh:
+                fh.write(nm_blob)
+            ml_recs.append(
+                {
+                    "manifest_path": f"{path}/metadata/{nm_name}",
+                    "manifest_length": len(nm_blob),
+                    "partition_spec_id": meta0.get("default-spec-id", 0),
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_rows_total,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+
+    ml_name = f"snap-{snap_id}-1-{token}.avro"
+    ml_blob = write_ocf(_manifest_list_schema(), ml_recs)
+    with open(os.path.join(path, "metadata", ml_name), "wb") as fh:
+        fh.write(ml_blob)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "parent-snapshot-id": parent,
+        "summary": {"operation": operation},
+        "manifest-list": f"{path}/metadata/{ml_name}",
+        "schema-id": meta0.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta0)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = snapshots + [snapshot]
+    new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, token)
+    return snap_id, n_hits
+
+
+def delete_from_iceberg(spark, path: str, condition: str, mode: str = "cow") -> int:
+    """DELETE FROM <iceberg table> WHERE ``condition``.
+
+    ``mode='cow'`` (default): copy-on-write — only files containing
+    matches rewrite; affected manifests re-emit with hit entries
+    status=DELETED. ``mode='mor'``: merge-on-read — matching rows are
+    masked by spec v2 POSITION DELETE files written in one distributed
+    job; no data file moves (the right mode for selective deletes on
+    large tables). Returns the new snapshot id."""
+    if mode == "mor":
+        snap, _n = _mor_mark_matching_iceberg(spark, path, condition, "delete")
+        return snap
+    if mode != "cow":
+        raise ValueError(f"unknown DELETE mode {mode!r} (use 'cow' or 'mor')")
     snap, _n = _rewrite_matching_files_iceberg(
         spark, path, condition, lambda scoped, pred: scoped.filter(~pred)
     )
@@ -975,17 +1278,45 @@ def delete_from_iceberg(spark, path: str, condition: str) -> int:
 
 
 def update_iceberg(
-    spark, path: str, condition: str, assignments: dict[str, str]
+    spark,
+    path: str,
+    condition: str,
+    assignments: dict[str, str],
+    mode: str = "cow",
 ) -> int:
-    """UPDATE <iceberg table> SET col=expr WHERE ``condition`` —
-    copy-on-write over only the predicate's file hit set."""
+    """UPDATE <iceberg table> SET col=expr WHERE ``condition``.
+
+    ``mode='cow'`` (default): copy-on-write over only the predicate's
+    file hit set. ``mode='mor'``: merge-on-read — old row versions are
+    masked by position-delete files and ONLY the updated rows land as
+    new data files in the same snapshot (write cost ∝ matched rows)."""
     from pyspark.sql import functions as F
 
+    def check_cols(cols):
+        for col in assignments:
+            if col not in cols:
+                raise ValueError(f"unknown column {col!r} in UPDATE")
+
+    if mode == "mor":
+
+        def new_rows(matched, _pred):
+            check_cols(matched.columns)
+            out = matched
+            for col, expr in assignments.items():
+                out = out.withColumn(col, F.expr(expr))
+            return out
+
+        snap, _n = _mor_mark_matching_iceberg(
+            spark, path, condition, "overwrite", new_rows_transform=new_rows
+        )
+        return snap
+    if mode != "cow":
+        raise ValueError(f"unknown UPDATE mode {mode!r} (use 'cow' or 'mor')")
+
     def xform(scoped, pred):
+        check_cols(scoped.columns)
         out = scoped
         for col, expr in assignments.items():
-            if col not in scoped.columns:
-                raise ValueError(f"unknown column {col!r} in UPDATE")
             out = out.withColumn(
                 col, F.when(pred, F.expr(expr)).otherwise(F.col(col))
             )

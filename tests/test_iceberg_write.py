@@ -355,3 +355,175 @@ def test_iceberg_schema_merge_refuses_type_change(spark, tbl):
     changed = _df(spark, 10, 20).withColumn("v", F.col("v").cast("string"))
     with pytest.raises(ValueError, match="cannot change column types"):
         write_iceberg(changed, tbl, mode="append", schema_mode="merge")
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DML: position-delete writes (mode="mor")
+# ---------------------------------------------------------------------------
+
+
+def _manifest_recs(tbl):
+    """Manifest-list records of the current snapshot."""
+    from connected_data_lake_spark.sources.iceberg import IcebergStore
+    from connected_data_lake_spark.sources.iceberg_write import _current_meta
+
+    meta, _v = _current_meta(tbl)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    store = IcebergStore(tbl)
+    _s, recs = read_ocf(store.read_uri(snap["manifest-list"]))
+    return recs
+
+
+def test_mor_delete_writes_position_deletes_not_rewrites(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import delete_from_iceberg
+
+    write_iceberg(_df(spark, 0, 90).coalesce(1), tbl, partition_by=["p"])
+    data0 = sorted(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    mtimes0 = {f: os.path.getmtime(f) for f in data0}
+    snap = delete_from_iceberg(spark, tbl, "k % 10 = 5", mode="mor")
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 81
+    assert back.filter("k % 10 = 5").count() == 0
+    # original data files untouched; the only new parquet is a delete file
+    data1 = sorted(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    assert set(data0) <= set(data1)
+    assert {f: os.path.getmtime(f) for f in data0} == mtimes0
+    new = set(data1) - set(data0)
+    assert new and all("-del-" in f for f in new)
+    # the manifest list carries a content=1 delete manifest at the new seq
+    recs = _manifest_recs(tbl)
+    del_recs = [r for r in recs if r.get("content") == 1]
+    assert len(del_recs) == 1
+    assert del_recs[0]["added_rows_count"] == 9
+    assert del_recs[0]["sequence_number"] == 2
+    # prior snapshot still reads in full
+    from connected_data_lake_spark.sources.iceberg_write import _current_meta
+
+    meta, _v = _current_meta(tbl)
+    prev = min(s["snapshot-id"] for s in meta["snapshots"])
+    assert read_iceberg(spark, tbl, snapshot_id=prev).count() == 90
+    assert snap == meta["current-snapshot-id"]
+
+
+def test_mor_delete_file_is_sorted_with_spec_field_ids(spark, tbl):
+    import pyarrow.parquet as pq
+
+    from connected_data_lake_spark.sources.iceberg_write import delete_from_iceberg
+
+    write_iceberg(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_iceberg(spark, tbl, "k % 3 = 1", mode="mor")
+    del_files = [
+        f
+        for f in glob.glob(os.path.join(tbl, "data", "*.parquet"))
+        if "-del-" in f
+    ]
+    assert len(del_files) == 1
+    pf = pq.ParquetFile(del_files[0])
+    schema = pf.schema_arrow
+    assert [f.name for f in schema] == ["file_path", "pos"]
+    # spec reserved field ids for position-delete columns
+    assert schema.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert schema.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    t = pf.read()
+    rows = list(zip(t.column("file_path").to_pylist(), t.column("pos").to_pylist()))
+    assert rows == sorted(rows)
+    # file_path values are the EXACT manifest-declared data-file paths
+    recs = _manifest_recs(tbl)
+    data_manifest = next(r for r in recs if r.get("content", 0) == 0)
+    from connected_data_lake_spark.sources.iceberg import IcebergStore
+
+    _es, entries = read_ocf(
+        IcebergStore(tbl).read_uri(data_manifest["manifest_path"])
+    )
+    declared = {e["data_file"]["file_path"] for e in entries}
+    assert {fp for fp, _p in rows} <= declared
+
+
+def test_mor_redelete_applies_cumulatively(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import delete_from_iceberg
+
+    write_iceberg(_df(spark, 0, 100).coalesce(1), tbl)
+    s1 = delete_from_iceberg(spark, tbl, "k % 10 = 5", mode="mor")
+    delete_from_iceberg(spark, tbl, "k % 10 = 6", mode="mor")
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 80
+    assert back.filter("k % 10 IN (5, 6)").count() == 0
+    assert read_iceberg(spark, tbl, snapshot_id=s1).count() == 90
+
+
+def test_mor_update_writes_only_updated_rows(spark, tbl):
+    import pyarrow.parquet as pq
+
+    from connected_data_lake_spark.sources.iceberg_write import update_iceberg
+
+    write_iceberg(_df(spark, 0, 90).coalesce(1), tbl, partition_by=["p"])
+    data0 = set(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    update_iceberg(spark, tbl, "k % 30 = 7", {"v": "-v"}, mode="mor")
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 90
+    got = {r["k"]: r["v"] for r in back.filter("k % 30 = 7").collect()}
+    assert got == {k: -(k * 1.5) for k in (7, 37, 67)}
+    # new NON-delete parquet files hold exactly the 3 updated rows
+    new_data = [
+        f
+        for f in set(glob.glob(os.path.join(tbl, "data", "*.parquet"))) - data0
+        if "-del-" not in f
+    ]
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in new_data) == 3
+    with pytest.raises(ValueError, match="unknown column"):
+        update_iceberg(spark, tbl, "k = 1", {"nope": "1"}, mode="mor")
+
+
+def test_mor_then_cow_and_compaction_interoperate(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_from_iceberg,
+        expire_iceberg_snapshots,
+    )
+
+    write_iceberg(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_iceberg(spark, tbl, "k % 4 = 1", mode="mor")
+    delete_from_iceberg(spark, tbl, "k % 4 = 2")  # CoW on the MoR'd table
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 50
+    assert back.filter("k % 4 IN (1, 2)").count() == 0
+    # compaction folds the deletes into fresh base files (replace snapshot)
+    compact_iceberg(spark, tbl)
+    assert read_iceberg(spark, tbl).count() == 50
+    recs = _manifest_recs(tbl)
+    assert all(r.get("content", 0) == 0 for r in recs)
+    # expiry reclaims the now-unreferenced delete files
+    doomed = expire_iceberg_snapshots(tbl, keep_last=1)
+    assert any("-del-" in d for d in doomed)
+    assert read_iceberg(spark, tbl).count() == 50
+
+
+def test_mor_delete_no_match_is_noop(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        _current_meta,
+        delete_from_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 30), tbl)
+    meta0, v0 = _current_meta(tbl)
+    snap = delete_from_iceberg(spark, tbl, "k > 999", mode="mor")
+    meta1, v1 = _current_meta(tbl)
+    assert snap == meta0["current-snapshot-id"] and v1 == v0
+    assert read_iceberg(spark, tbl).count() == 30
+
+
+def test_mor_unknown_mode_refused(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+        update_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 10), tbl)
+    with pytest.raises(ValueError, match="unknown DELETE mode"):
+        delete_from_iceberg(spark, tbl, "k = 1", mode="nope")
+    with pytest.raises(ValueError, match="unknown UPDATE mode"):
+        update_iceberg(spark, tbl, "k = 1", {"v": "1"}, mode="nope")
