@@ -2413,6 +2413,95 @@ def hudi_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped handle to the build-once MoR-DML-written Hudi fixture
+_HUDI_MOR_DML_CACHE: dict[str, str] = {}
+
+
+def _hudi_mor_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once MERGE_ON_READ Hudi table produced entirely by this
+    repo's OWN writers: instant 1 ``write_hudi(table_type=
+    'MERGE_ON_READ')`` creates the base file groups (all orders), then
+    ``upsert_hudi_mor`` appends per-file-group Avro LOG BLOCKS negating
+    %10=0 prices (zero base-file rewrites), then ``delete_from_hudi_mor``
+    appends ``_hoodie_is_deleted`` log records for %10=5 — the write
+    half of the HoodieLogFormat story whose read half
+    (``read_hudi_mor``) the hudi_mor_read fixture covers with
+    hand-built bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import (
+        delete_from_hudi_mor,
+        upsert_hudi_mor,
+        write_hudi,
+    )
+
+    key = f"{sf_dir}"
+    if key in _HUDI_MOR_DML_CACHE:
+        return _HUDI_MOR_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_hudimordml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, ".hoodie", "20260101000000002.deltacommit")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")
+        )
+        write_hudi(
+            o, path, record_key="o_orderkey", table_type="MERGE_ON_READ"
+        )
+        upd = o.filter("o_orderkey % 10 = 0").withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        upsert_hudi_mor(spark, path, upd, record_key="o_orderkey")
+        delete_from_hudi_mor(spark, path, "o_orderkey % 10 = 5")
+    _HUDI_MOR_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_mor_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "mor", "dml"),
+)
+def hudi_mor_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DML round-trip on a Hudi table this repo both
+    writes AND reads: UPDATE as per-file-group Avro log-block appends
+    (``sources/hudi.py::upsert_hudi_mor`` — executor-side block encode,
+    one task per file group, Hudi's own write parallelism) and DELETE as
+    ``_hoodie_is_deleted`` soft-delete records
+    (``delete_from_hudi_mor``), read back through the log-merge in
+    ``read_hudi_mor``. Same query SEMANTICS as delta_dv_dml_roundtrip
+    and iceberg_mor_dml_roundtrip — the THIRD format reaching identical
+    results through its native MoR mechanism (DV bitmaps / position
+    deletes / log blocks), completing the mutable-lakehouse triad."""
+    from connected_data_lake_spark.sources.hudi import read_hudi_mor
+
+    path = _hudi_mor_dml_orders(spark, sf_dir)
+    return (
+        read_hudi_mor(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 #: session-scoped handle to the build-once DML-history Delta fixture
 _DELTA_DML_CACHE: dict[str, str] = {}
 

@@ -698,6 +698,7 @@ def write_hudi(
     mode: str = "insert",
     partition_by: list[str] | None = None,
     table_name: str = "cdl_table",
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """Write ``df`` to a Hudi COPY_ON_WRITE table at local ``path``;
     returns the committed instant. The egress third of the lake-writer
@@ -747,12 +748,25 @@ def write_hudi(
     hoodie = os.path.join(root, ".hoodie")
     props_path = os.path.join(hoodie, "hoodie.properties")
     exists = os.path.isfile(props_path)
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unknown table_type {table_type!r}")
     if exists:
         with open(props_path, encoding="utf-8") as fh:
             props = _read_properties(fh.read())
-        if props.get("hoodie.table.type") != "COPY_ON_WRITE":
+        actual = props.get("hoodie.table.type")
+        if actual == "MERGE_ON_READ":
+            # base-file writes are identical for both types; UPDATES on a
+            # MoR table must go through the log path instead of a slice
+            # rewrite (that is the point of MoR)
+            if mode == "upsert":
+                raise HudiProtocolError(
+                    "upserts on a MERGE_ON_READ table take "
+                    "upsert_hudi_mor (log-block appends), not the COW "
+                    "slice rewrite"
+                )
+        elif actual != "COPY_ON_WRITE":
             raise HudiProtocolError(
-                "write_hudi writes COPY_ON_WRITE tables only"
+                f"unknown hoodie.table.type {actual!r}"
             )
         if props.get("hoodie.table.recordkey.fields", record_key) != record_key:
             raise ValueError(
@@ -921,7 +935,7 @@ def write_hudi(
         with open(props_path, "w") as fh:
             fh.write(
                 f"hoodie.table.name={table_name}\n"
-                "hoodie.table.type=COPY_ON_WRITE\n"
+                f"hoodie.table.type={table_type}\n"
                 "hoodie.table.version=6\n"
                 f"hoodie.table.recordkey.fields={record_key}\n"
                 + (
@@ -931,6 +945,291 @@ def write_hudi(
                 )
             )
     return instant
+
+
+#: Spark leaf types encodable in our Avro data blocks (nullable unions)
+_AVRO_OF_SPARK = {
+    "long": "long",
+    "integer": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def _avro_block_schema(df_schema, record_key: str) -> dict:
+    """Avro record schema for MoR log records: ``_hoodie_record_key`` +
+    the data columns + ``_hoodie_is_deleted`` (all nullable unions —
+    the codec's spec-default branch order)."""
+    fields = [
+        {"name": "_hoodie_record_key", "type": ["null", "string"], "default": None}
+    ]
+    for f in df_schema.fields:
+        if f.name.startswith("_hoodie_") or f.name.startswith("__"):
+            continue
+        tn = f.dataType.typeName()
+        if tn not in _AVRO_OF_SPARK:
+            raise HudiProtocolError(
+                f"column {f.name!r} of Spark type {tn!r} is not encodable "
+                "in an Avro log block (long/int/string/double/float/"
+                "boolean only) — use COW upsert for this table"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", _AVRO_OF_SPARK[tn]], "default": None}
+        )
+    fields.append(
+        {"name": "_hoodie_is_deleted", "type": ["null", "boolean"], "default": None}
+    )
+    return {"type": "record", "name": "hudi_log_record", "fields": fields}
+
+
+def _hudi_mor_apply(
+    spark: SparkSession,
+    path: str,
+    changes,
+    record_key: str,
+    is_delete: bool,
+) -> str:
+    """Shared MERGE-ON-READ write engine: route each changed row to the
+    file group that owns its record key and APPEND one Avro log block
+    per group (a fresh ``.log.N`` file of that group's current slice) —
+    Hudi's own update mechanism: zero base-file rewrites, write cost ∝
+    changed rows. Upsert rows whose keys match no group land as new
+    BASE file groups in the same deltacommit (Hudi routes MoR inserts
+    to base files); delete rows for unknown keys are no-ops.
+
+    The per-group log write runs EXECUTOR-SIDE via ``applyInPandas`` —
+    one task per file group, Hudi's own write parallelism — with an
+    atomic rename per file so task retries overwrite rather than
+    corrupt. The commit is one driver-side ``<instant>.deltacommit``
+    with the combined write stats; :func:`read_hudi_mor` merges it by
+    (instant, version) order, newest write winning per key.
+    """
+    import glob as _glob
+    import shutil
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    root = _local(path)
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    if not os.path.isfile(props_path):
+        raise FileNotFoundError(
+            f"not a Hudi table (no .hoodie/hoodie.properties): {path}"
+        )
+    with open(props_path, encoding="utf-8") as fh:
+        props = _read_properties(fh.read())
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiProtocolError(
+            "MoR DML needs a MERGE_ON_READ table (COW tables take "
+            "write_hudi(mode='upsert'))"
+        )
+    key_field = props.get("hoodie.table.recordkey.fields", record_key)
+    if key_field != record_key:
+        raise ValueError(
+            f"record_key {record_key!r} != table's {key_field!r}"
+        )
+    if record_key not in changes.columns:
+        raise ValueError(f"record_key {record_key!r} not in DataFrame")
+
+    instants = _completed_instants(root, allow_delta=True)
+    last = instants[-1][0] if instants else "20260101000000000"
+    instant = str(int(last) + 1)
+    token = _uuid.uuid4().hex[:8]
+
+    # file-group routing map (planning-sized: one row per live slice)
+    slices = _mor_slices(root, None)
+    if any(b is None for b, _l in slices):
+        raise HudiProtocolError(
+            "table has logs-only file groups (no base file) — compact "
+            "first, MoR DML routes keys through base files"
+        )
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+
+    group_of: dict[str, tuple[str, str, str, int]] = {}
+    for base, logs in slices:
+        rel = os.path.relpath(base, root).replace(os.sep, "/")
+        part = os.path.dirname(rel)
+        name = os.path.basename(rel)
+        fid = name.split("_", 1)[0]
+        base_instant = name.rsplit("_", 1)[1][: -len(".parquet")]
+        next_ver = 1
+        for lp in logs:
+            m = _LOG_NAME_RE.match(os.path.basename(lp))
+            if m:
+                next_ver = max(next_ver, int(m.group("ver")) + 1)
+        group_of[_norm_path_py(base)] = (part, fid, base_instant, next_ver)
+
+    base_keys = (
+        spark.read.parquet(*[b for b, _l in slices])
+        .select(
+            F.col("_hoodie_record_key").alias("__cdl_key"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
+                    "",
+                ),
+                r"^/+",
+                "",
+            ).alias("__cdl_base"),
+        )
+    )
+    keyed = changes.withColumn(
+        "__cdl_key", F.col(record_key).cast("string")
+    )
+    routed = keyed.join(base_keys, "__cdl_key", "left")
+
+    data_cols = [
+        c
+        for c in changes.columns
+        if not c.startswith("_hoodie_") and not c.startswith("__")
+    ]
+    base_data_cols = [
+        f.name
+        for f in spark.read.parquet(slices[0][0]).schema.fields
+        if not f.name.startswith("_hoodie_")
+    ]
+    if sorted(data_cols) != sorted(base_data_cols):
+        raise ValueError(
+            f"MoR DML columns {sorted(data_cols)} != table data columns "
+            f"{sorted(base_data_cols)} — a missing column would silently "
+            "null out on merged rows"
+        )
+    avro_schema = _avro_block_schema(changes.select(*data_cols).schema, record_key)
+    group_map = dict(group_of)
+
+    matched = routed.filter(F.col("__cdl_base").isNotNull())
+    out_schema = T.StructType(
+        [
+            T.StructField("part", T.StringType(), True),
+            T.StructField("fileId", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+        ]
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        base_norm = pdf["__cdl_base"].iloc[0]
+        part, fid, base_instant, next_ver = group_map[base_norm]
+        pdf = pdf.sort_values("__cdl_key")
+        records = []
+        for _i, row in pdf.iterrows():
+            rec = {"_hoodie_record_key": row["__cdl_key"]}
+            for c in data_cols:
+                v = row[c]
+                rec[c] = None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
+            rec["_hoodie_is_deleted"] = True if is_delete else None
+            records.append(rec)
+        block = encode_avro_data_block(records, avro_schema, instant)
+        name = f".{fid}_{base_instant}.log.{next_ver}_{token}"
+        rel = f"{part}/{name}" if part else name
+        tmp = os.path.join(root, f"{rel}.tmp-{token}")
+        with open(tmp, "wb") as fh:
+            fh.write(write_log_blocks([block]))
+        os.replace(tmp, os.path.join(root, rel))
+        return pd.DataFrame(
+            {"part": [part], "fileId": [fid], "path": [rel]}
+        )
+
+    stat_rows = (
+        matched.groupBy("__cdl_base")
+        .applyInPandas(write_group, out_schema)
+        .collect()
+    )
+    stats: dict[str, list] = {}
+    for r in stat_rows:
+        stats.setdefault(r["part"] or "", []).append(
+            {"fileId": r["fileId"], "path": r["path"]}
+        )
+
+    if not is_delete:
+        inserts = routed.filter(F.col("__cdl_base").isNull()).select(*data_cols)
+        if inserts.limit(1).count():
+            meta_cols = [
+                F.lit(instant).alias("_hoodie_commit_time"),
+                F.col(record_key).cast("string").alias("_hoodie_record_key"),
+            ]
+            staging = os.path.join(root, f".staging_{token}")
+            inserts.select(*meta_cols, *data_cols).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            idx = 0
+            for name in sorted(os.listdir(staging)):
+                if not name.endswith(".parquet"):
+                    continue
+                fid = f"i-{token}-{idx}"
+                rel = f"{fid}_0-1-0_{instant}.parquet"
+                os.replace(
+                    os.path.join(staging, name), os.path.join(root, rel)
+                )
+                stats.setdefault("", []).append({"fileId": fid, "path": rel})
+                idx += 1
+            shutil.rmtree(staging, ignore_errors=True)
+
+    if not stats:
+        return last  # nothing matched, nothing inserted: no commit
+
+    commit_meta = {
+        "partitionToWriteStats": stats,
+        "operationType": "DELETE" if is_delete else "UPSERT",
+    }
+    hoodie = os.path.join(root, ".hoodie")
+    tmp = os.path.join(hoodie, f".tmp-{token}.json")
+    with open(tmp, "w") as fh:
+        json.dump(commit_meta, fh)
+    final = os.path.join(hoodie, f"{instant}.deltacommit")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Hudi commit took instant {instant}; re-run"
+        )
+    finally:
+        os.unlink(tmp)
+    return instant
+
+
+def upsert_hudi_mor(
+    spark: SparkSession, path: str, df, record_key: str
+) -> str:
+    """MERGE-ON-READ upsert: rows whose ``record_key`` exists get an
+    Avro LOG BLOCK appended to their file group's current slice (zero
+    base-file rewrites — read-side merge pays instead, reset by
+    :func:`compact_hudi_mor`); unseen keys land as new base file groups
+    in the same ``deltacommit``. Returns the committed instant."""
+    return _hudi_mor_apply(spark, path, df, record_key, is_delete=False)
+
+
+def delete_from_hudi_mor(
+    spark: SparkSession, path: str, condition: str
+) -> str:
+    """DELETE FROM <MoR hudi table> WHERE ``condition``: matching rows
+    of the merged snapshot get ``_hoodie_is_deleted=true`` log records
+    appended to their owning file groups — Hudi's soft-delete payload,
+    dropped by the read-side merge. Unmatched predicates commit nothing
+    (returns the current latest instant). Returns the committed
+    instant."""
+    from pyspark.sql import functions as F
+
+    root = _local(path)
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    if not os.path.isfile(props_path):
+        raise FileNotFoundError(
+            f"not a Hudi table (no .hoodie/hoodie.properties): {path}"
+        )
+    with open(props_path, encoding="utf-8") as fh:
+        props = _read_properties(fh.read())
+    record_key = props.get("hoodie.table.recordkey.fields")
+    if not record_key:
+        raise HudiProtocolError(
+            "table declares no hoodie.table.recordkey.fields (virtual "
+            "keys) — MoR DELETE routes by record key"
+        )
+    matched = read_hudi_mor(spark, path).filter(F.expr(condition))
+    return _hudi_mor_apply(spark, path, matched, record_key, is_delete=True)
 
 
 def compact_hudi_mor(spark: SparkSession, path: str) -> str:

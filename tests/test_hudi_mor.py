@@ -327,3 +327,165 @@ def test_compact_mor_folds_logs_into_new_base(spark, tmp_path):
     assert files and all(f"_{instant}.parquet" in f for f in files)
     # pre-compaction snapshot still resolves
     assert len(read_hudi_mor(spark, root, as_of_instant=T2).collect()) == 9
+
+
+# ---------------------------------------------------------------------------
+# MoR WRITE path: upsert_hudi_mor / delete_from_hudi_mor (log-block DML)
+# ---------------------------------------------------------------------------
+
+
+def _mor_table(spark, tmp_path, n=120):
+    from connected_data_lake_spark.sources.hudi import write_hudi
+
+    p = str(tmp_path / "mor_w")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    write_hudi(
+        df.coalesce(1), p, record_key="k", table_type="MERGE_ON_READ"
+    )
+    return p
+
+
+def test_mor_upsert_appends_log_blocks_not_rewrites(spark, tmp_path):
+    import glob
+
+    from connected_data_lake_spark.sources.hudi import upsert_hudi_mor
+
+    p = _mor_table(spark, tmp_path)
+    bases0 = sorted(glob.glob(os.path.join(p, "*.parquet")))
+    mtimes0 = {f: os.path.getmtime(f) for f in bases0}
+    upd = spark.range(0, 30).select(
+        F.col("id").alias("k"), (-F.col("id") * 1.5).alias("v")
+    )
+    instant = upsert_hudi_mor(spark, p, upd, record_key="k")
+    got = read_hudi_mor(spark, p)
+    assert got.count() == 120
+    assert got.filter("k < 30").filter("v <> -(k * 1.5)").count() == 0
+    assert got.filter("k >= 30").filter("v <> k * 1.5").count() == 0
+    # base files untouched; the update is one hidden .log file
+    assert {f: os.path.getmtime(f) for f in bases0} == mtimes0
+    logs = [
+        name for name in os.listdir(p) if ".log." in name and name.startswith(".")
+    ]
+    assert len(logs) == 1
+    # the deltacommit instant records the log path in its write stats
+    meta = json.load(open(os.path.join(p, ".hoodie", f"{instant}.deltacommit")))
+    stat_paths = [
+        st["path"]
+        for sts in meta["partitionToWriteStats"].values()
+        for st in sts
+    ]
+    assert stat_paths == logs
+
+
+def test_mor_upsert_routes_inserts_to_new_base_group(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import upsert_hudi_mor
+
+    p = _mor_table(spark, tmp_path)
+    mix = spark.range(100, 140).select(
+        F.col("id").alias("k"), F.lit(0.5).alias("v")
+    )  # 100-119 update, 120-139 insert
+    upsert_hudi_mor(spark, p, mix, record_key="k")
+    got = read_hudi_mor(spark, p)
+    assert got.count() == 140
+    assert got.filter("k >= 100").filter("v <> 0.5").count() == 0
+
+
+def test_mor_delete_soft_deletes_and_reinserts_win(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import (
+        delete_from_hudi_mor,
+        upsert_hudi_mor,
+    )
+
+    p = _mor_table(spark, tmp_path)
+    i1 = delete_from_hudi_mor(spark, p, "k % 10 = 7")
+    got = read_hudi_mor(spark, p)
+    assert got.count() == 108
+    assert got.filter("k % 10 = 7").count() == 0
+    # pre-delete instant still reads in full
+    assert read_hudi_mor(spark, p, as_of_instant=str(int(i1) - 1)).count() == 120
+    # a later upsert of a deleted key resurrects it (newest write wins)
+    back = spark.range(7, 8).select(
+        F.col("id").alias("k"), F.lit(99.0).alias("v")
+    )
+    upsert_hudi_mor(spark, p, back, record_key="k")
+    got2 = read_hudi_mor(spark, p)
+    assert got2.count() == 109
+    assert got2.filter("k = 7").first()["v"] == 99.0
+
+
+def test_mor_delete_no_match_commits_nothing(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import delete_from_hudi_mor
+
+    p = _mor_table(spark, tmp_path)
+    before = sorted(os.listdir(os.path.join(p, ".hoodie")))
+    delete_from_hudi_mor(spark, p, "k > 9999")
+    assert sorted(os.listdir(os.path.join(p, ".hoodie"))) == before
+    assert read_hudi_mor(spark, p).count() == 120
+
+
+def test_mor_compaction_folds_log_dml(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import (
+        compact_hudi_mor,
+        delete_from_hudi_mor,
+        upsert_hudi_mor,
+    )
+
+    p = _mor_table(spark, tmp_path)
+    upsert_hudi_mor(
+        spark,
+        p,
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")),
+        record_key="k",
+    )
+    delete_from_hudi_mor(spark, p, "k % 4 = 3")
+    compact_hudi_mor(spark, p)
+    got = read_hudi_mor(spark, p)
+    assert got.count() == 90
+    assert got.filter("k % 4 = 3").count() == 0
+    assert got.filter("k < 10").filter("v <> -1.0").count() == 0
+
+
+def test_mor_upsert_on_cow_table_refused(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import (
+        upsert_hudi_mor,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "cow")
+    df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    write_hudi(df, p, record_key="k")  # COPY_ON_WRITE default
+    with pytest.raises(HudiProtocolError, match="MERGE_ON_READ"):
+        upsert_hudi_mor(spark, p, df, record_key="k")
+    # and the reverse: COW upsert path refuses MERGE_ON_READ tables
+    p2 = _mor_table(spark, tmp_path)
+    with pytest.raises(HudiProtocolError, match="upsert_hudi_mor"):
+        write_hudi(df, p2, record_key="k", mode="upsert",
+                   table_type="MERGE_ON_READ")
+
+
+def test_mor_unencodable_column_type_gates(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import (
+        upsert_hudi_mor,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "mor_date")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.lit(1.5).alias("v"),
+        F.current_date().alias("d"),
+    )
+    write_hudi(df.coalesce(1), p, record_key="k", table_type="MERGE_ON_READ")
+    with pytest.raises(HudiProtocolError, match="not encodable"):
+        upsert_hudi_mor(spark, p, df, record_key="k")
+
+
+def test_mor_dml_schema_mismatch_refused(spark, tmp_path):
+    from connected_data_lake_spark.sources.hudi import upsert_hudi_mor
+
+    p = _mor_table(spark, tmp_path)
+    narrower = spark.range(0, 3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="table data columns"):
+        upsert_hudi_mor(spark, p, narrower, record_key="k")
