@@ -3029,3 +3029,124 @@ def hudi_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental / change-feed reads (the consumption half of lake interop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "delta_cdf_read",
+    oracle="""
+    SELECT change_type, commit_version,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM (
+        SELECT 'delete' AS change_type, 1 AS commit_version,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 10 = 5
+        UNION ALL
+        SELECT 'delete', 2, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'insert', 2, -o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    GROUP BY change_type, commit_version
+    ORDER BY commit_version, change_type
+    """,
+    tags=("lakeops", "delta", "cdf", "incremental"),
+)
+def delta_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-FEED read over the deletion-vector DML history
+    (``sources/delta.py::read_delta_changes``): versions 1-2 of the DV
+    fixture yield v1's masked rows as DELETES (values AT delete time),
+    v2's update as delete+insert pairs — and the v2 DV diff must emit
+    ONLY newly-masked positions (re-emitting the v1 union would
+    double-count). dataChange=false maintenance commits contribute
+    nothing. This is the incremental-pipeline primitive: consume row
+    changes between checkpoints without rescanning the table."""
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+
+    path = _delta_dv_dml_orders(spark, sf_dir)
+    return (
+        read_delta_changes(spark, path, 1, 2)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+@query(
+    "iceberg_incremental_read",
+    oracle="""
+    SELECT (o_orderkey % 3) + 1 AS snapshot_id,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY snapshot_id
+    ORDER BY snapshot_id
+    """,
+    tags=("lakeops", "iceberg", "incremental"),
+)
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental APPEND scan (``read_iceberg_incremental``) over the
+    written-orders fixture: snapshots 2 and 3 appended the %3=1 and
+    %3=2 slices, so reading from snapshot 1 returns exactly those rows,
+    stamped with the snapshot that added them — the per-checkpoint
+    consumption primitive (planning touches only the range's manifests;
+    replace/compaction snapshots are skipped, overwrite gates)."""
+    from connected_data_lake_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    path = _iceberg_written_orders(spark, sf_dir)
+    return (
+        read_iceberg_incremental(spark, path, from_snapshot_id=1)
+        .groupBy(F.col("_snapshot_id").cast("int").alias("snapshot_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("snapshot_id")
+    )
+
+
+@query(
+    "hudi_incremental_read",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           ROUND(SUM(-o_totalprice), 2) AS sum_price,
+           COUNT(DISTINCT o_orderstatus) AS n_status
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    tags=("lakeops", "hudi", "incremental"),
+)
+def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL QUERY (``read_hudi_incremental``) over the
+    written-orders COW fixture: instant t2 upserted the %10=0 slice
+    with negated prices, so reading from t1 returns exactly those rows
+    ONCE, under t2, with the post-update values — the filter must drop
+    the surviving old rows that t2's slice rewrite carried forward
+    (they keep their t1 commit time). Scans only the slices the range's
+    commits wrote, never the table."""
+    from connected_data_lake_spark.sources.hudi import read_hudi_incremental
+
+    path = _hudi_written_orders(spark, sf_dir)
+    return (
+        read_hudi_incremental(spark, path, from_instant="20260101000000000")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+    )

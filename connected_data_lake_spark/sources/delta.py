@@ -1019,3 +1019,269 @@ def delta_table_version(
     if latest < 0:
         raise FileNotFoundError(f"no Delta commits under {path}")
     return latest
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+    log_store: DeltaLogStore | None = None,
+    dv_collect_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Change-data-feed-style incremental read: the row-level changes
+    committed by versions ``starting_version..ending_version`` (both
+    inclusive; default ending = latest), as data columns plus
+    ``_change_type`` (``insert``/``delete``), ``_commit_version`` and
+    ``_commit_timestamp`` — the column triple Delta's CDF readers emit.
+
+    Changes derive from the commit log's file actions (PROTOCOL.md
+    "Add File and Remove File"), the derivation delta-spark applies to
+    CDF commits that carry no explicit ``cdc`` actions:
+
+    - ``add`` with ``dataChange=true`` → its live rows (minus its DV)
+      as INSERTS;
+    - ``remove`` with ``dataChange=true`` and no same-version re-add →
+      its live rows AT REMOVE TIME (minus the remove's DV) as DELETES;
+    - a same-version remove+add of ONE path under a new DV (the
+      merge-on-read DELETE/UPDATE shape) → only the NEWLY-masked
+      positions (new DV minus old DV) as DELETES;
+    - ``dataChange=false`` actions (OPTIMIZE/compaction/DV purge) →
+      NO change rows: rearrangements are invisible to consumers, the
+      property that makes incremental pipelines safe to run across
+      maintenance.
+
+    UPDATE commits surface as delete+insert pairs of the same key —
+    exact CDF pre/post-image pairing needs ``cdc`` actions (the
+    ``_change_data`` folder), which no writer in this repo produces; a
+    commit that DOES carry them gates loudly rather than double-count.
+
+    Scale: one scan relation per (version, change kind) — file lists and
+    DV descriptors are planning-sized metadata; the only driver-resident
+    row data is DV position sets, gated at ``dv_collect_max_rows``.
+    Deleted-file scans require the files to still exist: changes under a
+    VACUUM horizon raise rather than under-report.
+    """
+    from pyspark.sql import functions as F
+
+    prepare_session(spark)
+    store = _store_for(path, log_store)
+    if not store.exists():
+        raise FileNotFoundError(f"not a Delta table: {path}")
+    latest = delta_table_version(path, log_store)
+    if ending_version is None:
+        ending_version = latest
+    if starting_version < 0 or starting_version > ending_version:
+        raise ValueError(
+            f"bad change range [{starting_version}, {ending_version}]"
+        )
+    if ending_version > latest:
+        raise ValueError(
+            f"ending_version {ending_version} > latest version {latest}"
+        )
+    commits = dict(_commit_names(store))
+    missing = [
+        v
+        for v in range(starting_version, ending_version + 1)
+        if v not in commits
+    ]
+    if missing:
+        raise ValueError(
+            f"commit JSON for versions {missing} is gone (log cleanup) — "
+            "change feeds need the per-version actions, not a checkpoint "
+            "aggregate"
+        )
+    # schema + column mapping of the CURRENT table (CDF reads use the
+    # latest schema, like delta-spark)
+    meta, _adds, _proto = _replay(store, path, ending_version)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mode = _as_map_dict(meta.get("configuration")).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", "", None):
+        raise DeltaProtocolError(
+            "read_delta_changes on columnMapping tables is not supported"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    base = path.rstrip("/")
+
+    def _abs(rel: str) -> str:
+        return rel if (os.path.isabs(rel) or "://" in rel) else f"{base}/{rel}"
+
+    def _scan(files: list[str]) -> DataFrame:
+        from connected_data_lake_spark.sources.iceberg import _norm_path
+
+        if part_cols:
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in part_cols]
+            )
+            reader = spark.read.schema(data_schema).option("basePath", base)
+        else:
+            reader = spark.read.schema(schema)
+        df = reader.parquet(*files)
+        return df.select(
+            *[F.col(f.name) for f in schema.fields],
+            _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
+            F.col("_metadata.row_index").alias("__cdl_pos"),
+        )
+
+    def _pairs_df(pairs: list[tuple[str, int]]) -> DataFrame:
+        return F.broadcast(
+            spark.createDataFrame(
+                pairs,
+                T.StructType(
+                    [
+                        T.StructField("__cdl_fp", T.StringType(), False),
+                        T.StructField("__cdl_pos", T.LongType(), False),
+                    ]
+                ),
+            )
+        )
+
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+
+    out_parts: list[DataFrame] = []
+    total_dv_rows = 0
+    for v in range(starting_version, ending_version + 1):
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        ts_ms: int | None = None
+        for line in store.read_bytes(commits[v]).decode("utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "cdc" in action:
+                raise DeltaProtocolError(
+                    f"version {v} carries explicit cdc actions "
+                    "(_change_data) — reading them is not implemented, and "
+                    "deriving from file actions too would double-count"
+                )
+            if "commitInfo" in action:
+                ts_ms = action["commitInfo"].get("timestamp", ts_ms)
+            elif "add" in action and action["add"].get("dataChange"):
+                a = dict(action["add"])
+                a["path"] = unquote(a["path"])
+                adds[a["path"]] = a
+            elif "remove" in action and action["remove"].get("dataChange"):
+                r = dict(action["remove"])
+                r["path"] = unquote(r["path"])
+                removes[r["path"]] = r
+                if ts_ms is None:
+                    ts_ms = r.get("deletionTimestamp")
+        if ts_ms is None:
+            for a in adds.values():
+                ts_ms = a.get("modificationTime")
+                if ts_ms is not None:
+                    break
+        stamp = (
+            F.lit(ts_ms).cast("long") if ts_ms is not None else F.lit(None).cast("long")
+        )
+
+        def _emit(df: DataFrame, kind: str) -> None:
+            out_parts.append(
+                df.drop("__cdl_fp", "__cdl_pos").select(
+                    "*",
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(v).alias("_commit_version"),
+                    F.timestamp_millis(stamp).alias("_commit_timestamp"),
+                )
+            )
+
+        dv_updates = {
+            p: (removes[p], adds[p]) for p in adds.keys() & removes.keys()
+        }
+        pure_adds = [a for p, a in adds.items() if p not in dv_updates]
+        pure_removes = [r for p, r in removes.items() if p not in dv_updates]
+
+        # INSERTS: added files minus their own DVs
+        if pure_adds:
+            files = [_abs(a["path"]) for a in pure_adds]
+            df = _scan(files)
+            dv_pairs: list[tuple[str, int]] = []
+            for a in pure_adds:
+                dv = a.get("deletionVector")
+                if dv:
+                    fp = _norm_path_py(_abs(a["path"]))
+                    pos = _dv_row_indexes(dv, path, store)
+                    total_dv_rows += len(pos)
+                    dv_pairs.extend((fp, int(x)) for x in pos)
+            if dv_pairs:
+                df = df.join(
+                    _pairs_df(dv_pairs), ["__cdl_fp", "__cdl_pos"], "left_anti"
+                )
+            _emit(df, "insert")
+
+        # DELETES of whole removed files (minus the DV they carried —
+        # those rows were already emitted as deletes earlier)
+        if pure_removes:
+            gone = [
+                r["path"]
+                for r in pure_removes
+                if not os.path.isfile(os.path.join(path, r["path"]))
+                and not os.path.isfile(_abs(r["path"]))
+            ]
+            if gone:
+                raise ValueError(
+                    f"removed data files {gone[:3]} no longer exist "
+                    "(vacuumed) — cannot reconstruct version "
+                    f"{v}'s deletes"
+                )
+            df = _scan([_abs(r["path"]) for r in pure_removes])
+            dv_pairs = []
+            for r in pure_removes:
+                dv = r.get("deletionVector")
+                if dv:
+                    fp = _norm_path_py(_abs(r["path"]))
+                    pos = _dv_row_indexes(dv, path, store)
+                    total_dv_rows += len(pos)
+                    dv_pairs.extend((fp, int(x)) for x in pos)
+            if dv_pairs:
+                df = df.join(
+                    _pairs_df(dv_pairs), ["__cdl_fp", "__cdl_pos"], "left_anti"
+                )
+            _emit(df, "delete")
+
+        # DV updates: newly-masked positions only (new DV minus old DV)
+        new_pairs: list[tuple[str, int]] = []
+        for p, (r, a) in dv_updates.items():
+            old = set(
+                _dv_row_indexes(r["deletionVector"], path, store)
+                if r.get("deletionVector")
+                else []
+            )
+            new = set(
+                _dv_row_indexes(a["deletionVector"], path, store)
+                if a.get("deletionVector")
+                else []
+            )
+            fresh = sorted(new - old)
+            total_dv_rows += len(fresh)
+            fp = _norm_path_py(_abs(p))
+            new_pairs.extend((fp, int(x)) for x in fresh)
+        if new_pairs:
+            df = _scan([_abs(p) for p in dv_updates]).join(
+                _pairs_df(new_pairs), ["__cdl_fp", "__cdl_pos"], "left_semi"
+            )
+            _emit(df, "delete")
+        if total_dv_rows > dv_collect_max_rows:
+            raise ValueError(
+                f"change range decodes ~{total_dv_rows} deletion-vector "
+                f"rows > dv_collect_max_rows={dv_collect_max_rows}; narrow "
+                "the version range"
+            )
+
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+            T.StructField("_commit_timestamp", T.TimestampType(), True),
+        ]
+    )
+    if not out_parts:
+        return spark.createDataFrame([], out_schema)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

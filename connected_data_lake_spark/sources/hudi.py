@@ -1317,3 +1317,78 @@ def compact_hudi_mor(spark: SparkSession, path: str) -> str:
     finally:
         os.unlink(tmp)
     return instant
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    from_instant: str,
+    to_instant: str | None = None,
+) -> DataFrame:
+    """Hudi INCREMENTAL QUERY (hudi.apache.org "Query Types"): the rows
+    WRITTEN by completed instants in ``(from_instant, to_instant]``
+    (default ending: the latest instant), as data columns plus
+    ``_hoodie_commit_time`` — consume-only-what-changed, the pattern
+    that turns a 100 TB table into a per-checkpoint increment.
+
+    COPY_ON_WRITE semantics, exactly Hudi's: scan only the file slices
+    the range's commits wrote (from their ``partitionToWriteStats``) and
+    keep rows whose ``_hoodie_commit_time`` falls in the range — an
+    upserted slice carries surviving OLD rows with their original commit
+    times, which the filter drops, so updates surface once, under the
+    instant that wrote them. ``replacecommit`` (INSERT_OVERWRITE /
+    clustering) rows are included under their new commit time — Hudi's
+    documented behavior for overwrite operations. MERGE_ON_READ
+    deltacommit instants in the range gate loudly (their row changes
+    live in log blocks; read the merged snapshot instead).
+    """
+    from pyspark.sql import functions as F
+
+    prepare_session(spark)
+    root = _local(path)
+    props_path = os.path.join(root, ".hoodie", "hoodie.properties")
+    if not os.path.isfile(props_path):
+        raise FileNotFoundError(
+            f"not a Hudi table (no .hoodie/hoodie.properties): {path}"
+        )
+    instants = _completed_instants(root, allow_delta=True)
+    if not instants:
+        raise ValueError(f"no completed instants under {path}")
+    if to_instant is None:
+        to_instant = instants[-1][0]
+    window = [
+        t for t in instants if str(from_instant) < t[0] <= str(to_instant)
+    ]
+    rels: list[str] = []
+    for instant, action, meta_path in window:
+        if action == "deltacommit":
+            raise HudiProtocolError(
+                f"deltacommit {instant} in the incremental range — MoR "
+                "log-block increments are not expressible as a base-file "
+                "scan; read the merged snapshot (read_hudi_mor) or "
+                "compact first"
+            )
+        with open(meta_path, "rb") as fh:
+            meta = json.loads(fh.read())
+        for _part, sts in (meta.get("partitionToWriteStats") or {}).items():
+            for st in sts or []:
+                rel = st.get("path")
+                if rel and not (".log." in os.path.basename(rel)):
+                    rels.append(rel)
+    if not rels:
+        # no files in range: empty result with the snapshot's schema
+        snap = read_hudi(spark, path)
+        return (
+            snap.limit(0)
+            .select("*")
+            .withColumn("_hoodie_commit_time", F.lit(None).cast("string"))
+        )
+    df = spark.read.parquet(*[os.path.join(root, r) for r in rels])
+    data_cols = [c for c in df.columns if not c.startswith("_hoodie_")]
+    return (
+        df.filter(
+            (F.col("_hoodie_commit_time") > str(from_instant))
+            & (F.col("_hoodie_commit_time") <= str(to_instant))
+        )
+        .select(*data_cols, "_hoodie_commit_time")
+    )

@@ -682,3 +682,114 @@ def test_dv_unknown_mode_refused(spark, tbl):
         delete_from_delta(spark, tbl, "k = 1", mode="nope")
     with pytest.raises(ValueError, match="unknown UPDATE mode"):
         update_delta(spark, tbl, "k = 1", {"v": "1"}, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# change feed: read_delta_changes
+# ---------------------------------------------------------------------------
+
+
+def _cdf_table(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import (
+        compact_delta,
+        delete_from_delta,
+        update_delta,
+    )
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)          # v0
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")    # v1
+    update_delta(spark, tbl, "k % 10 = 0", {"v": "-v"}, mode="dv")  # v2
+    compact_delta(spark, tbl)                                 # v3 (no change)
+    return tbl
+
+
+def test_cdf_derives_inserts_and_dv_deletes(spark, tbl):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+
+    _cdf_table(spark, tbl)
+    ch = read_delta_changes(spark, tbl, 0)
+    agg = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in ch.groupBy("_change_type", "_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == {
+        ("insert", 0): 100,
+        ("delete", 1): 10,
+        ("delete", 2): 10,
+        ("insert", 2): 10,
+    }
+    # OPTIMIZE (v3, dataChange=false) contributed NO change rows
+    assert not any(v == 3 for (_t, v) in agg)
+    # delete rows carry the values AT delete time; v2 inserts the update
+    del1 = ch.filter("_commit_version = 1 AND _change_type = 'delete'")
+    assert del1.filter("k % 10 <> 5 OR v <> k * 1.5").count() == 0
+    ins2 = ch.filter("_commit_version = 2 AND _change_type = 'insert'")
+    assert ins2.filter("k % 10 <> 0 OR v <> -(k * 1.5)").count() == 0
+
+
+def test_cdf_dv_update_emits_only_newly_masked_positions(spark, tbl):
+    """The second DV commit's remove+add of the same path must diff the
+    vectors — re-emitting the union would double-count v1's deletes."""
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    delete_from_delta(spark, tbl, "k % 10 = 6", mode="dv")
+    ch2 = read_delta_changes(spark, tbl, 2, 2)
+    assert ch2.count() == 10
+    assert ch2.filter("k % 10 <> 6").count() == 0
+    assert ch2.filter("_change_type <> 'delete'").count() == 0
+
+
+def test_cdf_version_range_and_validation(spark, tbl):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+
+    _cdf_table(spark, tbl)
+    assert read_delta_changes(spark, tbl, 1, 2).count() == 30
+    assert read_delta_changes(spark, tbl, 3).count() == 0
+    with pytest.raises(ValueError, match="bad change range"):
+        read_delta_changes(spark, tbl, 2, 1)
+    with pytest.raises(ValueError, match="> latest version"):
+        read_delta_changes(spark, tbl, 0, 99)
+
+
+def test_cdf_cow_delete_surfaces_as_delete_insert_pairs(spark, tbl):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5")  # CoW: rewrite the file
+    ch = read_delta_changes(spark, tbl, 1, 1)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # remove(100 rows at pre-delete state) + add(90 survivors): net -10
+    assert got == {"delete": 100, "insert": 90}
+    net = (
+        ch.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias(
+                "d"
+            )
+        )
+        .filter("d <> 0")
+    )
+    assert net.count() == 10  # exactly the deleted keys net out negative
+    assert net.filter("k % 10 <> 5").count() == 0
+
+
+def test_cdf_missing_commit_json_refused(spark, tbl):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+
+    write_delta(_df(spark, 0, 20), tbl)
+    write_delta(_df(spark, 20, 40), tbl, mode="append")
+    checkpoint_delta(tbl)
+    os.unlink(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="log cleanup"):
+        read_delta_changes(spark, tbl, 0)
+    # ranges that avoid the hole still work
+    assert read_delta_changes(spark, tbl, 1).count() == 20

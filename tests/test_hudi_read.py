@@ -189,3 +189,66 @@ def test_one_x_timeline_dir(spark, tmp_path):
         json.dump(meta, fh)
     got = read_hudi(spark, root)
     assert [(r.id, r.v) for r in got.collect()] == [(7, 7.0)]
+
+
+# ---------------------------------------------------------------------------
+# incremental query: read_hudi_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_reads_rows_written_in_range(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.hudi import (
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "inc")
+    mk = lambda lo, hi, m=1.5: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * m).alias("v")
+    )
+    i1 = write_hudi(mk(0, 100), p, record_key="k")
+    i2 = write_hudi(mk(100, 160), p, record_key="k", mode="insert")
+    i3 = write_hudi(mk(20, 30, -1.0), p, record_key="k", mode="upsert")
+    inc = read_hudi_incremental(spark, p, i1)
+    assert inc.count() == 70
+    per = {
+        r["_hoodie_commit_time"]: r["n"]
+        for r in inc.groupBy("_hoodie_commit_time")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per == {i2: 60, i3: 10}
+    # an upsert surfaces ONCE, under the instant that wrote it, with the
+    # new values — surviving old rows of the rewritten slice are dropped
+    assert inc.filter(f"_hoodie_commit_time = '{i3}'").filter(
+        "v <> -k"
+    ).count() == 0
+    assert read_hudi_incremental(spark, p, i2, i3).count() == 10
+    assert read_hudi_incremental(spark, p, i3).count() == 0
+
+
+def test_incremental_gates_deltacommits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.hudi import (
+        HudiProtocolError,
+        read_hudi_incremental,
+        upsert_hudi_mor,
+        write_hudi,
+    )
+
+    p = str(tmp_path / "incmor")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    i1 = write_hudi(df, p, record_key="k", table_type="MERGE_ON_READ")
+    upsert_hudi_mor(
+        spark,
+        p,
+        spark.range(0, 5).select(F.col("id").alias("k"), F.lit(0.0).alias("v")),
+        record_key="k",
+    )
+    with pytest.raises(HudiProtocolError, match="deltacommit"):
+        read_hudi_incremental(spark, p, i1).count()

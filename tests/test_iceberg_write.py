@@ -527,3 +527,56 @@ def test_mor_unknown_mode_refused(spark, tbl):
         delete_from_iceberg(spark, tbl, "k = 1", mode="nope")
     with pytest.raises(ValueError, match="unknown UPDATE mode"):
         update_iceberg(spark, tbl, "k = 1", {"v": "1"}, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# incremental append scan: read_iceberg_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_reads_only_appended_snapshots(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg import read_iceberg_incremental
+
+    s1 = write_iceberg(_df(spark, 0, 50), tbl)
+    s2 = write_iceberg(_df(spark, 50, 80), tbl, mode="append")
+    s3 = write_iceberg(_df(spark, 80, 90), tbl, mode="append")
+    inc = read_iceberg_incremental(spark, tbl, s1)
+    assert inc.count() == 40
+    assert inc.filter("k < 50").count() == 0
+    per = {
+        r["_snapshot_id"]: r["n"]
+        for r in inc.groupBy("_snapshot_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {s2: 30, s3: 10}
+    assert read_iceberg_incremental(spark, tbl, s1, s2).count() == 30
+    assert read_iceberg_incremental(spark, tbl, s3).count() == 0
+
+
+def test_incremental_skips_replace_and_gates_deletes(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg import read_iceberg_incremental
+    from connected_data_lake_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_from_iceberg,
+    )
+
+    s1 = write_iceberg(_df(spark, 0, 50), tbl)
+    write_iceberg(_df(spark, 50, 80), tbl, mode="append")
+    compact_iceberg(spark, tbl)  # replace snapshot: rearrangement only
+    s4 = write_iceberg(_df(spark, 80, 85), tbl, mode="append")
+    inc = read_iceberg_incremental(spark, tbl, s1)
+    # 30 appended + 5 appended; the compaction's rewritten files NOT
+    # re-emitted (the property that makes this safe across maintenance)
+    assert inc.count() == 35
+    delete_from_iceberg(spark, tbl, "k = 1", mode="mor")
+    with pytest.raises(ValueError, match="incremental append scan"):
+        read_iceberg_incremental(spark, tbl, s4).count()
+    # a range ending BEFORE the delete still reads
+    assert read_iceberg_incremental(spark, tbl, s1, s4).count() == 35
+
+
+def test_incremental_unknown_snapshot_refused(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg import read_iceberg_incremental
+
+    write_iceberg(_df(spark, 0, 10), tbl)
+    with pytest.raises(ValueError, match="unknown from_snapshot_id"):
+        read_iceberg_incremental(spark, tbl, 424242)
