@@ -651,3 +651,67 @@ def test_iceberg_write_roundtrip_statically_prunes(spark, sf_dir):
         df.select("o_orderstatus").distinct().collect()[0][0] == "F"
         and df.select("o_orderstatus").distinct().count() == 1
     )
+
+
+def test_delta_dv_dml_read_broadcasts_delete_side(spark, sf_dir):
+    """The DV-DML fixture's read plan must apply deletion vectors as a
+    BROADCAST anti-join on the scan's (file, position) — one scan
+    relation for the base files, no shuffle of the data side — and the
+    partition column must still resolve through directory inference
+    (the DV write touched no data files, so the hive layout is intact)."""
+    plan = plan_of(spark, sf_dir, "delta_dv_dml_roundtrip")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "row_index" in plan  # the position key comes from scan metadata
+
+
+def test_iceberg_mor_dml_read_single_data_relation(spark, sf_dir):
+    """The MoR-DML fixture must scan its base files as ONE relation and
+    its position-delete files as ONE broadcast side (two FileScans
+    total) — per-file plans would grow with the table."""
+    plan = plan_of(spark, sf_dir, "iceberg_mor_dml_roundtrip")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_iceberg_incremental_scans_only_range_files(spark, sf_dir):
+    """The incremental scan's input files must be EXACTLY the files the
+    range's snapshots added — snapshot 1's files (a third of the table)
+    never enter the plan."""
+    from connected_data_lake_spark.plans.lakeops import _iceberg_written_orders
+    from connected_data_lake_spark.sources.iceberg import (
+        read_iceberg,
+        read_iceberg_incremental,
+    )
+
+    path = _iceberg_written_orders(spark, sf_dir)
+    all_files = set(read_iceberg(spark, path).inputFiles())
+    inc_files = set(read_iceberg_incremental(spark, path, 1).inputFiles())
+    assert inc_files and inc_files < all_files
+    s1_files = set(
+        read_iceberg(spark, path, snapshot_id=1).inputFiles()
+    )
+    assert not (inc_files & s1_files)
+
+
+def test_hudi_incremental_scans_only_range_slices(spark, sf_dir):
+    """The Hudi incremental query reads only the slices the range's
+    commits wrote (t2's upsert slices), never the untouched t1 file
+    groups."""
+    from connected_data_lake_spark.plans.lakeops import _hudi_written_orders
+    from connected_data_lake_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
+
+    path = _hudi_written_orders(spark, sf_dir)
+    all_files = set(read_hudi(spark, path).inputFiles())
+    inc_files = set(
+        read_hudi_incremental(spark, path, "20260101000000000").inputFiles()
+    )
+    # only slices WRITTEN BY t2 enter the plan (at tiny SF the upsert may
+    # touch every file group, so subset can degenerate to equality — the
+    # structural claim is the instant stamp on every scanned file)
+    assert inc_files and inc_files <= all_files
+    assert all("_20260101000000001.parquet" in f for f in inc_files)
+    assert not any("_20260101000000000.parquet" in f for f in inc_files)
