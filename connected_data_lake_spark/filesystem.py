@@ -169,11 +169,26 @@ class CdlFS:
     def load_from_hudi(
         self, hudi_path: str, as_of_instant: str | None = None
     ) -> "CdlFS":
-        """Ingest an EXISTING external Hudi COPY_ON_WRITE table
-        (rootfs-shaped rows) via :func:`sources.hudi.read_hudi`."""
-        from connected_data_lake_spark.sources.hudi import read_hudi
+        """Ingest an EXISTING external Hudi table (rootfs-shaped rows):
+        COPY_ON_WRITE via :func:`sources.hudi.read_hudi`, MERGE_ON_READ
+        via the log-merging :func:`sources.hudi.read_hudi_mor` —
+        dispatched on the table's own ``hoodie.table.type``."""
+        import os as _os
 
-        df = read_hudi(self.spark, hudi_path, as_of_instant=as_of_instant)
+        from connected_data_lake_spark.sources.hudi import (
+            _local,
+            _read_properties,
+            read_hudi,
+            read_hudi_mor,
+        )
+
+        props_path = _os.path.join(
+            _local(hudi_path), ".hoodie", "hoodie.properties"
+        )
+        with open(props_path, encoding="utf-8") as fh:
+            table_type = _read_properties(fh.read()).get("hoodie.table.type")
+        reader = read_hudi_mor if table_type == "MERGE_ON_READ" else read_hudi
+        df = reader(self.spark, hudi_path, as_of_instant=as_of_instant)
         return self._ingest_external(df, f"Hudi table at {hudi_path}")
 
     def _ingest_external(self, df: DataFrame, src_desc: str) -> "CdlFS":
@@ -594,4 +609,31 @@ class CdlFS:
 
         return write_iceberg(
             self.sql(stmt), path, mode=mode, partition_by=partition_by
+        )
+
+    def to_hudi_table(
+        self,
+        path: str,
+        record_key: str,
+        stmt: str = f"SELECT * FROM {ROOTFS_TABLE}",
+        mode: str = "insert",
+        partition_by: list[str] | None = None,
+        table_type: str = "COPY_ON_WRITE",
+    ) -> str:
+        """Export ``stmt``'s result as an external HUDI table
+        (:func:`sources.hudi.write_hudi`): timeline instants, hoodie
+        meta columns, COW insert/upsert/INSERT_OVERWRITE — or create a
+        MERGE_ON_READ table (``table_type=``) whose later DML goes
+        through :func:`sources.hudi.upsert_hudi_mor` log blocks.
+        Returns the committed instant. Completes the egress triad with
+        :meth:`to_delta_table` / :meth:`to_iceberg_table`."""
+        from connected_data_lake_spark.sources.hudi import write_hudi
+
+        return write_hudi(
+            self.sql(stmt),
+            path,
+            record_key=record_key,
+            mode=mode,
+            partition_by=partition_by,
+            table_type=table_type,
         )

@@ -91,3 +91,49 @@ def test_load_from_delta_refuses_non_rootfs(fs, tmp_path):
     write_delta(fs.spark.range(0, 5).select(F.col("id").alias("k")), tbl)
     with pytest.raises(ValueError, match="missing columns"):
         fs.cdl.open(f"local://{tmp_path / 'ds3'}").load_from_delta(tbl)
+
+
+def test_hudi_roundtrip_via_facade_cow_and_mor(fs, tmp_path):
+    """to_hudi_table → read back; MERGE_ON_READ export + log-block DML →
+    load_from_hudi dispatches to the MoR merge reader by table type."""
+    from connected_data_lake_spark.sources.hudi import (
+        delete_from_hudi_mor,
+        read_hudi,
+    )
+
+    # COW export/ingress
+    cow = str(tmp_path / "hudi_cow")
+    # binary/NTZ columns are not Avro-log encodable, but COW base files
+    # carry them fine
+    fs.to_hudi_table(cow, record_key="name", stmt="SELECT * FROM rootfs")
+    back = read_hudi(fs.spark, cow)
+    assert back.count() == fs.table().count()
+    fs2 = fs.cdl.open(f"local://{tmp_path / 'ds_cow'}")
+    fs2.load_from_hudi(cow)
+    assert (
+        fs2.sql("SELECT COUNT(*) AS n FROM rootfs").first()["n"]
+        == fs.table().count()
+    )
+
+    # MoR export with primitive columns only, then log-block DELETE;
+    # load_from_hudi must read the MERGED snapshot (deleted row gone)
+    mor = str(tmp_path / "hudi_mor")
+    # record keys must be UNIQUE per row (chunked files repeat `name`,
+    # and the MoR merge would newest-wins them into one row per key) —
+    # export one aggregated row per file
+    fs.to_hudi_table(
+        mor,
+        record_key="name",
+        stmt=(
+            "SELECT name, SUM(length(data)) AS n_bytes "
+            "FROM rootfs GROUP BY name"
+        ),
+        table_type="MERGE_ON_READ",
+    )
+    n_files = fs.sql("SELECT COUNT(DISTINCT name) AS n FROM rootfs").first()["n"]
+    delete_from_hudi_mor(fs.spark, mor, "n_bytes = 0")
+    from connected_data_lake_spark.sources.hudi import read_hudi_mor
+
+    merged = read_hudi_mor(fs.spark, mor)
+    assert merged.count() == n_files - 1  # the empty file row deleted
+    assert merged.filter("n_bytes = 0").count() == 0
