@@ -3150,3 +3150,91 @@ def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderstatus").alias("n_status"),
         )
     )
+
+
+#: session-scoped handle to the build-once eq-delete-written Iceberg fixture
+_ICEBERG_EQ_DML_CACHE: dict[str, str] = {}
+
+
+def _iceberg_eq_dml_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Iceberg table whose history exercises the EQUALITY-
+    DELETE WRITE path end to end: snapshot 1 creates (all orders),
+    snapshot 2 ``equality_delete_iceberg`` on the %10=5 KEY SET (a
+    content=2 commit that wrote only the key parquet + delete manifest —
+    no table scan), snapshot 3 RE-APPENDS the deleted keys with negated
+    prices. The final read is wrong unless the reader scopes the
+    equality delete to STRICTLY-LOWER sequence numbers (re-inserted
+    rows survive) — the CDC upsert pattern."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_EQ_DML_CACHE:
+        return _ICEBERG_EQ_DML_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_iceeqdml_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "v3.metadata.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_iceberg(o, path, mode="error")
+        keys = o.filter("o_orderkey % 10 = 5").select("o_orderkey")
+        equality_delete_iceberg(spark, path, keys)
+        write_iceberg(
+            o.filter("o_orderkey % 10 = 5").withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+            path,
+            mode="append",
+        )
+    _ICEBERG_EQ_DML_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_eq_dml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 5 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "dml", "cdc"),
+)
+def iceberg_eq_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY-DELETE write → read round-trip
+    (``sources/iceberg_write.py::equality_delete_iceberg`` + the
+    sequence-scoped anti-join in ``sources/iceberg.py``): the %10=5
+    keys were CDC-deleted (a planning-sized commit — key file + delete
+    manifest, zero table scan) and then RE-INSERTED with negated prices
+    at a higher sequence. Every row count survives and exactly the
+    re-inserted slice is negated — only if the delete applies to
+    strictly-older data files. Pairs with ``iceberg_eq_delete_read``
+    (hand-built Flink-style fixture): that proves the READER, this
+    proves our WRITER speaks the same content=2 dialect."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_eq_dml_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

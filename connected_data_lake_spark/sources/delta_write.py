@@ -1076,8 +1076,53 @@ def _dv_mark_matching(
     df = read_delta(spark, path, _keep_position=True)
     pred = F.expr(condition)
     matched = df.filter(pred)
+    new_rows = None
+    if new_rows_transform is not None:
+        new_rows = new_rows_transform(matched, pred).select(
+            *[f.name for f in schema.fields]
+        )
+    return _dv_commit(
+        spark, path, store, meta, live, proto, partition_by, schema,
+        matched, new_rows, operation, dv_max_rows,
+    )
+
+
+def _dv_commit(
+    spark,
+    path: str,
+    store,
+    meta: dict,
+    live: list[dict],
+    proto: dict,
+    partition_by: list[str],
+    schema: T.StructType,
+    matched,
+    new_rows,
+    operation: str,
+    dv_max_rows: int,
+):
+    """Commit tail of the deletion-vector DML engine: mask ``matched``
+    (rows of a ``read_delta(_keep_position=True)`` snapshot) with DVs,
+    stage ``new_rows`` (already projected to the table schema) as new
+    data files, one commit. Returns ``(version, n_affected_files,
+    False)``, or None when the match count exceeds ``dv_max_rows`` (the
+    caller falls back to its copy-on-write engine)."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.delta import (
+        _dv_row_indexes,
+        _dv_unique_id,
+        delta_table_version,
+    )
+    from connected_data_lake_spark.sources.iceberg import _norm_path_py
+    from connected_data_lake_spark.sources.roaring import encode_rbm_array
+
     n_hits = matched.count()
-    if n_hits == 0:
+    if n_hits == 0 and new_rows is None:
         return delta_table_version(path), 0, False
     if n_hits > dv_max_rows:
         import warnings
@@ -1166,11 +1211,8 @@ def _dv_mark_matching(
             os.fsync(fh.fileno())
         os.replace(tmp_bin, os.path.join(path, rel_bin))
     n_new_files = 0
-    if new_rows_transform is not None:
-        rewritten = new_rows_transform(matched, pred).select(
-            *[f.name for f in schema.fields]
-        )
-        for rel, pvals in _stage_and_move(rewritten, path, partition_by):
+    if new_rows is not None:
+        for rel, pvals in _stage_and_move(new_rows, path, partition_by):
             n_new_files += 1
             actions.append(
                 {
@@ -1309,6 +1351,8 @@ def merge_into_delta(
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    mode: str = "cow",
+    dv_max_rows: int = DV_MARK_MAX_ROWS,
 ) -> int:
     """MERGE INTO <delta table> USING ``source`` ON key columns ``on``:
     copy-on-write upsert. Matched target rows update (``SET col=expr``
@@ -1319,7 +1363,13 @@ def merge_into_delta(
     new files in the same commit. Returns the committed version.
 
     Duplicate-key sources are refused (a target row matching two source
-    rows has no deterministic result — delta-spark raises the same)."""
+    rows has no deterministic result — delta-spark raises the same).
+
+    ``mode='dv'``: merge-on-read — matched target rows are masked with
+    DELETION VECTORS instead of rewriting their files; updates and
+    inserts land as new files carrying ONLY those rows, all in one
+    commit (write amplification ∝ changed rows). Falls back to CoW
+    above ``dv_max_rows`` matches."""
     from pyspark.sql import functions as F
 
     from connected_data_lake_spark.sources.delta import read_delta
@@ -1345,13 +1395,56 @@ def merge_into_delta(
     if dup:
         raise ValueError("source has duplicate merge keys — MERGE is ambiguous")
 
-    tgt = read_delta(spark, path)
     src = source.select(*[c for c in source.columns if c in cols])
+    # _keep_position materializes the file path inside each scan relation
+    # (the _metadata pseudo-column does not resolve on DV'd snapshots)
+    tgt_pos = read_delta(spark, path, _keep_position=True)
+    tgt_fp = tgt_pos.drop("__cdl_pos")
+    tgt = tgt_fp.drop("__cdl_fp")
 
-    # 1) planning-sized: which target files contain a matched key. The
-    # _metadata column only resolves directly on the scan relation, so
-    # materialize it BEFORE the join.
-    tgt_fp = tgt.withColumn("__cdl_fp", F.col("_metadata.file_path"))
+    if mode == "dv":
+        matched = tgt_pos.join(src, on, "left_semi")
+        new_parts: list[DataFrame] = []
+        if when_matched_update:
+            joined = tgt.alias("tgt").join(
+                src.alias("src"), on, "inner"
+            )
+            exprs = []
+            for c in cols:
+                upd = when_matched_update.get(c)
+                exprs.append(
+                    F.expr(upd).alias(c) if upd is not None
+                    else F.col(f"tgt.{c}").alias(c)
+                )
+            new_parts.append(joined.select(*exprs))
+        elif not when_matched_delete:
+            # matched rows neither updated nor deleted: they stay — only
+            # genuinely-new keys mask nothing, so matched set is empty
+            matched = matched.limit(0)
+        if when_not_matched_insert:
+            new_parts.append(
+                src.alias("src")
+                .join(tgt.select(*on).alias("tgt"), on, "left_anti")
+                .select(
+                    *[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in cols]
+                )
+            )
+        new_rows = None
+        if new_parts:
+            new_rows = new_parts[0]
+            for part in new_parts[1:]:
+                new_rows = new_rows.unionByName(part)
+        out = _dv_commit(
+            spark, path, store, meta, live, proto, partition_by, schema,
+            matched, new_rows, "MERGE", dv_max_rows,
+        )
+        if out is not None:
+            return out[0]
+        # above the DV gate: fall through to the CoW merge below
+    elif mode != "cow":
+        raise ValueError(f"unknown MERGE mode {mode!r} (use 'cow' or 'dv')")
+
+    # 1) planning-sized: which target files contain a matched key
     hit_raw = sorted(
         r[0]
         for r in tgt_fp.join(src, on, "left_semi")
@@ -1413,14 +1506,17 @@ def merge_into_delta(
         out_df = out_df.unionByName(part)
     moved = _stage_and_move(out_df, path, partition_by)
     for a in affected:
+        rm = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
         actions.append(
             {
-                "remove": {
-                    "path": a["path"],
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                    "partitionValues": a.get("partitionValues") or {},
-                }
+                "remove": rm
             }
         )
     for rel, pvals in moved:
@@ -1454,7 +1550,10 @@ def merge_into_delta(
         if commit_delta(log_dir, version, actions):
             return version
         _m2, live2, _p2 = _replay(store, path, None)
-        if not {a["path"] for a in affected} <= {a["path"] for a in live2}:
+        from connected_data_lake_spark.sources.delta import _dv_unique_id
+
+        key = lambda a: (a["path"], _dv_unique_id(a.get("deletionVector")))
+        if not {key(a) for a in affected} <= {key(a) for a in live2}:
             raise RuntimeError(
                 "concurrent commit removed a file this MERGE rewrote; re-run"
             )

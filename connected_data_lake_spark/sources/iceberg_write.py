@@ -1326,6 +1326,179 @@ def update_iceberg(
     return snap
 
 
+def equality_delete_iceberg(
+    spark,
+    path: str,
+    keys_df: DataFrame,
+    equality_columns: list[str] | None = None,
+    target_delete_file_rows: int = 5_000_000,
+) -> int:
+    """CDC-style EQUALITY DELETE (spec content=2, the delete shape
+    Flink-CDC writers emit): every table row whose ``equality_columns``
+    values match a row of ``keys_df`` is deleted — WITHOUT scanning the
+    table. The commit writes only the key file(s) + one delete manifest:
+    a planning-sized operation at ANY table size, the primitive that
+    lets a CDC stream of primary-key deletes keep up with a 100 TB
+    table.
+
+    Sequence semantics per the spec's Scan Planning: the delete applies
+    to data files with a STRICTLY LOWER data sequence number, so rows
+    re-inserted AFTER this commit survive — exactly the upsert pattern
+    CDC pipelines rely on (the reader's null-safe anti-join implements
+    it; driver-verified in ``iceberg_eq_delete_read``). Deletes are
+    global (unpartitioned scope — the only scope the reader applies).
+    Returns the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, prev_ver = cur
+    schemas = {s["schema-id"]: s for s in meta0.get("schemas", [])}
+    cur_schema = schemas.get(meta0.get("current-schema-id", 0)) or meta0["schema"]
+    ice_fields = cur_schema["fields"]
+    id_of = {f["name"]: f["id"] for f in ice_fields}
+    type_of = {f["name"]: f["type"] for f in ice_fields}
+    cols = list(equality_columns or keys_df.columns)
+    missing = [c for c in cols if c not in id_of]
+    if missing:
+        raise ValueError(f"equality columns {missing} not in the table schema")
+    for c in cols:
+        if c not in keys_df.columns:
+            raise ValueError(f"keys_df lacks equality column {c!r}")
+        if isinstance(type_of[c], dict):
+            raise IcebergProtocolError(
+                f"nested equality column {c!r} not supported"
+            )
+    spec = {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
+        meta0.get("default-spec-id", 0), {"fields": []}
+    )
+    part_fields = [
+        (pf["name"], type_of.get(pf["name"]))
+        for pf in spec.get("fields", [])
+    ]
+    part_fields = [(n, t) for n, t in part_fields if t in _PART_AVRO]
+    if len(part_fields) != len(spec.get("fields", [])):
+        raise IcebergProtocolError(
+            "equality delete on a partition spec with non-int/long/string "
+            "source columns is not supported"
+        )
+    snapshots = list(meta0.get("snapshots", []))
+    parent = meta0.get("current-snapshot-id")
+    if parent is None:
+        raise ValueError("cannot equality-delete from an empty table")
+
+    keys = keys_df.select(*cols).distinct()
+    n_keys = keys.count()
+    if n_keys == 0:
+        return parent
+
+    token = uuid.uuid4().hex
+    snap_id = max(s["snapshot-id"] for s in snapshots) + 1
+    seq = int(meta0.get("last-sequence-number", 0)) + 1
+    now_ms = int(time.time() * 1000)
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    n_files = max(1, -(-n_keys // target_delete_file_rows))
+    out = _with_field_ids(keys.coalesce(n_files), {c: id_of[c] for c in cols})
+    staging = os.path.join(path, "data", f"_staging_{token}")
+    out.write.mode("overwrite").parquet(staging)
+    del_files: list[str] = []
+    idx = 0
+    for root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{token}-eqdel-{idx:05d}.parquet"
+            os.replace(os.path.join(root, name), os.path.join(path, "data", rel))
+            del_files.append(rel)
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+
+    from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
+
+    entry_schema = iceberg_entry_schema(
+        [(n, _PART_AVRO[t]) for n, t in part_fields] or None,
+        with_equality_ids=True,
+    )
+    null_part = {n: None for n, _t in part_fields}
+    eq_ids = sorted(id_of[c] for c in cols)
+    entries = []
+    for rel in del_files:
+        full = os.path.join(path, "data", rel)
+        n_rows, _b, _n = _footer_stats(full)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,
+                    "file_path": f"{path}/data/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": dict(null_part),
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    dm_name = f"m-{token}-eqdel.avro"
+    dm_blob = write_ocf(entry_schema, entries)
+    with open(os.path.join(path, "metadata", dm_name), "wb") as fh:
+        fh.write(dm_blob)
+
+    store = IcebergStore(path)
+    prev_snap = next(s for s in snapshots if s["snapshot-id"] == parent)
+    ml_schema_fields = {f["name"] for f in _manifest_list_schema()["fields"]}
+    _ls, prev_manifests = read_ocf(store.read_uri(prev_snap["manifest-list"]))
+    ml_recs = [{k: rec.get(k) for k in ml_schema_fields} for rec in prev_manifests]
+    ml_recs.append(
+        {
+            "manifest_path": f"{path}/metadata/{dm_name}",
+            "manifest_length": len(dm_blob),
+            "partition_spec_id": meta0.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(del_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_keys,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+    )
+    ml_name = f"snap-{snap_id}-1-{token}.avro"
+    ml_blob = write_ocf(_manifest_list_schema(), ml_recs)
+    with open(os.path.join(path, "metadata", ml_name), "wb") as fh:
+        fh.write(ml_blob)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "parent-snapshot-id": parent,
+        "summary": {"operation": "delete"},
+        "manifest-list": f"{path}/metadata/{ml_name}",
+        "schema-id": meta0.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta0)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = snapshots + [snapshot]
+    new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+    ]
+    _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, token)
+    return snap_id
+
+
 def merge_into_iceberg(
     spark,
     path: str,

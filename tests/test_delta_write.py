@@ -793,3 +793,85 @@ def test_cdf_missing_commit_json_refused(spark, tbl):
         read_delta_changes(spark, tbl, 0)
     # ranges that avoid the hole still work
     assert read_delta_changes(spark, tbl, 1).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO, merge-on-read (mode="dv")
+# ---------------------------------------------------------------------------
+
+
+def test_dv_merge_upsert_masks_and_inserts_in_one_commit(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    src = spark.range(90, 120).select(
+        F.col("id").alias("k"),
+        F.lit("9").alias("p"),
+        F.lit(-1.0).alias("v"),
+    )
+    v = merge_into_delta(
+        spark, tbl, src, on=["k"], when_matched_update={"v": "src.v"},
+        mode="dv",
+    )
+    assert v == 1
+    back = read_delta(spark, tbl)
+    assert back.count() == 120
+    assert back.filter("k >= 90").filter("v <> -1.0").count() == 0
+    assert back.filter("k < 90").filter("v <> k * 1.5").count() == 0
+    # the original base file never moved: its rows are DV-masked
+    live, _ = _live_adds(tbl)
+    assert any(a.get("deletionVector") for a in live)
+    assert read_delta(spark, tbl, version=0).count() == 100
+
+
+def test_dv_merge_matched_delete(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    src = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("0").alias("p"), F.lit(0.0).alias("v")
+    )
+    merge_into_delta(
+        spark, tbl, src, on=["k"], when_matched_delete=True,
+        when_not_matched_insert=False, mode="dv",
+    )
+    back = read_delta(spark, tbl)
+    assert back.count() == 90 and back.filter("k < 10").count() == 0
+
+
+def test_dv_merge_above_gate_falls_back_to_cow(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    src = _df(spark, 0, 50).withColumn("v", F.lit(2.0))
+    with pytest.warns(UserWarning, match="falling back to copy-on-write"):
+        merge_into_delta(
+            spark, tbl, src, on=["k"], when_matched_update={"v": "src.v"},
+            mode="dv", dv_max_rows=10,
+        )
+    back = read_delta(spark, tbl)
+    assert back.count() == 100
+    assert back.filter("k < 50").filter("v <> 2.0").count() == 0
+    live, _ = _live_adds(tbl)
+    assert not any(a.get("deletionVector") for a in live)
+
+
+def test_cow_merge_on_dv_table_carries_descriptors(spark, tbl):
+    """A CoW MERGE over a DV'd table must anti-key the (path, dvId)
+    logical file — dropping the descriptor would leave both the old
+    DV'd file and its rewrite live (duplicate rows)."""
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        merge_into_delta,
+    )
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")
+    src = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit("0").alias("p"), F.lit(3.0).alias("v")
+    )
+    merge_into_delta(spark, tbl, src, on=["k"], when_matched_update={"v": "src.v"})
+    back = read_delta(spark, tbl)
+    assert back.count() == 90  # no duplication
+    assert back.filter("k < 5").filter("v <> 3.0").count() == 0
+    assert back.filter("k % 10 = 5").count() == 0

@@ -580,3 +580,71 @@ def test_incremental_unknown_snapshot_refused(spark, tbl):
     write_iceberg(_df(spark, 0, 10), tbl)
     with pytest.raises(ValueError, match="unknown from_snapshot_id"):
         read_iceberg_incremental(spark, tbl, 424242)
+
+
+# ---------------------------------------------------------------------------
+# CDC-style equality-delete writes
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_without_table_scan(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 100).coalesce(1), tbl)
+    data0 = sorted(glob.glob(os.path.join(tbl, "data", "*.parquet")))
+    keys = spark.range(0, 100).filter("id % 10 = 5").selectExpr("id AS k")
+    snap = equality_delete_iceberg(spark, tbl, keys)
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 90 and back.filter("k % 10 = 5").count() == 0
+    # commit wrote ONLY the key file — base files untouched
+    new = set(glob.glob(os.path.join(tbl, "data", "*.parquet"))) - set(data0)
+    assert len(new) == 1 and "-eqdel-" in next(iter(new))
+    # the delete manifest declares content=2 + equality_ids
+    recs = _manifest_recs(tbl)
+    del_rec = next(r for r in recs if r.get("content") == 1)
+    from connected_data_lake_spark.sources.iceberg import IcebergStore
+
+    _es, entries = read_ocf(IcebergStore(tbl).read_uri(del_rec["manifest_path"]))
+    assert entries[0]["data_file"]["content"] == 2
+    assert entries[0]["data_file"]["equality_ids"] == [1]  # field id of k
+    assert snap == 2
+
+
+def test_equality_delete_sequence_scoping_reinsert_survives(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 100), tbl)
+    keys = spark.range(0, 100).filter("id % 10 = 5").selectExpr("id AS k")
+    equality_delete_iceberg(spark, tbl, keys)
+    # re-insert the deleted keys at a HIGHER sequence: they must survive
+    reins = _df(spark, 0, 100).filter("k % 10 = 5").withColumn(
+        "v", -F.col("v")
+    )
+    write_iceberg(reins, tbl, mode="append")
+    back = read_iceberg(spark, tbl)
+    assert back.count() == 100
+    assert back.filter("k % 10 = 5").filter("v <> -(k * 1.5)").count() == 0
+    # time travel to the pre-delete snapshot
+    assert read_iceberg(spark, tbl, snapshot_id=1).count() == 100
+
+
+def test_equality_delete_validation(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        equality_delete_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 10), tbl)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        equality_delete_iceberg(
+            spark, tbl, spark.range(1).selectExpr("id AS nope")
+        )
+    # empty key set: no-op, no new snapshot
+    snap = equality_delete_iceberg(
+        spark, tbl, spark.range(0).selectExpr("id AS k")
+    )
+    assert snap == 1
+    assert read_iceberg(spark, tbl).count() == 10
