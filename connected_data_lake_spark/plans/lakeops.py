@@ -3238,3 +3238,90 @@ def iceberg_eq_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once Z-ORDERED Delta fixture
+_DELTA_ZORDER_CACHE: dict[str, str] = {}
+
+
+def _delta_zorder_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table laid out by OPTIMIZE ZORDER BY
+    (o_custkey, o_totalprice): v0 writes all orders, v1 is
+    ``compact_delta(zorder_by=…)`` — a Morton-curve range-partitioned
+    rewrite (``sources/zorder.py``), so each output file covers a small
+    (custkey × price) rectangle and the add-action stats give tight
+    per-file ranges on BOTH columns."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        compact_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_ZORDER_CACHE:
+        return _DELTA_ZORDER_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltazorder_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000001.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(o, path, mode="error")
+        n = o.count()
+        compact_delta(
+            spark, path,
+            target_file_rows=max(1, n // 16),
+            zorder_by=["o_custkey", "o_totalprice"],
+        )
+    _DELTA_ZORDER_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_zorder_pruned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_custkey < 500
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "delta", "zorder", "layout"),
+)
+def delta_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY → stats-pruned read: the fixture is z-ordered
+    on (o_custkey, o_totalprice), and the read passes ``filters=`` on
+    BOTH clustered columns — ``read_delta`` drops files whose add-action
+    stats ranges cannot match BEFORE Spark plans (the same log-resident
+    data skipping delta-spark performs), then the residual filter keeps
+    the semantics. On a single-column sort the second predicate would
+    prune nothing; the Morton layout makes both selective
+    (plan-gated in tests/test_plan_quality.py). The 100 TB story:
+    clustering is the difference between scanning a full table and a
+    few hyper-rectangles for multi-dimension point/range queries."""
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    path = _delta_zorder_orders(spark, sf_dir)
+    return (
+        read_delta(
+            spark,
+            path,
+            filters=[("o_totalprice", ">=", 100000.0), ("o_custkey", "<", 500)],
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

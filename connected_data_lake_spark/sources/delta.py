@@ -670,16 +670,128 @@ def _physical_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+_DELTA_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _normalize_delta_filters(filters) -> list[tuple[str, str, object]]:
+    out = []
+    for col, op, val in filters or []:
+        op = "=" if op == "==" else op
+        if op not in _DELTA_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        out.append((col, op, val))
+    return out
+
+
+def _stat_comparable(a, b) -> bool:
+    """Type guard for stats pruning: compare only same-kind values
+    (numbers with numbers, strings with strings) — a mismatch KEEPS the
+    file rather than risking a wrong drop."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _range_satisfies(lo, hi, op: str, val) -> bool:
+    """Could a value in [lo, hi] satisfy ``op val``? Missing bounds are
+    permissive (None ⇒ unknown ⇒ keep)."""
+    if op == "=":
+        return (lo is None or lo <= val) and (hi is None or hi >= val)
+    if op == "!=":
+        # only a constant file (lo == hi == val) can fail !=
+        return not (lo is not None and hi is not None and lo == hi == val)
+    if op == "<":
+        return lo is None or lo < val
+    if op == "<=":
+        return lo is None or lo <= val
+    if op == ">":
+        return hi is None or hi > val
+    if op == ">=":
+        return hi is None or hi >= val
+    return True
+
+
+def _keep_add_under_filters(
+    add: dict,
+    flt: list[tuple[str, str, object]],
+    schema: T.StructType,
+    part_cols: set[str],
+) -> bool:
+    """File-level static pruning against one add action: partition
+    values for partition columns, stats min/max for data columns. Every
+    comparison is type-guarded; anything unknown keeps the file."""
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except ValueError:
+        stats = {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    pvals = add.get("partitionValues") or {}
+    for col, op, val in flt:
+        if col in part_cols:
+            raw = pvals.get(col)
+            if raw is None:
+                continue  # null partition or unknown: keep
+            try:
+                f = schema[col].dataType
+                typed: object = raw
+                if isinstance(f, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    typed = int(raw)
+                elif isinstance(f, (T.FloatType, T.DoubleType)):
+                    typed = float(raw)
+            except (ValueError, KeyError):
+                continue
+            if not _stat_comparable(typed, val):
+                continue
+            if not _range_satisfies(typed, typed, op, val):
+                return False
+            continue
+        lo, hi = mins.get(col), maxs.get(col)
+        ref = lo if lo is not None else hi
+        if ref is None or not _stat_comparable(ref, val):
+            continue
+        if lo is not None and not _stat_comparable(lo, val):
+            lo = None
+        if hi is not None and not _stat_comparable(hi, val):
+            hi = None
+        if not _range_satisfies(lo, hi, op, val):
+            return False
+    return True
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     log_store: DeltaLogStore | None = None,
     delete_broadcast_max_rows: int = DELETE_BROADCAST_MAX_ROWS,
+    filters: list[tuple] | None = None,
     _keep_position: bool = False,
 ) -> DataFrame:
     """Read an external Delta table as a DataFrame (exact snapshot
     semantics: the active add-file set of the requested version).
+
+    ``filters=[(col, op, value), …]`` (ops ``= != < <= > >=``) prunes
+    the FILE LIST before Spark plans, against each add action's
+    per-file ``stats`` (minValues/maxValues/nullCount — the same
+    log-resident statistics delta-spark's data skipping uses), and
+    against ``partitionValues`` for partition columns; the same
+    predicates then apply Spark-side (pruning is the performance
+    contract, the residual filter the semantic one). Comparisons are
+    type-guarded: a file whose stat is missing or of a mismatched type
+    is KEPT. Pairs with ``compact_delta(zorder_by=…)`` — a z-ordered
+    layout gives every clustered column tight per-file ranges, so
+    selective predicates on ANY of them prune most files.
 
     ``_keep_position`` (internal — the deletion-vector WRITE path in
     ``delta_write.py`` uses it) appends two columns to the result:
@@ -742,6 +854,14 @@ def read_delta(
             f"delta.columnMapping.mode={mode!r} not supported (only "
             "'none', 'name' and 'id')"
         )
+    flt = _normalize_delta_filters(filters)
+    if flt and adds:
+        part_set = set(part_cols)
+        adds = [
+            a
+            for a in adds
+            if _keep_add_under_filters(a, flt, schema, part_set)
+        ]
     if not adds:
         if _keep_position:
             schema = T.StructType(
@@ -752,6 +872,14 @@ def read_delta(
                 ]
             )
         return spark.createDataFrame([], schema)
+
+    def _residual(df_out: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as FF
+
+        for col, op, val in flt:
+            df_out = df_out.filter(_DELTA_OPS[op](FF.col(col), FF.lit(val)))
+        return df_out
+
     base = path.rstrip("/")
     files = [
         f if (os.path.isabs(f) or "://" in f) else f"{base}/{f}"
@@ -867,7 +995,7 @@ def read_delta(
             )
         else:
             out = apply_dvs(spark.read.schema(phys_schema).parquet(*files))
-        return out if mode in ("none", "", None) else restore(out)
+        return _residual(out if mode in ("none", "", None) else restore(out))
     # partitioned: require the hive-style layout Delta writers produce, so
     # the whole table stays ONE scan relation and Catalyst prunes
     # partitions (plan size independent of partition count — see module
@@ -901,13 +1029,13 @@ def read_delta(
             spark, files, base, data_ids, data_schema, apply_dvs,
             part_inference=True, part_names=phys_parts,
         )
-        return restore(df)
+        return _residual(restore(df))
     reader = spark.read.schema(data_schema).option("basePath", base)
     df = apply_dvs(reader.parquet(*files))
     # partition columns come back via directory inference (as physical
     # names); restore() casts them to the declared types, renames to
     # logical, and restores the declared column order
-    return restore(df)
+    return _residual(restore(df))
 
 
 def _read_by_field_id(

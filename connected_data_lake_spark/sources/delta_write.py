@@ -704,6 +704,7 @@ def compact_delta(
     spark,
     path: str,
     target_file_rows: int = 1_000_000,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE-style bin-packing compaction of a written Delta table:
     rewrite the LIVE file set into ~``target_file_rows``-row files and
@@ -737,10 +738,27 @@ def compact_delta(
             pass
     df = read_delta(spark, path)
     n_files = max(1, -(-total_rows // target_file_rows)) if total_rows else 1
-    # one exchange sizes the output files; partitioned tables co-locate
-    # rows with their partition so the hive fanout writes one file per
-    # (task, live partition value) instead of a full cross product
-    df = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    if zorder_by:
+        # OPTIMIZE ZORDER BY: range-partition + sort the rewrite along the
+        # Morton curve (sources/zorder.py — quantile-ranked bit interleave,
+        # all JVM-side), so each output file covers a small hyper-rectangle
+        # of the clustered key space and read_delta(filters=…) prunes on
+        # ANY clustered column via the add-action stats
+        from pyspark.sql import functions as F
+
+        from connected_data_lake_spark.sources.zorder import morton_code
+
+        df = (
+            df.withColumn("__zcode", morton_code(df, list(zorder_by)))
+            .repartitionByRange(n_files, *partition_by, "__zcode")
+            .sortWithinPartitions(*partition_by, "__zcode")
+            .drop("__zcode")
+        )
+    else:
+        # one exchange sizes the output files; partitioned tables co-locate
+        # rows with their partition so the hive fanout writes one file per
+        # (task, live partition value) instead of a full cross product
+        df = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
     moved = _stage_and_move(df, path, partition_by)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
@@ -777,7 +795,8 @@ def compact_delta(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "targetFileRows": str(target_file_rows)
+                    "targetFileRows": str(target_file_rows),
+                    **({"zOrderBy": json.dumps(list(zorder_by))} if zorder_by else {}),
                 },
                 "engineInfo": "connected_data_lake_spark",
             }

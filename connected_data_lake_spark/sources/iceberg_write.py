@@ -558,7 +558,8 @@ def write_iceberg(
 
 
 def compact_iceberg(
-    spark, path: str, target_file_rows: int = 1_000_000
+    spark, path: str, target_file_rows: int = 1_000_000,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """rewrite_data_files-style compaction: read the current snapshot,
     bin-pack into ~``target_file_rows``-row files, commit as a
@@ -581,11 +582,28 @@ def compact_iceberg(
     df = read_iceberg(spark, path)
     total = df.count()
     n_files = max(1, -(-total // target_file_rows))
-    df = (
-        df.repartition(n_files, *partition_by)
-        if partition_by
-        else df.repartition(n_files)
-    )
+    if zorder_by:
+        # rewrite_data_files with a z-order strategy (the same clustering
+        # lever as Iceberg's sort-order rewrite): Morton-curve range
+        # partition + sort, so the written manifests' per-file column
+        # bounds are tight on EVERY clustered column and
+        # read_iceberg(filters=…) static pruning bites on each
+        from pyspark.sql import functions as F
+
+        from connected_data_lake_spark.sources.zorder import morton_code
+
+        df = (
+            df.withColumn("__zcode", morton_code(df, list(zorder_by)))
+            .repartitionByRange(n_files, *partition_by, "__zcode")
+            .sortWithinPartitions(*partition_by, "__zcode")
+            .drop("__zcode")
+        )
+    else:
+        df = (
+            df.repartition(n_files, *partition_by)
+            if partition_by
+            else df.repartition(n_files)
+        )
     snap = write_iceberg(df, path, mode="overwrite", partition_by=partition_by)
     # stamp the honest operation name on the snapshot we just committed
     cur2 = _current_meta(path)

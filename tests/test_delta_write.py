@@ -875,3 +875,81 @@ def test_cow_merge_on_dv_table_carries_descriptors(spark, tbl):
     assert back.count() == 90  # no duplication
     assert back.filter("k < 5").filter("v <> 3.0").count() == 0
     assert back.filter("k % 10 = 5").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stats-based file pruning (read_delta filters=) + OPTIMIZE ZORDER BY
+# ---------------------------------------------------------------------------
+
+
+def test_read_delta_filters_prune_files_by_stats(spark, tbl):
+    # 10 coalesced appends → 10 files with disjoint k ranges in stats
+    for lo in range(0, 100, 10):
+        write_delta(
+            _df(spark, lo, lo + 10).coalesce(1), tbl,
+            mode="append" if lo else "error",
+        )
+    allf = read_delta(spark, tbl).inputFiles()
+    assert len(allf) == 10
+    pruned = read_delta(spark, tbl, filters=[("k", ">=", 80)])
+    assert len(pruned.inputFiles()) == 2
+    assert pruned.count() == 20
+    # equality hits exactly one file; residual filter keeps semantics
+    one = read_delta(spark, tbl, filters=[("k", "=", 55)])
+    assert len(one.inputFiles()) == 1 and one.count() == 1
+    # partition-column filters prune via partitionValues (no stats needed)
+
+
+def test_read_delta_filters_keep_on_missing_or_mismatched_stats(spark, tbl):
+    write_delta(_df(spark, 0, 50).coalesce(1), tbl)
+    # strip the stats out of the add action: pruning must KEEP the file
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log):
+        a = json.loads(line)
+        if "add" in a:
+            a["add"].pop("stats", None)
+        lines.append(json.dumps(a))
+    os.unlink(log)
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    got = read_delta(spark, tbl, filters=[("k", ">=", 49)])
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 1
+    # type-mismatched literal keeps the file at the PRUNING layer (the
+    # residual Spark filter owns the semantics — observable only on the
+    # helper, since Catalyst folds the coerced-null predicate to empty)
+    from connected_data_lake_spark.sources.delta import _keep_add_under_filters
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("k", T.LongType())])
+    add = {"stats": json.dumps({"minValues": {"k": 0}, "maxValues": {"k": 49}})}
+    assert _keep_add_under_filters(add, [("k", ">=", "zz")], sch, set())
+    assert not _keep_add_under_filters(add, [("k", ">=", 50)], sch, set())
+    assert _keep_add_under_filters({"stats": "not json"}, [("k", "=", 1)], sch, set())
+
+
+def test_optimize_zorder_clusters_both_columns(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import compact_delta
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 131).alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        ((F.col("id") * 7919) % 500).cast("double").alias("v"),
+    )
+    write_delta(df, tbl)
+    compact_delta(spark, tbl, target_file_rows=2000, zorder_by=["k", "v"])
+    n_all = len(read_delta(spark, tbl).inputFiles())
+    assert n_all >= 8
+    for col, val in (("k", 120), ("v", 450.0)):
+        pr = read_delta(spark, tbl, filters=[(col, ">=", val)])
+        assert len(pr.inputFiles()) < n_all * 0.6, col
+        assert pr.count() == df.filter(f"{col} >= {val}").count()
+    # the commit records the clustering
+    commits = sorted(glob.glob(os.path.join(tbl, "_delta_log", "*.json")))
+    info = [
+        json.loads(l)["commitInfo"]
+        for l in open(commits[-1])
+        if '"commitInfo"' in l
+    ][0]
+    assert json.loads(info["operationParameters"]["zOrderBy"]) == ["k", "v"]

@@ -648,3 +648,20 @@ def test_equality_delete_validation(spark, tbl):
     )
     assert snap == 1
     assert read_iceberg(spark, tbl).count() == 10
+
+
+def test_compact_iceberg_zorder_tightens_bounds(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import compact_iceberg
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 131).alias("k"),
+        ((F.col("id") * 7919) % 500).alias("v"),
+    )
+    write_iceberg(df, tbl)
+    compact_iceberg(spark, tbl, target_file_rows=2000, zorder_by=["k", "v"])
+    n_all = len(read_iceberg(spark, tbl).inputFiles())
+    assert n_all >= 8
+    for col, val in (("k", 120), ("v", 450)):
+        pr = read_iceberg(spark, tbl, filters=[(col, ">=", val)])
+        assert len(pr.inputFiles()) < n_all * 0.6, col
+        assert pr.count() == df.filter(f"{col} >= {val}").count()

@@ -715,3 +715,29 @@ def test_hudi_incremental_scans_only_range_slices(spark, sf_dir):
     assert inc_files and inc_files <= all_files
     assert all("_20260101000000001.parquet" in f for f in inc_files)
     assert not any("_20260101000000000.parquet" in f for f in inc_files)
+
+
+def test_delta_zorder_read_prunes_files_on_both_columns(spark, sf_dir):
+    """The z-ordered fixture must let EITHER clustered column prune the
+    file list via add-action stats — the property a single-column sort
+    cannot give the second column."""
+    from connected_data_lake_spark.plans.lakeops import _delta_zorder_orders
+    from connected_data_lake_spark.sources.delta import read_delta
+
+    from pyspark.sql import functions as F
+
+    path = _delta_zorder_orders(spark, sf_dir)
+    df = read_delta(spark, path)
+    n_all = len(df.inputFiles())
+    if n_all < 4:
+        import pytest
+
+        pytest.skip("fixture too small to split into enough files")
+    # data-derived 10%-selective thresholds so the gate holds at any SF
+    ck, tp = df.agg(
+        F.expr("approx_percentile(o_custkey, 0.1)"),
+        F.expr("approx_percentile(o_totalprice, 0.9)"),
+    ).first()
+    for flt in ([("o_custkey", "<", ck)], [("o_totalprice", ">=", tp)]):
+        pruned = read_delta(spark, path, filters=flt)
+        assert 0 < len(pruned.inputFiles()) < n_all, flt
