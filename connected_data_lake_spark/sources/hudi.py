@@ -1324,6 +1324,7 @@ def read_hudi_incremental(
     path: str,
     from_instant: str,
     to_instant: str | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
     """Hudi INCREMENTAL QUERY (hudi.apache.org "Query Types"): the rows
     WRITTEN by completed instants in ``(from_instant, to_instant]``
@@ -1338,11 +1339,21 @@ def read_hudi_incremental(
     times, which the filter drops, so updates surface once, under the
     instant that wrote them. ``replacecommit`` (INSERT_OVERWRITE /
     clustering) rows are included under their new commit time — Hudi's
-    documented behavior for overwrite operations. MERGE_ON_READ
-    deltacommit instants in the range gate loudly (their row changes
-    live in log blocks; read the merged snapshot instead).
+    documented behavior for overwrite operations.
+
+    MERGE_ON_READ ``deltacommit`` instants are covered too: their base
+    files (inserts) scan like commits, and their LOG BLOCKS decode
+    executor-side filtered to header instants in the range; a key
+    changed several times in the window surfaces ONCE at its newest
+    in-range state (the per-key merge Hudi's incremental reader
+    performs). Rows whose newest in-range state is a soft delete
+    (``_hoodie_is_deleted``) are dropped unless ``include_deletes=True``
+    adds them back with that flag column.
     """
+    import pandas as pd
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     prepare_session(spark)
     root = _local(path)
@@ -1360,35 +1371,134 @@ def read_hudi_incremental(
         t for t in instants if str(from_instant) < t[0] <= str(to_instant)
     ]
     rels: list[str] = []
+    log_rels: list[str] = []
     for instant, action, meta_path in window:
-        if action == "deltacommit":
-            raise HudiProtocolError(
-                f"deltacommit {instant} in the incremental range — MoR "
-                "log-block increments are not expressible as a base-file "
-                "scan; read the merged snapshot (read_hudi_mor) or "
-                "compact first"
-            )
         with open(meta_path, "rb") as fh:
             meta = json.loads(fh.read())
         for _part, sts in (meta.get("partitionToWriteStats") or {}).items():
             for st in sts or []:
                 rel = st.get("path")
-                if rel and not (".log." in os.path.basename(rel)):
+                if not rel:
+                    continue
+                if ".log." in os.path.basename(rel):
+                    log_rels.append(rel)
+                else:
                     rels.append(rel)
-    if not rels:
+    if not rels and not log_rels:
         # no files in range: empty result with the snapshot's schema
         snap = read_hudi(spark, path)
-        return (
+        out = (
             snap.limit(0)
             .select("*")
             .withColumn("_hoodie_commit_time", F.lit(None).cast("string"))
         )
-    df = spark.read.parquet(*[os.path.join(root, r) for r in rels])
-    data_cols = [c for c in df.columns if not c.startswith("_hoodie_")]
-    return (
-        df.filter(
-            (F.col("_hoodie_commit_time") > str(from_instant))
-            & (F.col("_hoodie_commit_time") <= str(to_instant))
+        if include_deletes:
+            out = out.withColumn(
+                "_hoodie_is_deleted", F.lit(None).cast("boolean")
+            )
+        return out
+
+    base = None
+    if rels:
+        base = spark.read.parquet(*[os.path.join(root, r) for r in rels])
+        ref_schema = base.schema
+    else:
+        # logs-only window (a range of pure updates): derive the column
+        # schema from any LIVE base file of the table
+        sample = next(
+            (b for b, _l in _mor_slices(root, None) if b is not None), None
         )
-        .select(*data_cols, "_hoodie_commit_time")
+        if sample is None:
+            raise HudiProtocolError(
+                "logs-only table with no base file to derive the schema "
+                "from — compact first"
+            )
+        ref_schema = spark.read.parquet(sample).schema
+    cols = [f.name for f in ref_schema.fields]
+    data_cols = [c for c in cols if not c.startswith("_hoodie_")]
+    lo, hi = str(from_instant), str(to_instant)
+
+    parts: list = []
+    if base is not None:
+        parts.append(
+            base.filter(
+                (F.col("_hoodie_commit_time") > lo)
+                & (F.col("_hoodie_commit_time") <= hi)
+            ).select(
+                F.col("_hoodie_record_key"),
+                *data_cols,
+                "_hoodie_commit_time",
+                F.lit(False).alias("_hoodie_is_deleted"),
+                F.lit(-1).cast("long").alias("__cdl_ord"),
+            )
+        )
+    if log_rels:
+        out_names = (
+            ["_hoodie_record_key"]
+            + data_cols
+            + ["_hoodie_commit_time", "_hoodie_is_deleted", "__cdl_ord"]
+        )
+        field_of = {f.name: f for f in ref_schema.fields}
+        log_schema = T.StructType(
+            [field_of["_hoodie_record_key"]]
+            + [field_of[c] for c in data_cols]
+            + [
+                T.StructField("_hoodie_commit_time", T.StringType(), True),
+                T.StructField("_hoodie_is_deleted", T.BooleanType(), True),
+                T.StructField("__cdl_ord", T.LongType(), False),
+            ]
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                for _i, row in pdf.iterrows():
+                    ordinal = 0
+                    cols_out: dict[str, list] = {n: [] for n in out_names}
+                    with open(row["log"], "rb") as fh:
+                        blocks = read_log_blocks(fh.read())
+                    for b in blocks:
+                        if b["type"] != _BLK_AVRO:
+                            continue
+                        instant = b["header"].get(_HDR_INSTANT)
+                        if instant is None or not (lo < instant <= hi):
+                            continue
+                        for rec in _decode_avro_block(b):
+                            cols_out["_hoodie_record_key"].append(
+                                rec.get("_hoodie_record_key")
+                            )
+                            for c in data_cols:
+                                cols_out[c].append(rec.get(c))
+                            cols_out["_hoodie_commit_time"].append(instant)
+                            cols_out["_hoodie_is_deleted"].append(
+                                bool(rec.get("_hoodie_is_deleted"))
+                            )
+                            cols_out["__cdl_ord"].append(ordinal)
+                            ordinal += 1
+                    if cols_out["__cdl_ord"]:
+                        yield pd.DataFrame(cols_out, columns=out_names)
+
+        log_df = spark.createDataFrame(
+            [(os.path.join(root, r),) for r in sorted(set(log_rels))],
+            T.StructType([T.StructField("log", T.StringType(), False)]),
+        ).repartition(max(1, min(len(log_rels), 32)))
+        parts.append(log_df.mapInPandas(decode, log_schema))
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    # newest in-range state per key (Hudi's incremental merge)
+    w = Window.partitionBy("_hoodie_record_key").orderBy(
+        F.desc("_hoodie_commit_time"), F.desc("__cdl_ord")
     )
+    latest = (
+        union.withColumn("__cdl_rn", F.row_number().over(w))
+        .filter(F.col("__cdl_rn") == 1)
+        .drop("__cdl_rn", "__cdl_ord", "_hoodie_record_key")
+    )
+    if include_deletes:
+        return latest.select(
+            *data_cols, "_hoodie_commit_time", "_hoodie_is_deleted"
+        )
+    return latest.filter(
+        ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+    ).select(*data_cols, "_hoodie_commit_time")

@@ -229,26 +229,41 @@ def test_incremental_reads_rows_written_in_range(spark, tmp_path):
     assert read_hudi_incremental(spark, p, i3).count() == 0
 
 
-def test_incremental_gates_deltacommits(spark, tmp_path):
+def test_incremental_covers_mor_deltacommits(spark, tmp_path):
+    """MoR increments decode log blocks by header instant; a key changed
+    twice in the window surfaces ONCE at its newest state, soft deletes
+    drop (or surface with include_deletes)."""
     from pyspark.sql import functions as F
 
     from connected_data_lake_spark.sources.hudi import (
-        HudiProtocolError,
+        delete_from_hudi_mor,
         read_hudi_incremental,
         upsert_hudi_mor,
         write_hudi,
     )
 
     p = str(tmp_path / "incmor")
-    df = spark.range(0, 50).select(
-        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    mk = lambda lo, hi, m=1.5: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * m).alias("v")
     )
-    i1 = write_hudi(df, p, record_key="k", table_type="MERGE_ON_READ")
-    upsert_hudi_mor(
-        spark,
-        p,
-        spark.range(0, 5).select(F.col("id").alias("k"), F.lit(0.0).alias("v")),
-        record_key="k",
+    i1 = write_hudi(
+        mk(0, 50).coalesce(1), p, record_key="k", table_type="MERGE_ON_READ"
     )
-    with pytest.raises(HudiProtocolError, match="deltacommit"):
-        read_hudi_incremental(spark, p, i1).count()
+    i2 = upsert_hudi_mor(spark, p, mk(5, 15, -1.0), record_key="k")
+    i3 = upsert_hudi_mor(
+        spark, p, mk(5, 8, 100.0).unionByName(mk(60, 65)), record_key="k"
+    )
+    i4 = delete_from_hudi_mor(spark, p, "k = 10")
+    inc = read_hudi_incremental(spark, p, i1)
+    got = {r["k"]: (r["v"], r["_hoodie_commit_time"]) for r in inc.collect()}
+    assert len(got) == 9 + 5  # keys 5..14 minus deleted 10, plus 5 inserts
+    assert all(got[k] == (float(-k), i2) for k in range(8, 15) if k != 10)
+    assert all(got[k] == (k * 100.0, i3) for k in range(5, 8))
+    assert all(got[k] == (k * 1.5, i3) for k in range(60, 65))
+    assert 10 not in got
+    dels = read_hudi_incremental(spark, p, i1, include_deletes=True).filter(
+        "_hoodie_is_deleted"
+    ).collect()
+    assert [(r["k"], r["_hoodie_commit_time"]) for r in dels] == [(10, i4)]
+    # sub-range excludes earlier deltacommits
+    assert read_hudi_incremental(spark, p, i3).count() == 0
