@@ -1413,3 +1413,50 @@ def read_delta_changes(
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def delta_history(
+    path: str, log_store: DeltaLogStore | None = None
+) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per surviving JSON commit —
+    ``{"version", "timestamp_ms", "operation", "operation_parameters",
+    "n_adds", "n_removes"}`` — newest first, from each commit's
+    ``commitInfo`` (falling back to action timestamps when a writer
+    omitted it). Commits compacted away by log cleanup are absent, like
+    delta-spark's HISTORY after a vacuumed log."""
+    store = _store_for(path, log_store)
+    if not store.exists():
+        raise FileNotFoundError(f"not a Delta table: {path}")
+    out: list[dict] = []
+    for version, name in _commit_names(store):
+        ts = None
+        op = None
+        params: dict = {}
+        n_adds = n_removes = 0
+        for line in store.read_bytes(name).decode("utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ci = action["commitInfo"]
+                ts = ci.get("timestamp", ts)
+                op = ci.get("operation", op)
+                params = ci.get("operationParameters") or params
+            elif "add" in action:
+                n_adds += 1
+                ts = ts or action["add"].get("modificationTime")
+            elif "remove" in action:
+                n_removes += 1
+                ts = ts or action["remove"].get("deletionTimestamp")
+        out.append(
+            {
+                "version": version,
+                "timestamp_ms": ts,
+                "operation": op or ("WRITE" if n_adds and not n_removes else None),
+                "operation_parameters": params,
+                "n_adds": n_adds,
+                "n_removes": n_removes,
+            }
+        )
+    return sorted(out, key=lambda r: -r["version"])

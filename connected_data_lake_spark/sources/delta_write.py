@@ -896,7 +896,9 @@ def vacuum_delta(
 # ---------------------------------------------------------------------------
 
 
-def _rewrite_matching_files(spark, path: str, condition: str, transform):
+def _rewrite_matching_files(
+    spark, path: str, condition: str, transform, operation: str = "DML"
+):
     """Shared DELETE/UPDATE engine: find the data files that contain at
     least one row matching ``condition`` (predicate-pushed scan over the
     live set, ONE distinct on ``_metadata.file_path``), rewrite ONLY
@@ -973,6 +975,16 @@ def _rewrite_matching_files(spark, path: str, condition: str, transform):
                 }
             }
         )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": {"predicate": condition},
+                "engineInfo": "connected_data_lake_spark",
+            }
+        }
+    )
     log_dir = os.path.join(path, _LOG_DIR)
     for _attempt in range(10):
         version = delta_table_version(path) + 1
@@ -1304,6 +1316,7 @@ def delete_from_delta(
         path,
         condition,
         lambda scoped, pred: scoped.filter(~pred),
+        operation="DELETE",
     )
     return version
 
@@ -1358,7 +1371,9 @@ def update_delta(
             )
         return out
 
-    version, _n = _rewrite_matching_files(spark, path, condition, xform)
+    version, _n = _rewrite_matching_files(
+        spark, path, condition, xform, operation="UPDATE"
+    )
     return version
 
 
@@ -1575,5 +1590,83 @@ def merge_into_delta(
         if not {key(a) for a in affected} <= {key(a) for a in live2}:
             raise RuntimeError(
                 "concurrent commit removed a file this MERGE rewrote; re-run"
+            )
+    raise RuntimeError(f"lost the commit race 10 times under {path}")
+
+
+def restore_delta(spark, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION: commit the file-set DIFF that makes the
+    latest snapshot equal the target version's — removes for live files
+    the target lacks, adds (with their original stats and deletion
+    vectors) for target files no longer live. History is preserved (the
+    restore is a NEW commit; nothing is rewritten or deleted), so a
+    mistaken DML/MERGE rolls back in one metadata commit of
+    planning-sized cost — and can itself be rolled back. The target's
+    data files must still exist (VACUUM beyond the target refuses via
+    the reader when they are scanned; the restore itself is
+    metadata-only). Returns the committed version."""
+    from connected_data_lake_spark.sources.delta import (
+        _dv_unique_id,
+        delta_table_version,
+    )
+
+    store = _store_for(path, None)
+    meta_now, live_now, proto = _replay(store, path, None)
+    _check_writer_protocol(proto, meta_now)
+    meta_tgt, live_tgt, _p = _replay(store, path, version)
+    if json.loads(meta_now["schemaString"]) != json.loads(meta_tgt["schemaString"]):
+        raise DeltaProtocolError(
+            "RESTORE across a schema change is not supported — the "
+            "current metaData would disagree with the restored files"
+        )
+
+    def key(a):
+        return (a["path"], _dv_unique_id(a.get("deletionVector")))
+
+    now_map = {key(a): a for a in live_now}
+    tgt_map = {key(a): a for a in live_tgt}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for k, a in now_map.items():
+        if k in tgt_map:
+            continue
+        rm = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+    for k, a in tgt_map.items():
+        if k in now_map:
+            continue
+        add = dict(a)
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        actions.append({"add": add})
+    if not actions:
+        return delta_table_version(path)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "connected_data_lake_spark",
+            }
+        }
+    )
+    log_dir = os.path.join(path, _LOG_DIR)
+    for _attempt in range(10):
+        new_version = delta_table_version(path) + 1
+        if commit_delta(log_dir, new_version, actions):
+            return new_version
+        m2, live2, _p2 = _replay(store, path, None)
+        if {key(a) for a in live2} != {key(a) for a in live_now}:
+            raise RuntimeError(
+                "concurrent commit changed the live set during RESTORE; "
+                "re-run against the new state"
             )
     raise RuntimeError(f"lost the commit race 10 times under {path}")

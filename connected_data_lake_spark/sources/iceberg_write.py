@@ -1605,3 +1605,29 @@ def merge_into_iceberg(
         spark, path, hit_fn=hit, rewrite_fn=rewrite
     )
     return snap
+
+
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """rollback_to_snapshot: make ``snapshot_id`` current again with ONE
+    metadata commit — no data or manifest movement (the snapshot and its
+    manifests are retained history; Iceberg's own rollback semantics).
+    Later snapshots stay in the metadata for audit/time-travel until
+    ``expire_iceberg_snapshots`` reclaims them. Returns ``snapshot_id``."""
+    cur = _current_meta(path)
+    if cur is None:
+        raise FileNotFoundError(f"not an Iceberg table: {path}")
+    meta0, prev_ver = cur
+    snaps = {s["snapshot-id"] for s in meta0.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(f"unknown snapshot id {snapshot_id}")
+    if meta0.get("current-snapshot-id") == snapshot_id:
+        return snapshot_id
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta0)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, uuid.uuid4().hex)
+    return snapshot_id

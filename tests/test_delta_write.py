@@ -953,3 +953,50 @@ def test_optimize_zorder_clusters_both_columns(spark, tbl):
         if '"commitInfo"' in l
     ][0]
     assert json.loads(info["operationParameters"]["zOrderBy"]) == ["k", "v"]
+
+
+# ---------------------------------------------------------------------------
+# DESCRIBE HISTORY + RESTORE
+# ---------------------------------------------------------------------------
+
+
+def test_history_and_restore_roundtrip(spark, tbl):
+    from connected_data_lake_spark.sources.delta import delta_history
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        restore_delta,
+        update_delta,
+    )
+
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    delete_from_delta(spark, tbl, "k % 10 = 5", mode="dv")   # v1
+    update_delta(spark, tbl, "k % 10 = 0", {"v": "-v"})      # v2 (CoW)
+    assert read_delta(spark, tbl).count() == 90
+    v = restore_delta(spark, tbl, 0)                          # v3
+    assert v == 3
+    back = read_delta(spark, tbl)
+    assert back.count() == 100
+    assert back.filter("v < 0").count() == 0
+    # restore of a DV'd intermediate state works too and is reversible
+    restore_delta(spark, tbl, 1)
+    assert read_delta(spark, tbl).count() == 90
+    assert read_delta(spark, tbl).filter("v < 0").count() == 0
+    ops = {
+        r["version"]: r["operation"]
+        for r in delta_history(tbl)
+    }
+    assert ops[1] == "DELETE" and ops[2] == "UPDATE"
+    assert ops[3] == "RESTORE" and ops[4] == "RESTORE"
+    # no-op restore (already at the target state) commits nothing
+    latest = max(ops)
+    assert restore_delta(spark, tbl, 1) == latest
+
+
+def test_restore_refuses_schema_change(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import restore_delta
+
+    write_delta(_df(spark, 0, 10), tbl)
+    wider = _df(spark, 10, 20).withColumn("extra", F.lit(1))
+    write_delta(wider, tbl, mode="append", schema_mode="merge")
+    with pytest.raises(DeltaProtocolError, match="schema change"):
+        restore_delta(spark, tbl, 0)

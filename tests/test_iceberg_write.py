@@ -665,3 +665,22 @@ def test_compact_iceberg_zorder_tightens_bounds(spark, tbl):
         pr = read_iceberg(spark, tbl, filters=[(col, ">=", val)])
         assert len(pr.inputFiles()) < n_all * 0.6, col
         assert pr.count() == df.filter(f"{col} >= {val}").count()
+
+
+def test_rollback_iceberg_restores_old_snapshot(spark, tbl):
+    from connected_data_lake_spark.sources.iceberg_write import (
+        delete_from_iceberg,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 100), tbl)
+    delete_from_iceberg(spark, tbl, "k % 10 = 5", mode="mor")
+    assert read_iceberg(spark, tbl).count() == 90
+    assert rollback_iceberg(tbl, 1) == 1
+    assert read_iceberg(spark, tbl).count() == 100
+    # forward again (rollback is symmetric) and unknown ids refuse
+    rollback_iceberg(tbl, 2)
+    assert read_iceberg(spark, tbl).count() == 90
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        rollback_iceberg(tbl, 999)
