@@ -3325,3 +3325,88 @@ def delta_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once lake-sync fixture pair
+_LAKESYNC_CACHE: dict[str, str] = {}
+
+
+def _lakesync_native_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once NATIVE table populated exclusively by the exactly-once
+    lake sync (``streaming/lakesync.py``): a Delta source receives
+    orders in two commits (%2=0 create, %2=1 append) with one
+    ``sync_from_delta`` tick after each — initial load + incremental —
+    plus a THIRD idle tick that must no-op (ledger replay skip). The
+    native table equals orders only if the change feed, the ledger
+    high-water mark, and the atomic append all compose."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import write_delta
+    from connected_data_lake_spark.streaming.lakesync import sync_from_delta
+
+    key = f"{sf_dir}"
+    if key in _LAKESYNC_CACHE:
+        return _LAKESYNC_CACHE[key]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_lakesync_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    src = os.path.join(base, "delta_src")
+    dst = os.path.join(base, "native")
+    done = os.path.join(base, "_done")
+    if not os.path.isfile(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(o.filter("o_orderkey % 2 = 0"), src, mode="error")
+        v1, _ = sync_from_delta(spark, src, dst)
+        write_delta(o.filter("o_orderkey % 2 = 1"), src, mode="append")
+        v2, _ = sync_from_delta(spark, src, dst)
+        v3, _ = sync_from_delta(spark, src, dst)  # idle: must no-op
+        if v1 is None or v2 is None or v3 is not None:
+            raise RuntimeError(
+                f"lake-sync fixture broke exactly-once: {v1} {v2} {v3}"
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    _LAKESYNC_CACHE[key] = dst
+    return dst
+
+
+@query(
+    "lakesync_delta_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "streaming", "sync", "delta"),
+)
+def lakesync_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE lake sync end to end: the native table was filled by
+    two ``sync_from_delta`` ticks (initial load, then the change-feed
+    increment) plus an idle tick that no-opped via the transactional
+    ledger — duplicated OR dropped rows would break the oracle match.
+    This is the steady-state consumption pattern for mirroring a 100 TB
+    lake table into the engine: each tick moves only the increment and
+    the sink's own manifest is the checkpoint."""
+    from connected_data_lake_spark.sources.rootfs import read_table
+
+    path = _lakesync_native_orders(spark, sf_dir)
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
