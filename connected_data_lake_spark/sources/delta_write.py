@@ -81,7 +81,13 @@ from connected_data_lake_spark.sources.delta import (
 #: type-availability feature (nothing to enforce beyond writing the
 #: column, which Spark's parquet writer does).
 _SUPPORTED_WRITER_FEATURES = frozenset(
-    {"appendOnly", "invariants", "timestampNtz", "deletionVectors"}
+    {
+        "appendOnly",
+        "invariants",
+        "timestampNtz",
+        "deletionVectors",
+        "checkConstraints",
+    }
 )
 
 
@@ -121,11 +127,15 @@ def _check_writer_protocol(proto: dict, meta: dict) -> None:
     """Gate on protocol/metadata demanding writer behavior we lack."""
     min_writer = int(proto.get("minWriterVersion", 2) or 2)
     feats = set(proto.get("writerFeatures") or [])
-    if min_writer > 2 and min_writer != 7:
+    # legacy writer version 3 = CHECK constraints, which this writer
+    # ENFORCES (_enforce_constraints runs on every row-producing write);
+    # versions 4-6 (generated/identity columns, columnMapping writes)
+    # stay loud gates
+    if min_writer > 3 and min_writer != 7:
         raise DeltaProtocolError(
             f"minWriterVersion={min_writer} demands writer behavior "
-            "(CHECK constraints / generated columns / identity columns) "
-            "this writer does not implement"
+            "(generated columns / identity columns / columnMapping "
+            "writes) this writer does not implement"
         )
     if min_writer == 7 and not feats <= _SUPPORTED_WRITER_FEATURES:
         raise DeltaProtocolError(
@@ -142,6 +152,44 @@ def _check_writer_protocol(proto: dict, meta: dict) -> None:
             "table schema declares delta.invariants — this writer cannot "
             "enforce them, refusing to write"
         )
+
+
+def _constraint_exprs(conf: dict) -> dict[str, str]:
+    """CHECK constraints from table configuration (PROTOCOL.md "CHECK
+    Constraints": ``delta.constraints.<name> = <SQL expression>``)."""
+    return {
+        k[len("delta.constraints."):]: v
+        for k, v in (conf or {}).items()
+        if k.startswith("delta.constraints.") and v
+    }
+
+
+def _enforce_constraints(df: DataFrame, conf: dict, context: str) -> None:
+    """Refuse the write if ANY row violates a CHECK constraint — one
+    combined-predicate job for the common all-pass case; the violated
+    constraint is named on failure (per-constraint probe, rare path).
+    Null constraint results count as violations, matching delta-spark's
+    CHECK semantics."""
+    from pyspark.sql import functions as F
+
+    cons = _constraint_exprs(conf)
+    if not cons:
+        return
+    combined = None
+    for expr in cons.values():
+        term = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        combined = term if combined is None else (combined & term)
+    if df.filter(~combined).limit(1).count() == 0:
+        return
+    for name, expr in cons.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{context} violates CHECK constraint {name!r} ({expr})"
+            )
+    raise ValueError(f"{context} violates a CHECK constraint")
 
 
 def _json_stat(value):
@@ -386,6 +434,12 @@ def write_delta(
             evolved_meta = dict(meta)
             evolved_meta["schemaString"] = merged.json()
             schema = merged
+    _enforce_constraints(
+        df,
+        _as_map_dict(meta.get("configuration")) if meta is not None
+        else dict(configuration or {}),
+        "write",
+    )
     moved = _stage_and_move(df, path, partition_by)
     now_ms = int(time.time() * 1000)
     new_adds = [
@@ -411,22 +465,32 @@ def write_delta(
             version = 0
         actions: list[dict] = []
         if version == 0:
+            has_cons = bool(_constraint_exprs(dict(configuration or {})))
             if _needs_ntz(schema):
                 # timestampNtz is a TABLE FEATURE (PROTOCOL.md): reader 3
                 # + writer 7 with the feature named on both lists
+                wfeats = ["timestampNtz"] + (
+                    ["checkConstraints"] if has_cons else []
+                )
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
                             "readerFeatures": ["timestampNtz"],
-                            "writerFeatures": ["timestampNtz"],
+                            "writerFeatures": sorted(wfeats),
                         }
                     }
                 )
             else:
+                # CHECK constraints demand legacy writer version 3
                 actions.append(
-                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 3 if has_cons else 2,
+                        }
+                    }
                 )
             actions.append(
                 {
@@ -945,6 +1009,7 @@ def _rewrite_matching_files(
     # file count is planning-sized; an IN list keeps the scope JVM-side
     scoped = df.filter(F.col("__cdl_fp").isin(*hit_paths))
     rewritten = transform(scoped, pred).select(*[f.name for f in schema.fields])
+    _enforce_constraints(rewritten, conf, "DML rewrite")
     moved = _stage_and_move(rewritten, path, partition_by)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
@@ -1243,6 +1308,9 @@ def _dv_commit(
         os.replace(tmp_bin, os.path.join(path, rel_bin))
     n_new_files = 0
     if new_rows is not None:
+        _enforce_constraints(
+            new_rows, _as_map_dict(meta.get("configuration")), "DML rewrite"
+        )
         for rel, pvals in _stage_and_move(new_rows, path, partition_by):
             n_new_files += 1
             actions.append(
@@ -1538,6 +1606,9 @@ def merge_into_delta(
     out_df = rewritten_parts[0]
     for part in rewritten_parts[1:]:
         out_df = out_df.unionByName(part)
+    _enforce_constraints(
+        out_df, _as_map_dict(meta.get("configuration")), "MERGE output"
+    )
     moved = _stage_and_move(out_df, path, partition_by)
     for a in affected:
         rm = {

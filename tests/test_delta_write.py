@@ -1000,3 +1000,85 @@ def test_restore_refuses_schema_change(spark, tbl):
     write_delta(wider, tbl, mode="append", schema_mode="merge")
     with pytest.raises(DeltaProtocolError, match="schema change"):
         restore_delta(spark, tbl, 0)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (legacy writer protocol 3)
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tbl):
+    from connected_data_lake_spark.sources.delta_write import (
+        merge_into_delta,
+        update_delta,
+    )
+
+    write_delta(
+        _df(spark, 1, 50), tbl, mode="error",
+        configuration={"delta.constraints.v_pos": "v > 0"},
+    )
+    proto = next(
+        json.loads(l)["protocol"]
+        for l in open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+        if '"protocol"' in l
+    )
+    assert proto["minWriterVersion"] == 3  # CHECK constraints demand it
+    write_delta(_df(spark, 50, 60), tbl, mode="append")  # valid rows pass
+    assert read_delta(spark, tbl).count() == 59
+    bad = _df(spark, 60, 65).withColumn("v", F.lit(-1.0))
+    with pytest.raises(ValueError, match="CHECK constraint 'v_pos'"):
+        write_delta(bad, tbl, mode="append")
+    with pytest.raises(ValueError, match="CHECK constraint 'v_pos'"):
+        update_delta(spark, tbl, "k = 1", {"v": "-5"})
+    with pytest.raises(ValueError, match="CHECK constraint 'v_pos'"):
+        update_delta(spark, tbl, "k = 1", {"v": "-5"}, mode="dv")
+    src = spark.range(1, 3).select(
+        F.col("id").alias("k"), F.lit("0").alias("p"), F.lit(-9.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="CHECK constraint 'v_pos'"):
+        merge_into_delta(
+            spark, tbl, src, on=["k"], when_matched_update={"v": "src.v"}
+        )
+    # nothing committed by the refused writes
+    assert read_delta(spark, tbl).count() == 59
+    # null constraint results are VIOLATIONS (delta-spark semantics)
+    nully = _df(spark, 70, 72).withColumn("v", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_delta(nully, tbl, mode="append")
+
+
+def test_external_writer3_constraint_table_now_writable(spark, tbl):
+    """A table an external engine created at minWriterVersion 3 with a
+    recorded constraint used to gate loudly; now it writes WITH
+    enforcement."""
+    write_delta(_df(spark, 1, 20), tbl)
+    # out-of-band upgrade: protocol 3 + a constraint in configuration
+    meta = next(
+        json.loads(l)["metaData"]
+        for l in open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+        if '"metaData"' in l
+    )
+    meta["configuration"] = {"delta.constraints.k_range": "k < 1000"}
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}
+            )
+            + "\n"
+            + json.dumps({"metaData": meta})
+            + "\n"
+        )
+    write_delta(_df(spark, 20, 30), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 29
+    with pytest.raises(ValueError, match="CHECK constraint 'k_range'"):
+        write_delta(_df(spark, 5000, 5005), tbl, mode="append")
+    # versions 4-6 still gate
+    with open(os.path.join(tbl, "_delta_log", f"{3:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
+        write_delta(_df(spark, 30, 40), tbl, mode="append")
