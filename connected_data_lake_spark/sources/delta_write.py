@@ -1088,20 +1088,41 @@ def _dv_rel_path(dv: dict) -> str | None:
     return f"{prefix}/deletion_vector_{u}.bin" if prefix else f"deletion_vector_{u}.bin"
 
 
+#: PROTOCOL.md Table Features, legacy-version → implied writer features
+#: (each minWriterVersion level includes every lower level's features)
+_LEGACY_WRITER_FEATURES: list[tuple[int, tuple[str, ...]]] = [
+    (2, ("appendOnly", "invariants")),
+    (3, ("checkConstraints",)),
+    (4, ("changeDataFeed", "generatedColumns")),
+    (5, ("columnMapping",)),
+    (6, ("identityColumns",)),
+]
+
+
 def _dv_protocol_upgrade(proto: dict) -> dict | None:
     """Protocol action upgrading a table to table features with
     ``deletionVectors``, or None when it already has the feature.
 
     Upgrading a LEGACY protocol to (3, 7) lists the features the legacy
-    versions implied (PROTOCOL.md Table Features: minWriterVersion=2 ⇒
-    appendOnly + invariants; minReaderVersion=1 ⇒ none) — the same
-    normalization delta-spark performs on feature upgrades."""
+    versions implied (PROTOCOL.md Table Features legacy mapping:
+    minWriterVersion=2 ⇒ appendOnly+invariants, 3 ⇒ +checkConstraints,
+    4 ⇒ +changeDataFeed+generatedColumns, 5 ⇒ +columnMapping,
+    6 ⇒ +identityColumns; minReaderVersion=2 ⇒ columnMapping) — the
+    same normalization delta-spark performs on feature upgrades.
+    Dropping an implied feature (e.g. a (1,3) table's checkConstraints)
+    would stop requiring external writers to enforce the table's
+    ``delta.constraints.*``."""
     feats_r = set(proto.get("readerFeatures") or [])
     feats_w = set(proto.get("writerFeatures") or [])
     if "deletionVectors" in feats_r and "deletionVectors" in feats_w:
         return None
-    if not feats_w and int(proto.get("minWriterVersion", 2) or 2) >= 2:
-        feats_w = {"appendOnly", "invariants"}
+    if not feats_w:
+        wv = int(proto.get("minWriterVersion", 2) or 2)
+        for level, feats in _LEGACY_WRITER_FEATURES:
+            if wv >= level:
+                feats_w.update(feats)
+    if not feats_r and int(proto.get("minReaderVersion", 1) or 1) >= 2:
+        feats_r.add("columnMapping")
     feats_r.add("deletionVectors")
     feats_w.add("deletionVectors")
     return {

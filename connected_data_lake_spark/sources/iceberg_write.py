@@ -176,6 +176,32 @@ def _entry_avro_schema(part_fields: list[tuple[str, str]]) -> dict:
     )
 
 
+def _unpartitioned_spec(meta: dict) -> tuple[int, list[dict] | None]:
+    """Spec id to register DELETE manifests under, with global scope.
+
+    Per the spec's Scan Planning rules a delete file applies to a data
+    file when their partitions match "or the delete file's partition
+    spec is unpartitioned" — so committing delete manifests under an
+    unpartitioned spec makes them apply table-wide, which is the
+    semantics this engine's delete writers implement (and what external
+    readers must see; an all-null partition tuple under the PARTITIONED
+    default spec would instead scope the deletes to the null partition
+    and resurrect deleted rows elsewhere).
+
+    Returns ``(spec_id, partition_specs_to_commit)`` — the second item
+    is None when the table already carries an unpartitioned spec (or
+    has no spec list at all), else the new ``partition-specs`` list the
+    commit must include."""
+    specs = list(meta.get("partition-specs", []))
+    if not specs:
+        return int(meta.get("default-spec-id", 0)), None
+    for s in specs:
+        if not s.get("fields"):
+            return int(s["spec-id"]), None
+    new_id = max(int(s["spec-id"]) for s in specs) + 1
+    return new_id, specs + [{"spec-id": new_id, "fields": []}]
+
+
 def _manifest_list_schema() -> dict:
     from connected_data_lake_spark.plans.lakeops import (
         ICEBERG_MANIFEST_FILE_SCHEMA_SUMMARIES,
@@ -1095,12 +1121,12 @@ def _mor_mark_matching_iceberg(
     part_fields = [
         (c, type_of[c]) for c in partition_by if type_of.get(c) in _PART_AVRO
     ]
-    if len(part_fields) != len(partition_by):
-        # delete manifests only need a NULLABLE partition record; a spec
-        # on an unsupported-avro type cannot be encoded at all
+    if new_rows_transform is not None and len(part_fields) != len(partition_by):
+        # only UPDATE's new DATA files need an encodable partition
+        # record — delete manifests commit under an unpartitioned spec
         raise IcebergProtocolError(
-            "MoR DML on a partition spec with non-int/long/string source "
-            "columns is not supported"
+            "MoR UPDATE on a partition spec with non-int/long/string "
+            "source columns is not supported"
         )
     snapshots = list(meta0.get("snapshots", []))
     parent = meta0.get("current-snapshot-id")
@@ -1145,6 +1171,7 @@ def _mor_mark_matching_iceberg(
     id_of = {f["name"]: f["id"] for f in ice_fields}
     ml_recs = [{k: rec.get(k) for k in ml_schema_fields} for rec in prev_manifests]
 
+    new_specs: list[dict] | None = None
     if n_hits:
         # distributed delete-file write: each output file sorted by
         # (file_path, pos) as the spec requires; field ids stamped
@@ -1170,7 +1197,10 @@ def _mor_mark_matching_iceberg(
                 del_files.append(rel)
                 idx += 1
         shutil.rmtree(staging, ignore_errors=True)
-        null_part = {c: None for c, _t in part_fields}
+        # delete manifest under an UNPARTITIONED spec: spec-compliant
+        # global scope (see _unpartitioned_spec) — never an all-null
+        # tuple under the partitioned default spec
+        unpart_id, new_specs = _unpartitioned_spec(meta0)
         del_entries = []
         for rel in del_files:
             full = os.path.join(path, "data", rel)
@@ -1185,7 +1215,7 @@ def _mor_mark_matching_iceberg(
                         "content": 1,
                         "file_path": f"{path}/data/{rel}",
                         "file_format": "PARQUET",
-                        "partition": dict(null_part),
+                        "partition": {},
                         "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(full),
                         "lower_bounds": None,
@@ -1194,14 +1224,14 @@ def _mor_mark_matching_iceberg(
                 }
             )
         dm_name = f"m-{token}-del.avro"
-        dm_blob = write_ocf(_entry_avro_schema(part_fields), del_entries)
+        dm_blob = write_ocf(_entry_avro_schema([]), del_entries)
         with open(os.path.join(path, "metadata", dm_name), "wb") as fh:
             fh.write(dm_blob)
         ml_recs.append(
             {
                 "manifest_path": f"{path}/metadata/{dm_name}",
                 "manifest_length": len(dm_blob),
-                "partition_spec_id": meta0.get("default-spec-id", 0),
+                "partition_spec_id": unpart_id,
                 "content": 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1271,6 +1301,8 @@ def _mor_mark_matching_iceberg(
     new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
         {"snapshot-id": snap_id, "timestamp-ms": now_ms}
     ]
+    if new_specs is not None:  # delete manifests introduced the unpartitioned spec
+        new_meta["partition-specs"] = new_specs
     _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, token)
     return snap_id, n_hits
 
@@ -1388,19 +1420,10 @@ def equality_delete_iceberg(
             raise IcebergProtocolError(
                 f"nested equality column {c!r} not supported"
             )
-    spec = {s["spec-id"]: s for s in meta0.get("partition-specs", [])}.get(
-        meta0.get("default-spec-id", 0), {"fields": []}
-    )
-    part_fields = [
-        (pf["name"], type_of.get(pf["name"]))
-        for pf in spec.get("fields", [])
-    ]
-    part_fields = [(n, t) for n, t in part_fields if t in _PART_AVRO]
-    if len(part_fields) != len(spec.get("fields", [])):
-        raise IcebergProtocolError(
-            "equality delete on a partition spec with non-int/long/string "
-            "source columns is not supported"
-        )
+    # the delete manifest commits under an UNPARTITIONED spec (global
+    # scope per the spec's Scan Planning rules — see _unpartitioned_spec),
+    # so the table's own partition spec never constrains this writer
+    unpart_id, new_specs = _unpartitioned_spec(meta0)
     snapshots = list(meta0.get("snapshots", []))
     parent = meta0.get("current-snapshot-id")
     if parent is None:
@@ -1435,11 +1458,7 @@ def equality_delete_iceberg(
 
     from connected_data_lake_spark.plans.lakeops import iceberg_entry_schema
 
-    entry_schema = iceberg_entry_schema(
-        [(n, _PART_AVRO[t]) for n, t in part_fields] or None,
-        with_equality_ids=True,
-    )
-    null_part = {n: None for n, _t in part_fields}
+    entry_schema = iceberg_entry_schema(None, with_equality_ids=True)
     eq_ids = sorted(id_of[c] for c in cols)
     entries = []
     for rel in del_files:
@@ -1455,7 +1474,7 @@ def equality_delete_iceberg(
                     "content": 2,
                     "file_path": f"{path}/data/{rel}",
                     "file_format": "PARQUET",
-                    "partition": dict(null_part),
+                    "partition": {},
                     "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(full),
                     "lower_bounds": None,
@@ -1478,7 +1497,7 @@ def equality_delete_iceberg(
         {
             "manifest_path": f"{path}/metadata/{dm_name}",
             "manifest_length": len(dm_blob),
-            "partition_spec_id": meta0.get("default-spec-id", 0),
+            "partition_spec_id": unpart_id,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1513,6 +1532,8 @@ def equality_delete_iceberg(
     new_meta["snapshot-log"] = list(meta0.get("snapshot-log", [])) + [
         {"snapshot-id": snap_id, "timestamp-ms": now_ms}
     ]
+    if new_specs is not None:  # delete manifests introduced the unpartitioned spec
+        new_meta["partition-specs"] = new_specs
     _commit_iceberg_metadata(path, meta0, prev_ver, new_meta, token)
     return snap_id
 

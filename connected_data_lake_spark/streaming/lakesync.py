@@ -31,6 +31,7 @@ initial load is one bounded job; steady state is proportional to churn.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,36 +135,81 @@ def sync_from_iceberg(
     """One sync tick from an external Iceberg table (append snapshots;
     ``read_iceberg_incremental`` already skips replace/compaction and
     raises on overwrite/delete snapshots — the append-only contract is
-    enforced by the reader itself)."""
+    enforced by the reader itself).
+
+    The ledger high-water mark is the snapshot's SEQUENCE NUMBER, not
+    its id: real Iceberg snapshot ids are random 64-bit values, so an
+    id-based ``mark >= latest`` comparison would silently no-op forever
+    whenever a newer snapshot drew a numerically smaller id. Sequence
+    numbers are the spec's own monotone commit ordinal, which is exactly
+    what the ledger's replay-skip discipline needs. Because the ledger
+    enforces monotonicity PER KEY and a random id would poison a
+    sequence-number progression, marks live under ``<app_id>#seq``;
+    an id-keyed mark written by the pre-fix loop (under the bare
+    ``app_id``) is resolved by snapshot id once and the tick then
+    re-checkpoints under the new key.
+    Returns ``(committed_manifest_version_or_None, sequence_number)``."""
+    import json as _json
+
     from connected_data_lake_spark.sources.iceberg import (
         IcebergStore,
         _latest_metadata_name,
         read_iceberg,
         read_iceberg_incremental,
     )
-    import json as _json
 
     table_uri = _norm_uri(table_uri)
     app_id = app_id or _default_app("iceberg", iceberg_path)
+    seq_key = f"{app_id}#seq"
     store = IcebergStore(iceberg_path)
     meta = _json.loads(
         store.read_metadata_bytes(_latest_metadata_name(store, iceberg_path))
     )
-    latest = meta.get("current-snapshot-id")
-    if latest is None:
+    latest_id = meta.get("current-snapshot-id")
+    if latest_id is None:
         return None, -1
-    mark = _ledger_mark(table_uri, app_id)
-    if mark is None:
-        return (
-            _append(read_iceberg(spark, iceberg_path), table_uri, app_id, latest),
-            latest,
+    snaps = meta.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    try:
+        latest_seq = int(by_id[latest_id]["sequence-number"])
+    except KeyError as exc:
+        raise ValueError(
+            "source snapshots carry no sequence-number (format v1?) — "
+            "the sync loop needs the spec's monotone commit ordinal"
+        ) from exc
+    mark = _ledger_mark(table_uri, seq_key)
+    if mark is not None:
+        from_snap = next(
+            (s for s in snaps if int(s.get("sequence-number", -1)) == mark),
+            None,
         )
-    if mark >= latest:
-        return None, latest
+    else:
+        legacy = _ledger_mark(table_uri, app_id)  # pre-fix loop: snapshot ID
+        if legacy is None:
+            return (
+                _append(
+                    read_iceberg(spark, iceberg_path),
+                    table_uri,
+                    seq_key,
+                    latest_seq,
+                ),
+                latest_seq,
+            )
+        from_snap = by_id.get(legacy)
+    if from_snap is None:
+        raise ValueError(
+            f"ledger mark {mark} matches no live snapshot (expired by "
+            "snapshot cleanup?) — re-seed the sync"
+        )
+    if int(from_snap["sequence-number"]) >= latest_seq:
+        return None, latest_seq
     inc = read_iceberg_incremental(
-        spark, iceberg_path, from_snapshot_id=mark, to_snapshot_id=latest
+        spark,
+        iceberg_path,
+        from_snapshot_id=from_snap["snapshot-id"],
+        to_snapshot_id=latest_id,
     ).drop("_snapshot_id")
-    return _append(inc, table_uri, app_id, latest), latest
+    return _append(inc, table_uri, seq_key, latest_seq), latest_seq
 
 
 def sync_from_hudi(
@@ -224,14 +270,111 @@ def sync_from_hudi(
         include_deletes=True,
     )
     if on_change == "error":
-        bad = inc.filter(F.col("_hoodie_is_deleted")).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"Hudi instants ({mark}, {latest}] contain deletes — "
-                "append-only sync contract broken (on_change='ignore' "
-                "consumes surviving states only)"
-            )
+        _check_hudi_append_only(spark, hudi_path, table_uri, mark, latest, inc)
     rows = inc.filter(~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))).drop(
         "_hoodie_commit_time", "_hoodie_is_deleted"
     )
     return _append(rows, table_uri, app_id, latest), latest
+
+
+#: commit-metadata operationTypes that are pure appends (safe without a
+#: data-level check); COMPACT/CLUSTER rearrange existing rows only
+_HUDI_INSERT_OPS = {"INSERT", "BULK_INSERT", "INSERT_PREPPED", "BULK_INSERT_PREPPED"}
+_HUDI_REARRANGE_OPS = {"COMPACT", "CLUSTER"}
+#: ops whose row-level effect cannot surface as appends at all — a HARD
+#: delete/overwrite removes rows the incremental read never re-emits,
+#: so the sink would silently keep upstream-deleted data
+_HUDI_DESTRUCTIVE_OPS = {
+    "DELETE",
+    "DELETE_PREPPED",
+    "DELETE_PARTITION",
+    "INSERT_OVERWRITE",
+    "INSERT_OVERWRITE_TABLE",
+    "OVERWRITE",  # this repo's write_hudi(mode="overwrite") replacecommit
+}
+
+
+def _check_hudi_append_only(
+    spark, hudi_path: str, table_uri: str, mark: int, latest: int, inc: DataFrame
+) -> None:
+    """``on_change='error'`` enforcement for :func:`sync_from_hudi`.
+
+    Three layers, cheapest first:
+
+    1. metadata — the in-range instants' commit-metadata
+       ``operationType``: destructive ops (hard DELETE / overwrite)
+       raise outright; insert-family and rearrangement ops are safe;
+    2. data, exact — an UPSERT (or an op the writer didn't record) is
+       only unsafe if it touched an ALREADY-SYNCED key, so the incoming
+       keys semi-join the sink on the table's record key (one pruned
+       column scan, only on ticks whose metadata is inconclusive —
+       an upsert that merely inserted new keys passes);
+    3. soft deletes — in-range rows whose newest state carries
+       ``_hoodie_is_deleted`` raise as before.
+    """
+    import json as _json
+
+    from connected_data_lake_spark.sources.hudi import (
+        _completed_instants,
+        _local,
+        _read_properties,
+    )
+    from connected_data_lake_spark.sources.rootfs import read_table
+
+    root = _local(hudi_path)
+    window = [
+        t
+        for t in _completed_instants(root, allow_delta=True)
+        if mark < int(t[0]) <= latest
+    ]
+    needs_key_check = False
+    for instant, _action, meta_path in window:
+        with open(meta_path, "rb") as fh:
+            raw = fh.read()
+        op = (
+            (_json.loads(raw).get("operationType") or "").upper()
+            if raw.strip()
+            else ""
+        )
+        if op in _HUDI_DESTRUCTIVE_OPS:
+            raise ValueError(
+                f"Hudi instant {instant} is operationType={op} — its "
+                "row-level effect (removed rows) cannot surface as "
+                "appends; the append-only sync contract is broken "
+                "(re-seed, or consume surviving states only with "
+                "on_change='ignore')"
+            )
+        if op not in _HUDI_INSERT_OPS | _HUDI_REARRANGE_OPS:
+            needs_key_check = True  # UPSERT or unrecorded op: check data
+    if needs_key_check:
+        with open(
+            os.path.join(root, ".hoodie", "hoodie.properties"), encoding="utf-8"
+        ) as fh:
+            key_fields = [
+                c.strip()
+                for c in _read_properties(fh.read())
+                .get("hoodie.table.recordkey.fields", "")
+                .split(",")
+                if c.strip()
+            ]
+        if not key_fields or any(c not in inc.columns for c in key_fields):
+            raise ValueError(
+                f"Hudi instants ({mark}, {latest}] contain non-insert "
+                "operations and the record key is unresolvable — cannot "
+                "prove the append-only contract holds (on_change='ignore' "
+                "consumes newest in-range states regardless)"
+            )
+        sink = read_table(spark, table_uri).select(*key_fields)
+        dup = inc.select(*key_fields).join(sink, key_fields, "left_semi")
+        if dup.limit(1).count():
+            raise ValueError(
+                f"Hudi instants ({mark}, {latest}] updated keys that are "
+                "already synced — appending them would duplicate keys in "
+                "the sink (on_change='ignore' appends them anyway)"
+            )
+    if inc.filter(F.col("_hoodie_is_deleted")).limit(1).count():
+        raise ValueError(
+            f"Hudi instants ({mark}, {latest}] contain deletes — "
+            "append-only sync contract broken (on_change='ignore' "
+            "consumes surviving states only)"
+        )

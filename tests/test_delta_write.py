@@ -1082,3 +1082,34 @@ def test_external_writer3_constraint_table_now_writable(spark, tbl):
         )
     with pytest.raises(DeltaProtocolError, match="minWriterVersion=4"):
         write_delta(_df(spark, 30, 40), tbl, mode="append")
+
+
+def test_dv_protocol_upgrade_keeps_legacy_implied_features():
+    """ADVICE r13: upgrading a legacy protocol to table features must
+    carry EVERY feature the legacy writer version implied (PROTOCOL.md
+    legacy mapping) — dropping checkConstraints from a (1,3) table
+    would free external writers from enforcing delta.constraints.*."""
+    from connected_data_lake_spark.sources.delta_write import (
+        _dv_protocol_upgrade,
+    )
+
+    up = _dv_protocol_upgrade({"minReaderVersion": 1, "minWriterVersion": 3})
+    w = set(up["protocol"]["writerFeatures"])
+    assert {"appendOnly", "invariants", "checkConstraints", "deletionVectors"} <= w
+    assert "changeDataFeed" not in w  # implied only at minWriterVersion>=4
+    up4 = _dv_protocol_upgrade({"minReaderVersion": 2, "minWriterVersion": 5})
+    w4 = set(up4["protocol"]["writerFeatures"])
+    assert {"changeDataFeed", "generatedColumns", "columnMapping"} <= w4
+    assert "columnMapping" in set(up4["protocol"]["readerFeatures"])
+    # already-featured protocols pass through untouched
+    assert (
+        _dv_protocol_upgrade(
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        )
+        is None
+    )

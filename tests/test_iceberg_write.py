@@ -684,3 +684,50 @@ def test_rollback_iceberg_restores_old_snapshot(spark, tbl):
     assert read_iceberg(spark, tbl).count() == 90
     with pytest.raises(ValueError, match="unknown snapshot"):
         rollback_iceberg(tbl, 999)
+
+
+def test_delete_manifests_commit_under_unpartitioned_spec(spark, tbl):
+    """ADVICE r13: delete files on a PARTITIONED table must not commit
+    under the partitioned default spec with all-null partition tuples —
+    spec-compliant external readers index delete files by partition and
+    would never apply them to non-null partitions. They commit under an
+    UNPARTITIONED spec instead (globally applicable per the spec's Scan
+    Planning rules)."""
+    from connected_data_lake_spark.sources.iceberg_write import (
+        _current_meta,
+        delete_from_iceberg,
+        equality_delete_iceberg,
+    )
+
+    write_iceberg(_df(spark, 0, 90).coalesce(1), tbl, partition_by=["p"])
+    delete_from_iceberg(spark, tbl, "k % 10 = 5", mode="mor")
+    meta, _v = _current_meta(tbl)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    unpart = [sid for sid, s in specs.items() if not s.get("fields")]
+    assert len(unpart) == 1, "exactly one unpartitioned spec registered"
+    default = meta["default-spec-id"]
+    assert specs[default]["fields"], "default spec stays partitioned"
+    recs = _manifest_recs(tbl)
+    for r in recs:
+        if r.get("content") == 1:
+            assert r["partition_spec_id"] == unpart[0]
+        else:
+            assert r["partition_spec_id"] == default
+    # the delete entries carry an EMPTY partition record, not nulls
+    del_rec = next(r for r in recs if r.get("content") == 1)
+    from connected_data_lake_spark.sources.iceberg import IcebergStore
+
+    _es, entries = read_ocf(IcebergStore(tbl).read_uri(del_rec["manifest_path"]))
+    assert all(e["data_file"]["partition"] == {} for e in entries)
+    assert read_iceberg(spark, tbl).count() == 81
+    # equality deletes reuse the SAME unpartitioned spec (no duplicate)
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    equality_delete_iceberg(spark, tbl, keys, ["k"])
+    meta2, _v2 = _current_meta(tbl)
+    assert [s for s in meta2["partition-specs"] if not s.get("fields")] == [
+        {"spec-id": unpart[0], "fields": []}
+    ]
+    recs2 = _manifest_recs(tbl)
+    eq_rec = [r for r in recs2 if r.get("content") == 1]
+    assert all(r["partition_spec_id"] == unpart[0] for r in eq_rec)
+    assert read_iceberg(spark, tbl).count() == 79
