@@ -36,6 +36,11 @@ from connected_data_lake_spark.session import get_spark, prepare_session
 from connected_data_lake_spark.sources import rootfs as rootfs_source
 
 
+#: table URI currently bound to the shared ``rootfs`` alias view (the
+#: session is a singleton, so the alias is session-global state)
+_ACTIVE_ROOTFS: dict[str, str] = {}
+
+
 class Cdl:
     """Entry object: catalog + session (reference ``cdlake.Cdl``)."""
 
@@ -49,6 +54,28 @@ class Cdl:
         """Open a dataset by URL (reference ``cdl.open``)."""
         return CdlFS(self, GlobalPath.parse(url))
 
+    def open_all(self, *urls: str) -> list["CdlFS"]:
+        """Open several datasets in ONE session — the engine-side
+        "connected" data-lake surface (the reference's premise is lakes
+        replicated ACROSS clusters: bucket replication jobs,
+        crates/cdl-k8s-provider/src/object.rs:1203-1340, and the
+        two-cluster sync benchmark, benchmark/src/command/sync.rs:20-71;
+        querying the connected copies together is the engine half of
+        that story). Each dataset registers under its own view name
+        (:attr:`CdlFS.view_name`), so :meth:`sql` can join across them."""
+        return [self.open(u) for u in urls]
+
+    def sql(self, stmt: str) -> DataFrame:
+        """Federated SQL over EVERY registered dataset view: reference
+        datasets by :attr:`CdlFS.view_name` (``rootfs_<token>``) to join
+        across them; ``rootfs`` still means the most recently
+        opened/refreshed dataset (reference parity for the single-lake
+        case). Same dialect and variadic-``len`` rewrite as
+        :meth:`CdlFS.sql`."""
+        from connected_data_lake_spark.functions import rewrite_variadic_len
+
+        return self.spark.sql(rewrite_variadic_len(stmt))
+
 
 class CdlFS:
     """A dataset view: the ``rootfs`` table plus canned queries."""
@@ -58,6 +85,7 @@ class CdlFS:
         self.path = path
         self._registered = False
         self._ordinal_cache: DataFrame | None = None
+        self._ordinal_version: int | None = None
 
     @property
     def spark(self) -> SparkSession:
@@ -211,16 +239,43 @@ class CdlFS:
         self._register()
         return self
 
+    @property
+    def view_name(self) -> str:
+        """This dataset's OWN temp-view name, keyed by its table URI —
+        stable across instances, collision-free across datasets. The
+        federation handle: ``cdl.sql`` joins datasets by these names."""
+        import hashlib
+
+        token = hashlib.sha1(self.path.table_uri.encode()).hexdigest()[:12]
+        return f"{ROOTFS_TABLE}_{token}"
+
     def _register(self) -> None:
-        """Register the rootfs table as a SQL view (reference lib.rs:112-118)."""
+        """Register the rootfs table as a SQL view (reference lib.rs:112-118).
+
+        Two views per dataset: the per-URI :attr:`view_name` (the truth —
+        every ``table()``/``sql()`` of THIS instance resolves through it)
+        and the shared ``rootfs`` alias, which tracks the most recently
+        opened/refreshed dataset for reference parity. The alias alone
+        was a wrong-answer hazard: with two live ``CdlFS`` instances,
+        instance A's ``sql()`` would silently serve B's rows after B
+        registered. ``table()`` now re-points the alias whenever another
+        dataset has taken it (see :meth:`table`)."""
         df = rootfs_source.read_table(self.spark, self.path.table_uri)
+        df.createOrReplaceTempView(self.view_name)
         df.createOrReplaceTempView(ROOTFS_TABLE)
+        _ACTIVE_ROOTFS["uri"] = self.path.table_uri
         self._registered = True
 
     def table(self) -> DataFrame:
         if not self._registered:
             self._register()
-        return self.spark.table(ROOTFS_TABLE)
+        elif _ACTIVE_ROOTFS.get("uri") != self.path.table_uri:
+            # another dataset took the shared alias since we registered:
+            # re-point it at OUR table so `FROM rootfs` means this
+            # dataset again (per-URI views are never clobbered)
+            self.spark.table(self.view_name).createOrReplaceTempView(ROOTFS_TABLE)
+            _ACTIVE_ROOTFS["uri"] = self.path.table_uri
+        return self.spark.table(self.view_name)
 
     # -- query surface (the whole point of the reference) -------------------
 
@@ -229,9 +284,14 @@ class CdlFS:
         query entry point (``CdlFS::query`` → SessionContext::sql,
         reference lib.rs:78-81). Catalyst plays DataFusion's role.
         Variadic ``len(a, b, …)`` (reference len.rs Variadic signature,
-        kernel reads only arg 0) is rewritten to Spark's unary built-in."""
-        if not self._registered:
-            self._register()
+        kernel reads only arg 0) is rewritten to Spark's unary built-in.
+
+        ``rootfs`` here ALWAYS means this instance's dataset: ``table()``
+        re-points the shared alias if another ``CdlFS`` registered since
+        (the per-instance flag alone served the OTHER dataset's rows —
+        the r13 clobbering hazard). Cross-dataset statements go through
+        :meth:`Cdl.sql` with per-dataset :attr:`view_name`\\ s."""
+        self.table()  # ensure registration AND re-point the alias to us
         from connected_data_lake_spark.functions import rewrite_variadic_len
 
         return self.spark.sql(rewrite_variadic_len(stmt))
@@ -478,9 +538,18 @@ class CdlFS:
         count pass and the numbering pass see identical partition layouts.
         At warehouse scale this index is a written table (bucketed by
         ``_rowid`` range) rather than a session cache; persist() here plays
-        that role for the session-scoped API."""
+        that role for the session-scoped API.
+
+        The cache is keyed by the table's COMMITTED VERSION, not a
+        per-instance flag — a second ``CdlFS`` on the same dataset can
+        commit DML this instance never sees, and serving ordinals over
+        the stale snapshot would silently return deleted rows."""
+        ver = self.version()
         if getattr(self, "_ordinal_cache", None) is not None:
-            return self._ordinal_cache
+            if self._ordinal_version == ver:
+                return self._ordinal_cache
+            self._ordinal_cache.unpersist()
+            self._ordinal_cache = None
 
         from pyspark.sql.window import Window
 
@@ -507,6 +576,7 @@ class CdlFS:
             .persist()
         )
         self._ordinal_cache = indexed
+        self._ordinal_version = ver
         return indexed
 
     # -- copy pipeline (S5/S6) ----------------------------------------------

@@ -200,3 +200,101 @@ def rootfs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size",
         F.hex("data").alias("data_hex"),
     ).orderBy("name", "chunk_id")
+
+
+#: session-scoped handles to the two build-once federated datasets
+_FED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _federated_datasets(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once pair of REAL CdlFS datasets for the federation query —
+    the engine half of the reference's "connected" data lakes (bucket
+    replication across clusters, crates/cdl-k8s-provider/src/object.rs:
+    1203-1340; two-cluster sync bench, benchmark/src/command/sync.rs:
+    20-71): dataset A holds ``<doc_id>.txt`` for ``doc_id % 3 = 0``,
+    dataset B the same names for ``doc_id % 2 = 0`` with two extra
+    bytes, so a cross-dataset join has a deterministic overlap
+    (``% 6 = 0``) with distinct per-side sizes. Both go through the
+    real ingestion path (``CdlFS.load`` → binaryFile → transactional
+    rootfs table)."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.filesystem import Cdl
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+
+    if sf_dir in _FED_CACHE:
+        return _FED_CACHE[sf_dir]
+    base = os.path.join(
+        tempfile.gettempdir(), f"cdl_fed_v1_{_artifact_token(sf_dir, 'documents')}"
+    )
+    a_dir, b_dir = os.path.join(base, "a"), os.path.join(base, "b")
+    done = os.path.join(base, "_done")
+    if not os.path.isfile(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(a_dir), os.makedirs(b_dir)
+        pdf = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 2 == 0))
+            .toPandas()  # fixture build only: writes a local file tree
+        )
+        for r in pdf.itertuples():
+            blob = (r.text or "").encode("utf-8")
+            if r.doc_id % 3 == 0:
+                with open(os.path.join(a_dir, f"{r.doc_id}.txt"), "wb") as fh:
+                    fh.write(blob)
+            if r.doc_id % 2 == 0:
+                with open(os.path.join(b_dir, f"{r.doc_id}.txt"), "wb") as fh:
+                    fh.write(blob + b"!!")
+        cdl = Cdl(spark=spark)
+        fa, fb = cdl.open_all(f"local://{a_dir}", f"local://{b_dir}")
+        fa.load(), fb.load()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    _FED_CACHE[sf_dir] = (a_dir, b_dir)
+    return a_dir, b_dir
+
+
+@query(
+    "rootfs_cross_dataset_join",
+    oracle="""
+    SELECT doc_id % 5 AS grp,
+           COUNT(*) AS n_files,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_a,
+           CAST(SUM(octet_length(encode(text)) + 2) AS BIGINT) AS bytes_b
+    FROM documents
+    WHERE doc_id % 6 = 0
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    tags=("rootfs", "federation"),
+)
+def rootfs_cross_dataset_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED two-dataset query: open BOTH datasets in one session
+    (``Cdl.open_all``) and join them by file name through their
+    per-dataset views (``CdlFS.view_name``) — the surface the r13
+    ``rootfs``-alias clobbering made impossible (filesystem.py
+    ``_register``/``table``). Each side's rows come from its OWN
+    transactional table; sizes differ by the fixture's 2-byte suffix,
+    so serving either dataset's rows for the other breaks the oracle."""
+    from connected_data_lake_spark.filesystem import Cdl
+
+    a_dir, b_dir = _federated_datasets(spark, sf_dir)
+    cdl = Cdl(spark=spark)
+    fa, fb = cdl.open_all(f"local://{a_dir}", f"local://{b_dir}")
+    fa.table(), fb.table()  # bind each dataset's per-URI view
+    return cdl.sql(
+        f"""
+        SELECT CAST(replace(a.name, '.txt', '') AS BIGINT) % 5 AS grp,
+               COUNT(*) AS n_files,
+               SUM(a.size) AS bytes_a,
+               SUM(b.size) AS bytes_b
+        FROM {fa.view_name} a
+        JOIN {fb.view_name} b ON a.name = b.name
+        WHERE a.size IS NOT NULL AND b.size IS NOT NULL
+        GROUP BY CAST(replace(a.name, '.txt', '') AS BIGINT) % 5
+        ORDER BY grp
+        """
+    )

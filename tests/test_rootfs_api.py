@@ -166,3 +166,97 @@ def test_rewrite_variadic_len_properties():
             assert out == s
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# multi-dataset ("connected") sessions: two CdlFS instances must each
+# keep serving THEIR OWN rows (r13 VERDICT: the shared `rootfs` alias
+# silently served dataset B's rows from A's handle), and Cdl.sql joins
+# across per-dataset views.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def two_trees(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    pathlib.Path(a, "common.txt").write_bytes(b"aaaa")
+    pathlib.Path(a, "only_a.txt").write_bytes(b"A" * 7)
+    pathlib.Path(b, "common.txt").write_bytes(b"bbbbbbbb")
+    pathlib.Path(b, "only_b.txt").write_bytes(b"B" * 3)
+    return a, b
+
+
+def test_two_instances_serve_their_own_rows(spark, two_trees):
+    a, b = two_trees
+    cdl = Cdl(spark=spark)
+    fa = cdl.open(f"local://{a}")
+    fa.load()
+    fb = cdl.open(f"local://{b}")
+    fb.load()  # B takes the shared `rootfs` alias
+    # A's surfaces must STILL answer from A — interleaved with B's
+    got_a = {(r["name"], r["size"]) for r in fa.sql(
+        "SELECT name, size FROM rootfs WHERE size IS NOT NULL"
+    ).collect()}
+    assert got_a == {("common.txt", 4), ("only_a.txt", 7)}
+    got_b = {(r["name"], r["size"]) for r in fb.sql(
+        "SELECT name, size FROM rootfs WHERE size IS NOT NULL"
+    ).collect()}
+    assert got_b == {("common.txt", 8), ("only_b.txt", 3)}
+    # every read surface binds per-instance, not per-alias
+    assert {r["name"] for r in fa.read_dir_all().collect()} == {
+        "common.txt", "only_a.txt",
+    }
+    assert fa.read_files("name = 'only_a.txt'").count() == 1
+    assert fb.read_files("name = 'only_a.txt'").count() == 0
+    assert fa.scan(filters=[("name", "=", "common.txt")]).first()["size"] == 4
+    assert fb.scan(filters=[("name", "=", "common.txt")]).first()["size"] == 8
+    take_a = fa.take([0, 1], columns=("name",)).collect()
+    take_b = fb.take([0, 1], columns=("name",)).collect()
+    assert {r["name"] for r in take_a} == {"common.txt", "only_a.txt"}
+    assert {r["name"] for r in take_b} == {"common.txt", "only_b.txt"}
+
+
+def test_copy_to_destination_does_not_hijack_source(spark, two_trees, tmp_path):
+    a, _b = two_trees
+    cdl = Cdl(spark=spark)
+    fa = cdl.open(f"local://{a}")
+    fa.load()
+    dst = cdl.open(f"local://{tmp_path / 'dst'}")
+    fa.copy_to(f"local://{tmp_path / 'dst'}")
+    dst.load()
+    # after the copy + destination load, the SOURCE still answers from A
+    assert fa.sql("SELECT COUNT(*) AS n FROM rootfs").first()["n"] == 2
+    assert {r["name"] for r in fa.read_dir_all().collect()} == {
+        "common.txt", "only_a.txt",
+    }
+
+
+def test_cross_dataset_join_via_cdl_sql(spark, two_trees):
+    a, b = two_trees
+    cdl = Cdl(spark=spark)
+    fa, fb = cdl.open_all(f"local://{a}", f"local://{b}")
+    fa.load(), fb.load()
+    assert fa.view_name != fb.view_name
+    rows = cdl.sql(
+        f"SELECT a.name, a.size AS size_a, b.size AS size_b "
+        f"FROM {fa.view_name} a JOIN {fb.view_name} b ON a.name = b.name "
+        f"WHERE a.size IS NOT NULL AND b.size IS NOT NULL"
+    ).collect()
+    assert [(r["name"], r["size_a"], r["size_b"]) for r in rows] == [
+        ("common.txt", 4, 8)
+    ]
+
+
+def test_ordinal_index_invalidates_across_instances(spark, two_trees):
+    a, _b = two_trees
+    cdl = Cdl(spark=spark)
+    f1 = cdl.open(f"local://{a}")
+    f1.load()
+    assert f1.take([0, 1], columns=("name",)).count() == 2  # warm the index
+    f2 = cdl.open(f"local://{a}")  # same dataset, separate handle
+    f2.delete("name = 'only_a.txt'")
+    # f1's cached ordinal index predates f2's DML: must rebuild, not
+    # serve the deleted row
+    names = {r["name"] for r in f1.take([0, 1], columns=("name",)).collect()}
+    assert names == {"common.txt"}
