@@ -3410,3 +3410,105 @@ def lakesync_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once CDF-enabled Delta fixture
+_DELTA_CDC_CACHE: dict[str, str] = {}
+
+
+def _delta_cdc_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta table with ``delta.enableChangeDataFeed=true``
+    whose DML history writes REAL ``cdc`` actions + ``_change_data/``
+    files (PROTOCOL.md Change Data Files): v0 create (partitioned,
+    writerFeatures carries changeDataFeed) → v1 copy-on-write UPDATE
+    (%10=0 price negated — without cdc this mixed add+remove commit is
+    un-derivable and gates) → v2 deletion-vector DELETE (%10=5, cdc
+    recorded alongside the DV mask). This is the table shape a real
+    delta-spark CDF user migrates in with."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+
+    key = f"{sf_dir}"
+    if key in _DELTA_CDC_CACHE:
+        return _DELTA_CDC_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_deltacdc_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "_delta_log", "00000000000000000002.json")
+    if not os.path.isfile(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(
+            o,
+            path,
+            mode="error",
+            partition_by=["o_orderstatus"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_delta(
+            spark, path, "o_orderkey % 10 = 0",
+            {"o_totalprice": "-o_totalprice"},
+        )
+        delete_from_delta(spark, path, "o_orderkey % 10 = 5", mode="dv")
+    _DELTA_CDC_CACHE[key] = path
+    return path
+
+
+@query(
+    "delta_cdf_files_read",
+    oracle="""
+    SELECT change_type, commit_version,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(price), 2) AS sum_price
+    FROM (
+        SELECT 'update_preimage' AS change_type, 1 AS commit_version,
+               o_totalprice AS price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'update_postimage', 1, -o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'delete', 2, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    GROUP BY change_type, commit_version
+    ORDER BY commit_version, change_type
+    """,
+    tags=("lakeops", "delta", "cdf", "incremental"),
+)
+def delta_cdf_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read over REAL ``cdc`` action files
+    (``sources/delta.py::read_delta_changes`` cdc branch): v1's
+    copy-on-write UPDATE surfaces as exact update_preimage /
+    update_postimage pairs and v2's DV DELETE as its masked rows — all
+    read from ``_change_data/`` parquet, never derived from file
+    actions (deriving the CoW commit would also re-emit every
+    surviving rewritten row — the over-reporting this path exists to
+    avoid). Partition columns are restored from the cdc actions'
+    partitionValues."""
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+
+    path = _delta_cdc_orders(spark, sf_dir)
+    return (
+        read_delta_changes(spark, path, 1, 2)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("commit_version", "change_type")
+    )

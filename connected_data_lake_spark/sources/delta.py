@@ -1160,12 +1160,23 @@ def read_delta_changes(
     """Change-data-feed-style incremental read: the row-level changes
     committed by versions ``starting_version..ending_version`` (both
     inclusive; default ending = latest), as data columns plus
-    ``_change_type`` (``insert``/``delete``), ``_commit_version`` and
-    ``_commit_timestamp`` — the column triple Delta's CDF readers emit.
+    ``_change_type`` (``insert``/``delete``/``update_preimage``/
+    ``update_postimage``), ``_commit_version`` and ``_commit_timestamp``
+    — the column triple Delta's CDF readers emit.
 
-    Changes derive from the commit log's file actions (PROTOCOL.md
-    "Add File and Remove File"), the derivation delta-spark applies to
-    CDF commits that carry no explicit ``cdc`` actions:
+    A version carrying explicit ``cdc`` actions (PROTOCOL.md Change
+    Data Files — what delta-spark DML writes on
+    ``delta.enableChangeDataFeed`` tables, and what this repo's own DML
+    engines write on such tables) is read FROM ITS ``_change_data/``
+    FILES EXCLUSIVELY: they record the exact row-level changes,
+    including true update pre/post-image pairs, and per the spec a
+    reader must never also derive from that version's file actions
+    (double counting). Partition columns are restored from each cdc
+    action's ``partitionValues`` like data files.
+
+    Versions without ``cdc`` actions derive from the commit log's file
+    actions (PROTOCOL.md "Add File and Remove File"), the derivation
+    delta-spark applies:
 
     - ``add`` with ``dataChange=true`` → its live rows (minus its DV)
       as INSERTS;
@@ -1179,10 +1190,14 @@ def read_delta_changes(
       property that makes incremental pipelines safe to run across
       maintenance.
 
-    UPDATE commits surface as delete+insert pairs of the same key —
-    exact CDF pre/post-image pairing needs ``cdc`` actions (the
-    ``_change_data`` folder), which no writer in this repo produces; a
-    commit that DOES carry them gates loudly rather than double-count.
+    DV-masked UPDATE commits without cdc surface as delete+insert pairs
+    of the same key (exact pairing needs the cdc files). A cdc-less
+    commit that mixes dataChange adds AND removes of DIFFERENT paths —
+    a copy-on-write DELETE/UPDATE/MERGE — GATES: deriving it from file
+    actions would re-emit every surviving rewritten row as
+    delete+insert churn (net-correct but over-reported, and a
+    sync consumer would duplicate those rows); delta-spark refuses the
+    same commits.
 
     Scale: one scan relation per (version, change kind) — file lists and
     DV descriptors are planning-sized metadata; the only driver-resident
@@ -1273,6 +1288,7 @@ def read_delta_changes(
     for v in range(starting_version, ending_version + 1):
         adds: dict[str, dict] = {}
         removes: dict[str, dict] = {}
+        cdcs: list[dict] = []
         ts_ms: int | None = None
         for line in store.read_bytes(commits[v]).decode("utf-8").splitlines():
             line = line.strip()
@@ -1280,11 +1296,9 @@ def read_delta_changes(
                 continue
             action = json.loads(line)
             if "cdc" in action:
-                raise DeltaProtocolError(
-                    f"version {v} carries explicit cdc actions "
-                    "(_change_data) — reading them is not implemented, and "
-                    "deriving from file actions too would double-count"
-                )
+                c = dict(action["cdc"])
+                c["path"] = unquote(c["path"])
+                cdcs.append(c)
             if "commitInfo" in action:
                 ts_ms = action["commitInfo"].get("timestamp", ts_ms)
             elif "add" in action and action["add"].get("dataChange"):
@@ -1316,11 +1330,51 @@ def read_delta_changes(
                 )
             )
 
+        if cdcs:
+            # cdc-present version: the _change_data files ARE the truth —
+            # use them exclusively, never the file actions (spec rule;
+            # both would double-count). One scan relation per distinct
+            # partition tuple; partition columns restored as literals
+            # from the action, exactly like add-file scans.
+            data_fields = [f for f in schema.fields if f.name not in part_cols]
+            cdc_schema = T.StructType(
+                list(data_fields)
+                + [T.StructField("_change_type", T.StringType(), True)]
+            )
+            type_of = {f.name: f.dataType for f in schema.fields}
+            groups: dict[tuple, list[str]] = {}
+            for c in cdcs:
+                key = tuple(sorted((c.get("partitionValues") or {}).items()))
+                groups.setdefault(key, []).append(_abs(c["path"]))
+            for pkey, files in sorted(groups.items()):
+                pv = dict(pkey)
+                cdf = spark.read.schema(cdc_schema).parquet(*files)
+                for pc in part_cols:
+                    cdf = cdf.withColumn(pc, F.lit(pv.get(pc)).cast(type_of[pc]))
+                out_parts.append(
+                    cdf.select(
+                        *[F.col(f.name) for f in schema.fields],
+                        "_change_type",
+                        F.lit(v).alias("_commit_version"),
+                        F.timestamp_millis(stamp).alias("_commit_timestamp"),
+                    )
+                )
+            continue
+
         dv_updates = {
             p: (removes[p], adds[p]) for p in adds.keys() & removes.keys()
         }
         pure_adds = [a for p, a in adds.items() if p not in dv_updates]
         pure_removes = [r for p, r in removes.items() if p not in dv_updates]
+        if pure_adds and pure_removes:
+            raise DeltaProtocolError(
+                f"version {v} mixes dataChange adds and removes of "
+                "different paths (a copy-on-write DELETE/UPDATE/MERGE) "
+                "without cdc actions — deriving CDF from its file actions "
+                "would re-emit every surviving rewritten row as "
+                "delete+insert churn; set delta.enableChangeDataFeed=true "
+                "so DML records _change_data files, or use DV-mode DML"
+            )
 
         # INSERTS: added files minus their own DVs
         if pure_adds:

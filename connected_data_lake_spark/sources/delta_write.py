@@ -87,6 +87,9 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "timestampNtz",
         "deletionVectors",
         "checkConstraints",
+        # DML on delta.enableChangeDataFeed tables writes _change_data/
+        # cdc files (PROTOCOL.md "Add CDC File") — see _stage_cdc
+        "changeDataFeed",
     }
 )
 
@@ -313,6 +316,71 @@ def _stage_and_move(
     return moved
 
 
+def _cdf_enabled(meta: dict) -> bool:
+    """True when the table asks DML to record change data files
+    (PROTOCOL.md Change Data Files: ``delta.enableChangeDataFeed``)."""
+    return (
+        _as_map_dict(meta.get("configuration")).get("delta.enableChangeDataFeed")
+        == "true"
+    )
+
+
+def _stage_cdc(
+    cdc_df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Write change rows (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return their ``cdc`` actions
+    (PROTOCOL.md "Add CDC File": relative path, partitionValues, size,
+    dataChange=false — the underscore prefix keeps the files invisible
+    to the main table scan). Partition columns live in the action's
+    ``partitionValues`` and the hive dirs, not the file, exactly like
+    data files; ``_change_type`` values are the delta-spark vocabulary
+    (insert / delete / update_preimage / update_postimage).
+
+    One distributed parquet job per DML commit — change volume is
+    proportional to the CHANGED rows, never the table."""
+    token = uuid.uuid4().hex
+    cdc_root = os.path.join(table_path, "_change_data")
+    staging = os.path.join(cdc_root, f"_staging_{token}")
+    writer = cdc_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    actions: list[dict] = []
+    idx = 0
+    for root, _dirs, names in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        pvals: dict[str, str | None] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                col, _, raw = seg.partition("=")
+                pvals[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                )
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            new_rel = f"cdc-{idx:05d}-{token}.snappy.parquet"
+            if rel_dir != ".":
+                new_rel = os.path.join(rel_dir, new_rel)
+            dest = os.path.join(cdc_root, new_rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(root, name), dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": "_change_data/" + new_rel.replace(os.sep, "/"),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+            idx += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
 def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
     """Put-if-absent commit: fully write a temp file, then ``os.link``
     it onto the versioned name — readers see a complete commit or none.
@@ -466,22 +534,30 @@ def write_delta(
         actions: list[dict] = []
         if version == 0:
             has_cons = bool(_constraint_exprs(dict(configuration or {})))
-            if _needs_ntz(schema):
-                # timestampNtz is a TABLE FEATURE (PROTOCOL.md): reader 3
-                # + writer 7 with the feature named on both lists
-                wfeats = ["timestampNtz"] + (
-                    ["checkConstraints"] if has_cons else []
+            has_cdf = (
+                dict(configuration or {}).get("delta.enableChangeDataFeed")
+                == "true"
+            )
+            needs_ntz = _needs_ntz(schema)
+            if needs_ntz or has_cdf:
+                # timestampNtz / changeDataFeed are TABLE FEATURES
+                # (PROTOCOL.md): writer 7 with the features named;
+                # reader 3 + readerFeatures only when a READER feature
+                # (timestampNtz) is in play — changeDataFeed is
+                # writer-side only
+                wfeats = (
+                    (["timestampNtz"] if needs_ntz else [])
+                    + (["checkConstraints"] if has_cons else [])
+                    + (["changeDataFeed"] if has_cdf else [])
                 )
-                actions.append(
-                    {
-                        "protocol": {
-                            "minReaderVersion": 3,
-                            "minWriterVersion": 7,
-                            "readerFeatures": ["timestampNtz"],
-                            "writerFeatures": sorted(wfeats),
-                        }
-                    }
-                )
+                proto_action: dict = {
+                    "minReaderVersion": 3 if needs_ntz else 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(wfeats),
+                }
+                if needs_ntz:
+                    proto_action["readerFeatures"] = ["timestampNtz"]
+                actions.append({"protocol": proto_action})
             else:
                 # CHECK constraints demand legacy writer version 3
                 actions.append(
@@ -961,7 +1037,8 @@ def vacuum_delta(
 
 
 def _rewrite_matching_files(
-    spark, path: str, condition: str, transform, operation: str = "DML"
+    spark, path: str, condition: str, transform, operation: str = "DML",
+    cdc_rows=None,
 ):
     """Shared DELETE/UPDATE engine: find the data files that contain at
     least one row matching ``condition`` (predicate-pushed scan over the
@@ -969,7 +1046,15 @@ def _rewrite_matching_files(
     those files through ``transform``, and commit add+remove. Untouched
     files never move — the rewrite cost is proportional to the files the
     predicate hits, not the table (the copy-on-write granularity
-    delta-spark uses)."""
+    delta-spark uses).
+
+    ``cdc_rows(matched, pred) -> DataFrame`` (table columns +
+    ``_change_type``): when the table enables
+    ``delta.enableChangeDataFeed``, the commit also records the
+    operation's exact row-level changes as ``_change_data/`` cdc files —
+    without them a CoW commit's add+remove pair is not derivable as CDF
+    (the surviving rewritten rows would over-report as delete+insert
+    churn)."""
     from pyspark.sql import functions as F
 
     from connected_data_lake_spark.sources.delta import read_delta
@@ -1008,11 +1093,24 @@ def _rewrite_matching_files(
 
     # file count is planning-sized; an IN list keeps the scope JVM-side
     scoped = df.filter(F.col("__cdl_fp").isin(*hit_paths))
-    rewritten = transform(scoped, pred).select(*[f.name for f in schema.fields])
+    rewritten = transform(scoped, pred).select(
+        # cast back to the TABLE types: SET expressions may widen (e.g.
+        # decimal arithmetic) and the rewritten files must read under
+        # the table schema
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
     _enforce_constraints(rewritten, conf, "DML rewrite")
     moved = _stage_and_move(rewritten, path, partition_by)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    if cdc_rows is not None and _cdf_enabled(meta):
+        # cast to the TABLE types: expression results may widen (e.g.
+        # decimal arithmetic) and cdc files must read under the schema
+        cdc_df = cdc_rows(scoped.filter(pred), pred).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+            "_change_type",
+        )
+        actions.extend(_stage_cdc(cdc_df, path, partition_by))
     for a in affected:
         rm = {
             "path": a["path"],
@@ -1196,11 +1294,27 @@ def _dv_mark_matching(
     new_rows = None
     if new_rows_transform is not None:
         new_rows = new_rows_transform(matched, pred).select(
-            *[f.name for f in schema.fields]
+            # cast: SET expressions may widen beyond the table types
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+    cdc_df = None
+    if _cdf_enabled(meta):
+        data_cols = [f.name for f in schema.fields]
+        if new_rows is None:  # DELETE: masked rows, exact
+            cdc_df = matched.select(*data_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        else:  # UPDATE: true pre/post-image pairs
+            cdc_df = (
+                matched.select(*data_cols)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    new_rows.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            )
     return _dv_commit(
         spark, path, store, meta, live, proto, partition_by, schema,
-        matched, new_rows, operation, dv_max_rows,
+        matched, new_rows, operation, dv_max_rows, cdc_df=cdc_df,
     )
 
 
@@ -1217,13 +1331,19 @@ def _dv_commit(
     new_rows,
     operation: str,
     dv_max_rows: int,
+    cdc_df=None,
 ):
     """Commit tail of the deletion-vector DML engine: mask ``matched``
     (rows of a ``read_delta(_keep_position=True)`` snapshot) with DVs,
     stage ``new_rows`` (already projected to the table schema) as new
-    data files, one commit. Returns ``(version, n_affected_files,
-    False)``, or None when the match count exceeds ``dv_max_rows`` (the
-    caller falls back to its copy-on-write engine)."""
+    data files, one commit. ``cdc_df`` (table columns + ``_change_type``,
+    caller-built) lands as ``_change_data/`` cdc files in the same
+    commit when the table enables ``delta.enableChangeDataFeed`` —
+    giving CDF readers exact pre/post-image pairs instead of the
+    DV-diff delete+insert derivation. Returns ``(version,
+    n_affected_files, False)``, or None when the match count exceeds
+    ``dv_max_rows`` (the caller falls back to its copy-on-write
+    engine)."""
     import struct
     import uuid as _uuid
     import zlib
@@ -1346,7 +1466,20 @@ def _dv_commit(
                     }
                 }
             )
-    commit_actions = ([upgrade] if upgrade else []) + actions + [
+    cdc_actions: list[dict] = []
+    if cdc_df is not None and _cdf_enabled(meta):
+        cdc_actions = _stage_cdc(
+            cdc_df.select(  # cast: expression results may widen
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ],
+                "_change_type",
+            ),
+            path,
+            partition_by,
+        )
+    commit_actions = ([upgrade] if upgrade else []) + cdc_actions + actions + [
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -1400,12 +1533,17 @@ def delete_from_delta(
             return out[0]
     elif mode != "cow":
         raise ValueError(f"unknown DELETE mode {mode!r} (use 'cow' or 'dv')")
+    from pyspark.sql import functions as F
+
     version, _n = _rewrite_matching_files(
         spark,
         path,
         condition,
         lambda scoped, pred: scoped.filter(~pred),
         operation="DELETE",
+        cdc_rows=lambda matched, _p: matched.withColumn(
+            "_change_type", F.lit("delete")
+        ),
     )
     return version
 
@@ -1460,8 +1598,16 @@ def update_delta(
             )
         return out
 
+    def cdc_rows(matched, _p):
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        post = matched
+        for col, expr in assignments.items():
+            post = post.withColumn(col, F.expr(expr))
+        post = post.withColumn("_change_type", F.lit("update_postimage"))
+        return pre.unionByName(post)
+
     version, _n = _rewrite_matching_files(
-        spark, path, condition, xform, operation="UPDATE"
+        spark, path, condition, xform, operation="UPDATE", cdc_rows=cdc_rows
     )
     return version
 
@@ -1528,6 +1674,7 @@ def merge_into_delta(
     if mode == "dv":
         matched = tgt_pos.join(src, on, "left_semi")
         new_parts: list[DataFrame] = []
+        upd_df = ins_df = None
         if when_matched_update:
             joined = tgt.alias("tgt").join(
                 src.alias("src"), on, "inner"
@@ -1539,27 +1686,52 @@ def merge_into_delta(
                     F.expr(upd).alias(c) if upd is not None
                     else F.col(f"tgt.{c}").alias(c)
                 )
-            new_parts.append(joined.select(*exprs))
+            upd_df = joined.select(*exprs)
+            new_parts.append(upd_df)
         elif not when_matched_delete:
             # matched rows neither updated nor deleted: they stay — only
             # genuinely-new keys mask nothing, so matched set is empty
             matched = matched.limit(0)
         if when_not_matched_insert:
-            new_parts.append(
+            ins_df = (
                 src.alias("src")
                 .join(tgt.select(*on).alias("tgt"), on, "left_anti")
                 .select(
                     *[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in cols]
                 )
             )
+            new_parts.append(ins_df)
         new_rows = None
         if new_parts:
             new_rows = new_parts[0]
             for part in new_parts[1:]:
                 new_rows = new_rows.unionByName(part)
+        cdc_df = None
+        if _cdf_enabled(meta):
+            cdc_parts: list[DataFrame] = []
+            pre = matched.select(*cols)
+            if when_matched_update:
+                cdc_parts.append(
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_parts.append(
+                    upd_df.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            elif when_matched_delete:
+                cdc_parts.append(
+                    pre.withColumn("_change_type", F.lit("delete"))
+                )
+            if ins_df is not None:
+                cdc_parts.append(
+                    ins_df.withColumn("_change_type", F.lit("insert"))
+                )
+            if cdc_parts:
+                cdc_df = cdc_parts[0]
+                for part in cdc_parts[1:]:
+                    cdc_df = cdc_df.unionByName(part)
         out = _dv_commit(
             spark, path, store, meta, live, proto, partition_by, schema,
-            matched, new_rows, "MERGE", dv_max_rows,
+            matched, new_rows, "MERGE", dv_max_rows, cdc_df=cdc_df,
         )
         if out is not None:
             return out[0]
@@ -1579,7 +1751,9 @@ def merge_into_delta(
     actions: list[dict] = []
     now_ms = int(time.time() * 1000)
     rewritten_parts: list[DataFrame] = []
+    cdc_parts: list[DataFrame] = []
     affected: list[dict] = []
+    want_cdc = _cdf_enabled(meta)
     if hit_raw:
         from connected_data_lake_spark.sources.iceberg import _norm_path_py
 
@@ -1597,10 +1771,16 @@ def merge_into_delta(
             src.alias("src"), on, "left_outer"
         )
         matched = F.col(f"src.{on[0]}").isNotNull()
+        m_rows = joined.filter(matched)
+        pre = m_rows.select(*[F.col(f"tgt.{c}").alias(c) for c in cols])
         if when_matched_delete:
             out = joined.filter(~matched).select(
                 *[F.col(f"tgt.{c}").alias(c) for c in cols]
             )
+            if want_cdc:
+                cdc_parts.append(
+                    pre.withColumn("_change_type", F.lit("delete"))
+                )
         else:
             exprs = []
             for c in cols:
@@ -1614,6 +1794,15 @@ def merge_into_delta(
                         .alias(c)
                     )
             out = joined.select(*exprs)
+            if want_cdc and when_matched_update:
+                cdc_parts.append(
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                )
+                cdc_parts.append(
+                    m_rows.select(*exprs).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
         rewritten_parts.append(out)
 
     if when_not_matched_insert:
@@ -1621,15 +1810,45 @@ def merge_into_delta(
             tgt.select(*on).alias("tgt"), on, "left_anti"
         ).select(*[F.col(c).cast(dict(tgt.dtypes)[c]).alias(c) for c in cols])
         rewritten_parts.append(inserts)
+        if want_cdc and hit_raw:
+            # a cdc-carrying commit must describe ALL its changes,
+            # inserts included (readers use cdc exclusively for it);
+            # an insert-only merge (no hit files) stays derivable from
+            # its pure adds and writes no cdc
+            cdc_parts.append(inserts.withColumn("_change_type", F.lit("insert")))
 
     if not rewritten_parts:
         return delta_table_version(path)
     out_df = rewritten_parts[0]
     for part in rewritten_parts[1:]:
         out_df = out_df.unionByName(part)
+    out_df = out_df.select(  # cast: SET expressions may widen
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
     _enforce_constraints(
         out_df, _as_map_dict(meta.get("configuration")), "MERGE output"
     )
+    if want_cdc and hit_raw:
+        if not cdc_parts:  # matched rows kept verbatim: zero row changes
+            cdc_parts.append(
+                out_df.limit(0).withColumn("_change_type", F.lit("insert"))
+            )
+        cdc_df = cdc_parts[0]
+        for part in cdc_parts[1:]:
+            cdc_df = cdc_df.unionByName(part)
+        actions.extend(
+            _stage_cdc(
+                cdc_df.select(  # cast: expression results may widen
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    "_change_type",
+                ),
+                path,
+                partition_by,
+            )
+        )
     moved = _stage_and_move(out_df, path, partition_by)
     for a in affected:
         rm = {

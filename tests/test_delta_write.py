@@ -756,30 +756,24 @@ def test_cdf_version_range_and_validation(spark, tbl):
         read_delta_changes(spark, tbl, 0, 99)
 
 
-def test_cdf_cow_delete_surfaces_as_delete_insert_pairs(spark, tbl):
+def test_cdf_cow_delete_reads_exact_deletes_via_cdc(spark, tbl):
+    """A copy-on-write DELETE on a CDF-enabled table reads back EXACTLY
+    the deleted rows from its cdc files — the old file-action
+    derivation re-emitted every surviving rewritten row as a
+    delete+insert pair (100 deletes + 90 inserts for a 10-row delete),
+    which net-cancelled but silently duplicated data in append-only
+    sync consumers (ADVICE r13)."""
     from connected_data_lake_spark.sources.delta import read_delta_changes
     from connected_data_lake_spark.sources.delta_write import delete_from_delta
 
-    write_delta(_df(spark, 0, 100).coalesce(1), tbl)
+    write_delta(
+        _df(spark, 0, 100).coalesce(1), tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
     delete_from_delta(spark, tbl, "k % 10 = 5")  # CoW: rewrite the file
     ch = read_delta_changes(spark, tbl, 1, 1)
-    got = {
-        r["_change_type"]: r["n"]
-        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
-    }
-    # remove(100 rows at pre-delete state) + add(90 survivors): net -10
-    assert got == {"delete": 100, "insert": 90}
-    net = (
-        ch.groupBy("k")
-        .agg(
-            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias(
-                "d"
-            )
-        )
-        .filter("d <> 0")
-    )
-    assert net.count() == 10  # exactly the deleted keys net out negative
-    assert net.filter("k % 10 <> 5").count() == 0
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    assert {r["k"] for r in ch.collect()} == set(range(5, 100, 10))
 
 
 def test_cdf_missing_commit_json_refused(spark, tbl):
@@ -1113,3 +1107,107 @@ def test_dv_protocol_upgrade_keeps_legacy_implied_features():
         )
         is None
     )
+
+
+# ---------------------------------------------------------------------------
+# change data feed: DML on delta.enableChangeDataFeed tables writes
+# _change_data/ cdc files; read_delta_changes consumes them exclusively
+# ---------------------------------------------------------------------------
+
+_CDF_CONF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _cdf_tbl(spark, tmp_path, n=100, parts=None):
+    from connected_data_lake_spark.sources.delta_write import write_delta
+
+    tbl = str(tmp_path / "cdf")
+    df = spark.range(0, n).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p", "id * 1.5 AS v"
+    )
+    write_delta(df, tbl, mode="error", partition_by=parts, configuration=_CDF_CONF)
+    return tbl
+
+
+def test_cdf_create_declares_changedatafeed_feature(spark, tmp_path):
+    tbl = _cdf_tbl(spark, tmp_path)
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        proto = next(
+            json.loads(l)["protocol"] for l in fh if '"protocol"' in l
+        )
+    assert proto["minWriterVersion"] == 7
+    assert "changeDataFeed" in proto["writerFeatures"]
+    assert "readerFeatures" not in proto  # writer-side feature only
+
+
+def test_cow_update_writes_cdc_and_reads_exact_pre_post(spark, tmp_path):
+    import glob as _glob
+
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+    from connected_data_lake_spark.sources.delta_write import update_delta
+
+    tbl = _cdf_tbl(spark, tmp_path, parts=["p"])
+    update_delta(spark, tbl, "k % 10 = 3", {"v": "v + 1000"})
+    cdc_files = _glob.glob(os.path.join(tbl, "_change_data", "**", "*.parquet"),
+                           recursive=True)
+    assert cdc_files, "cdc parquet files written under _change_data/"
+    ch = read_delta_changes(spark, tbl, 1, 1)
+    got = {
+        (r["_change_type"], r["k"], r["v"]) for r in ch.collect()
+    }
+    want = set()
+    for k in range(3, 100, 10):
+        want.add(("update_preimage", k, k * 1.5))
+        want.add(("update_postimage", k, k * 1.5 + 1000))
+    assert got == want
+    # partition column restored from the cdc action's partitionValues
+    assert {r["p"] for r in ch.collect()} == {"0", "1", "2"} & {
+        str(k % 3) for k in range(3, 100, 10)
+    }
+
+
+def test_dv_delete_writes_cdc_rows(spark, tmp_path):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+    from connected_data_lake_spark.sources.delta_write import delete_from_delta
+
+    tbl = _cdf_tbl(spark, tmp_path)
+    delete_from_delta(spark, tbl, "k % 10 = 7", mode="dv")
+    ch = read_delta_changes(spark, tbl, 1, 1)
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    assert {r["k"] for r in ch.collect()} == set(range(7, 100, 10))
+
+
+def test_merge_cdc_covers_all_change_kinds(spark, tmp_path):
+    from connected_data_lake_spark.sources.delta import read_delta_changes
+    from connected_data_lake_spark.sources.delta_write import merge_into_delta
+
+    tbl = _cdf_tbl(spark, tmp_path, n=50)
+    src = spark.range(40, 60).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS p", "id * 100.0 AS v"
+    )
+    merge_into_delta(
+        spark, tbl, src, on=["k"], when_matched_update={"v": "src.v"}
+    )
+    ch = read_delta_changes(spark, tbl, 1, 1)
+    by_kind = {}
+    for r in ch.collect():
+        by_kind.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_kind["update_preimage"] == set(range(40, 50))
+    assert by_kind["update_postimage"] == set(range(40, 50))
+    assert by_kind["insert"] == set(range(50, 60))
+
+
+def test_cow_dml_without_cdf_gates_cdf_read(spark, tmp_path):
+    from connected_data_lake_spark.sources.delta import (
+        DeltaProtocolError,
+        read_delta_changes,
+    )
+    from connected_data_lake_spark.sources.delta_write import (
+        delete_from_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "plain")
+    write_delta(_df(spark, 0, 100).coalesce(1), tbl, mode="error")
+    delete_from_delta(spark, tbl, "k % 10 = 3")  # CoW: mixed add+remove
+    with pytest.raises(DeltaProtocolError, match="without cdc actions"):
+        read_delta_changes(spark, tbl, 1, 1).collect()
