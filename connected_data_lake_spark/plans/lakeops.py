@@ -726,12 +726,15 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iceberg_entry_schema(
     partition_fields: list[tuple[str, str]] | None = None,
     with_equality_ids: bool = False,
+    with_dv: bool = False,
 ) -> dict:
     """Manifest-entry Avro schema with a typed partition record and
     column-bounds maps (spec "Manifests"; bounds use the array-of-kv
     encoding real writers emit for ``map<int, bytes>``).
     ``with_equality_ids=True`` adds spec field 135 (``list<int>``) for
-    equality-delete entries."""
+    equality-delete entries; ``with_dv=True`` adds the v3
+    deletion-vector location fields 143-145 (``referenced_data_file``,
+    ``content_offset``, ``content_size_in_bytes``)."""
     part_fields = [
         {"name": name, "type": ["null", avro_type], "default": None}
         for name, avro_type in (partition_fields or [])
@@ -792,6 +795,30 @@ def iceberg_entry_schema(
                             }
                         ]
                         if with_equality_ids
+                        else []
+                    )
+                    + (
+                        [
+                            {
+                                "name": "referenced_data_file",
+                                "type": ["null", "string"],
+                                "default": None,
+                                "field-id": 143,
+                            },
+                            {
+                                "name": "content_offset",
+                                "type": ["null", "long"],
+                                "default": None,
+                                "field-id": 144,
+                            },
+                            {
+                                "name": "content_size_in_bytes",
+                                "type": ["null", "long"],
+                                "default": None,
+                                "field-id": 145,
+                            },
+                        ]
+                        if with_dv
                         else []
                     ),
                 },
@@ -3511,4 +3538,254 @@ def delta_cdf_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
         .orderBy("commit_version", "change_type")
+    )
+
+
+#: session-scoped handle to the build-once v3 deletion-vector fixture
+_ICEBERG_V3_DV_CACHE: dict[str, str] = {}
+
+
+def _iceberg_v3_dv_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once FORMAT-VERSION 3 Iceberg table whose deletes live in a
+    PUFFIN deletion vector (spec "Deletion vectors" + Puffin
+    ``deletion-vector-v1``): one data file (all orders) and one real
+    Puffin file — "PFA1" header, the CRC-framed roaring blob, a JSON
+    footer with blob metadata — whose vector masks every row with
+    ``o_orderkey % 10 = 4``, linked through a content=1 manifest entry
+    carrying the v3 location fields 143-145. This is the delete shape
+    v3 writers (Spark 4 + Iceberg 1.8, Trino) emit instead of
+    position-delete files."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+    from connected_data_lake_spark.sources.roaring import encode_iceberg_dv_blob
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_V3_DV_CACHE:
+        return _ICEBERG_V3_DV_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergv3dv_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"))
+        os.makedirs(os.path.join(tmp, "metadata"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        part_dir = os.path.join(tmp, ".stage-a")
+        o.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        part = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(tmp, "data", "a.parquet"))
+        shutil.rmtree(part_dir, ignore_errors=True)
+        a_size = os.path.getsize(os.path.join(tmp, "data", "a.parquet"))
+        a_final = f"{path}/data/a.parquet"
+        # masked positions via the scan's own row_index (fixture-sized)
+        positions = sorted(
+            r["pos"]
+            for r in spark.read.parquet(os.path.join(tmp, "data", "a.parquet"))
+            .select("o_orderkey", F.col("_metadata.row_index").alias("pos"))
+            .filter(F.col("o_orderkey") % 10 == 4)
+            .collect()
+        )
+        blob = encode_iceberg_dv_blob(positions)
+        # real Puffin layout: Magic | blob | footer payload JSON |
+        # payload size (4 LE) | flags (4) | Magic
+        payload = _json.dumps(
+            {
+                "blobs": [
+                    {
+                        "type": "deletion-vector-v1",
+                        "fields": [],
+                        "snapshot-id": 2,
+                        "sequence-number": 2,
+                        "offset": 4,
+                        "length": len(blob),
+                        "properties": {
+                            "referenced-data-file": a_final,
+                            "cardinality": str(len(positions)),
+                        },
+                    }
+                ]
+            }
+        ).encode()
+        puffin = (
+            b"PFA1"
+            + blob
+            + b"PFA1"
+            + payload
+            + _struct.pack("<i", len(payload))
+            + b"\x00\x00\x00\x00"
+            + b"PFA1"
+        )
+        with open(os.path.join(tmp, "data", "dv.puffin"), "wb") as fh:
+            fh.write(puffin)
+        dv_final = f"{path}/data/dv.puffin"
+
+        data_entry = {
+            "status": 1,
+            "snapshot_id": 1,
+            "sequence_number": 1,
+            "file_sequence_number": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": a_final,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 1,
+                "file_size_in_bytes": a_size,
+            },
+        }
+        dv_entry = {
+            "status": 1,
+            "snapshot_id": 2,
+            "sequence_number": 2,
+            "file_sequence_number": 2,
+            "data_file": {
+                "content": 1,
+                "file_path": dv_final,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": len(positions),
+                "file_size_in_bytes": len(puffin),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "referenced_data_file": a_final,
+                "content_offset": 4,
+                "content_size_in_bytes": len(blob),
+            },
+        }
+
+        m_data = write_ocf(iceberg_entry_schema(None), [data_entry])
+        with open(os.path.join(tmp, "metadata", "m-data.avro"), "wb") as fh:
+            fh.write(m_data)
+        m_dv = write_ocf(iceberg_entry_schema(None, with_dv=True), [dv_entry])
+        with open(os.path.join(tmp, "metadata", "m-dv.avro"), "wb") as fh:
+            fh.write(m_dv)
+
+        def ml_rec(name: str, mlen: int, content: int, snap: int) -> dict:
+            return {
+                "manifest_path": f"{path}/metadata/{name}",
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": snap,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 1,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+
+        ml_blob = write_ocf(
+            ICEBERG_MANIFEST_FILE_SCHEMA,
+            [
+                ml_rec("m-data.avro", len(m_data), 0, 1),
+                ml_rec("m-dv.avro", len(m_dv), 1, 2),
+            ],
+        )
+        with open(os.path.join(tmp, "metadata", "snap-2.avro"), "wb") as fh:
+            fh.write(ml_blob)
+        meta = {
+            "format-version": 3,
+            "table-uuid": "0cdc1cdc-0000-4000-8000-0000000000d3",
+            "location": path,
+            "last-sequence-number": 2,
+            "last-updated-ms": 2000,
+            "last-column-id": 3,
+            "next-row-id": 0,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {
+                    "snapshot-id": 2,
+                    "sequence-number": 2,
+                    "timestamp-ms": 2000,
+                    "first-row-id": 0,
+                    "summary": {"operation": "overwrite"},
+                    "manifest-list": f"{path}/metadata/snap-2.avro",
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [{"snapshot-id": 2, "timestamp-ms": 2000}],
+        }
+        with open(os.path.join(tmp, "metadata", "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(tmp, "metadata", "version-hint.text"), "w") as fh:
+            fh.write("1")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _ICEBERG_V3_DV_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_v3_dv_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 4
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "v3", "deletion-vectors"),
+)
+def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT-VERSION 3 read: the snapshot's deletes are a PUFFIN
+    deletion vector (CRC-framed 64-bit roaring blob located by manifest
+    fields 143-145 — ``sources/iceberg.py::_live_files`` /
+    ``sources/roaring.py::decode_iceberg_dv_blob``) applied as the same
+    (file, position) anti-join as v2 position-delete files. The
+    aggregate equals the oracle only if the blob decode, the CRC frame,
+    and the referenced-file scoping are all exact."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_v3_dv_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -50,7 +50,11 @@ format versions 1 and 2, with — since round 11 —
   connector — matching the reference's S3-resident datasets
   (reference crates/cdl-fs/src/lib.rs:343-373).
 
-Loud gates — never a silent misread — remain for: format-version 3+,
+Format-version 3 reads are supported for the headline v3 feature —
+puffin DELETION VECTORS (decoded via :mod:`sources.roaring`
+``decode_iceberg_dv_blob``, applied as the same (file, pos) anti-join
+as position-delete files). Loud gates — never a silent misread —
+remain for: format-version 4+, v3 column default values,
 partition-scoped equality deletes, delete sets past the broadcast
 row-count gate, non-parquet data files, unsupported types, and files
 whose columns can be resolved neither by field id nor by name.
@@ -798,12 +802,17 @@ class _FileSet:
       size gate before any delete bytes are read.
     - ``eq_deletes``: [(path, (sorted equality field ids), seq,
       record_count)].
+    - ``dv_deletes``: v3 deletion vectors — [(puffin path, referenced
+      data file, content offset, content size, cardinality)]; offsets
+      come straight from the manifest entry (fields 143-145), so the
+      Puffin footer is never parsed on the read path.
     """
 
     def __init__(self):
         self.data: list[tuple[str, int]] = []
         self.pos_deletes: list[tuple[str, int]] = []
         self.eq_deletes: list[tuple[str, tuple[int, ...], int, int]] = []
+        self.dv_deletes: list[tuple[str, str, int, int, int]] = []
 
 
 def _entry_seq(entry: dict, manifest_seq: int) -> int:
@@ -857,7 +866,7 @@ def _live_files(
             df_rec = entry["data_file"]
             fcontent = df_rec.get("content", 0) or 0
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            if fmt != "PARQUET" and not (fcontent == 1 and fmt == "PUFFIN"):
                 raise IcebergProtocolError(
                     f"non-parquet Iceberg data file ({fmt}): {df_rec['file_path']}"
                 )
@@ -866,6 +875,22 @@ def _live_files(
                 if not prune.keep_file(df_rec, spec_id):
                     continue
                 out.data.append((df_rec["file_path"], _entry_seq(entry, mseq)))
+            elif fcontent == 1 and fmt == "PUFFIN":
+                # v3 DELETION VECTOR (spec "Deletion vectors"): one blob
+                # per referenced data file, located by manifest fields
+                # 143-145 — no Puffin footer parse needed
+                ref = df_rec.get("referenced_data_file")
+                off = df_rec.get("content_offset")
+                size = df_rec.get("content_size_in_bytes")
+                if ref is None or off is None or size is None:
+                    raise IcebergProtocolError(
+                        "puffin deletion vector without referenced_data_file"
+                        f"/content_offset/content_size_in_bytes: "
+                        f"{df_rec.get('file_path')}"
+                    )
+                out.dv_deletes.append(
+                    (df_rec["file_path"], ref, int(off), int(size), nrec)
+                )
             elif fcontent == 1:  # position deletes (merge-on-read)
                 out.pos_deletes.append((df_rec["file_path"], nrec))
             elif fcontent == 2:  # equality deletes (Flink-CDC style MoR)
@@ -1131,10 +1156,22 @@ def read_iceberg(
     store = store or IcebergStore(path)
     meta = json.loads(store.read_metadata_bytes(_latest_metadata_name(store, path)))
     fv = meta.get("format-version", 1)
-    if fv not in (1, 2):
-        raise IcebergProtocolError(f"Iceberg format-version {fv} > 2 not supported")
+    if fv not in (1, 2, 3):
+        raise IcebergProtocolError(f"Iceberg format-version {fv} > 3 not supported")
     snapshot = _pick_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     schema_dict = _schema_dict_for_snapshot(meta, snapshot)
+    if fv >= 3:
+        # v3 read support covers puffin DELETION VECTORS; column default
+        # values would silently misread old files as null — loud gate
+        for f in schema_dict.get("fields", []):
+            if (
+                f.get("initial-default") is not None
+                or f.get("write-default") is not None
+            ):
+                raise IcebergProtocolError(
+                    f"v3 column default values on {f.get('name')!r} are "
+                    "not supported (old files would misread as null)"
+                )
     schema = _iceberg_type_to_spark(schema_dict)
     flt = _normalize_filters(filters)
 
@@ -1161,8 +1198,10 @@ def read_iceberg(
     fs = _live_files(snapshot, meta, store, prune)
     if not fs.data:
         return _empty()
-    del_rows = sum(n for _p, n in fs.pos_deletes) + sum(
-        n for *_x, n in fs.eq_deletes
+    del_rows = (
+        sum(n for _p, n in fs.pos_deletes)
+        + sum(n for *_x, n in fs.eq_deletes)
+        + sum(n for *_y, n in fs.dv_deletes)
     )
     # Delete-application strategy (VERDICT r11 #6): BROADCAST the delete
     # side while its total cardinality (summed from manifest record
@@ -1184,7 +1223,12 @@ def read_iceberg(
             "deletes in) to avoid the extra shuffle.",
             stacklevel=2,
         )
-    need_meta = bool(fs.pos_deletes) or bool(fs.eq_deletes) or _keep_position
+    need_meta = (
+        bool(fs.pos_deletes)
+        or bool(fs.eq_deletes)
+        or bool(fs.dv_deletes)
+        or _keep_position
+    )
     df = _read_mapped(
         spark,
         store,
@@ -1210,6 +1254,41 @@ def read_iceberg(
         if broadcast_deletes:
             dels = F.broadcast(dels)
         df = df.join(dels, ["__cdl_fp", "__cdl_pos"], "left_anti")
+    if fs.dv_deletes:
+        # v3 deletion vectors: decode each referenced file's blob
+        # (CRC-checked roaring, sources/roaring.py) into (file, pos)
+        # pairs and anti-join exactly like position-delete files.
+        # Decode is driver-side on DELETE METADATA whose cardinality is
+        # what the broadcast gate above already counted; the upgrade
+        # path for larger vectors is executor-side decode via
+        # mapInArrow over (path, offset, size) triples.
+        from connected_data_lake_spark.sources.roaring import (
+            decode_iceberg_dv_blob,
+        )
+
+        pairs: list[tuple[str, int]] = []
+        for puffin, ref, off, size, _card in fs.dv_deletes:
+            lp = store.local_data_path(puffin)
+            if lp is not None:
+                with open(lp, "rb") as fh:
+                    fh.seek(off)
+                    blob = fh.read(size)
+            else:
+                blob = store.read_uri(puffin)[off : off + size]
+            fp = _norm_path_py(ref)
+            pairs.extend((fp, int(p)) for p in decode_iceberg_dv_blob(blob))
+        dv_df = spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField("__cdl_fp", T.StringType(), False),
+                    T.StructField("__cdl_pos", T.LongType(), False),
+                ]
+            ),
+        )
+        if broadcast_deletes:
+            dv_df = F.broadcast(dv_df)
+        df = df.join(dv_df, ["__cdl_fp", "__cdl_pos"], "left_anti")
     if fs.eq_deletes:
         df = _apply_equality_deletes(
             spark, store, df, fs, schema_dict, schema, meta,

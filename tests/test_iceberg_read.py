@@ -262,7 +262,8 @@ def _gated_table(tmp_path, mutate, name="tbl"):
 
 
 def test_format_version_gate(spark, tmp_path):
-    root = _gated_table(tmp_path, lambda r, m: m.update({"format-version": 3}))
+    # v3 reads are supported since the puffin-DV work; v4+ still gates
+    root = _gated_table(tmp_path, lambda r, m: m.update({"format-version": 4}))
     with pytest.raises(IcebergProtocolError):
         read_iceberg(spark, root)
 
@@ -1353,3 +1354,54 @@ def test_drop_readd_same_name_reads_null(spark, tmp_path):
     got = read_iceberg(spark, root)
     rows = {(r.id, r.v) for r in got.collect()}
     assert rows == {(1, None), (2, None)}  # NULL, never 1.5/2.5
+
+
+# ---------------------------------------------------------------------------
+# format-version 3: puffin deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_v3_puffin_dv_read_end_to_end(spark, sf_dir):
+    """The v3 fixture (real Puffin file, manifest fields 143-145) reads
+    with its deletion vector applied; time travel to the pre-DV
+    snapshot is refused only by what the fixture lacks, not the
+    format version."""
+    from connected_data_lake_spark.plans.lakeops import _iceberg_v3_dv_orders
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+    from connected_data_lake_spark.sources.tables import load_table
+
+    path = _iceberg_v3_dv_orders(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    got = read_iceberg(spark, path)
+    assert got.count() == o.filter("o_orderkey % 10 <> 4").count()
+    assert got.filter("o_orderkey % 10 = 4").count() == 0
+
+
+def test_v4_still_gates_and_v3_defaults_gate(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from connected_data_lake_spark.plans.lakeops import _iceberg_v3_dv_orders
+    from connected_data_lake_spark.sources.iceberg import (
+        IcebergProtocolError,
+        read_iceberg,
+    )
+
+    src = _iceberg_v3_dv_orders(spark, "/root/testdata/sf0.001")
+    import shutil
+
+    tbl = str(tmp_path / "t")
+    shutil.copytree(src, tbl)
+    mpath = os.path.join(tbl, "metadata", "v1.metadata.json")
+    meta = json.load(open(mpath))
+    meta["format-version"] = 4
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(IcebergProtocolError, match="format-version 4"):
+        read_iceberg(spark, tbl)
+    meta["format-version"] = 3
+    meta["schemas"][0]["fields"][2]["initial-default"] = 0.0
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(IcebergProtocolError, match="default values"):
+        read_iceberg(spark, tbl)

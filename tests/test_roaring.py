@@ -100,3 +100,44 @@ def test_encode_deduplicates():
     """Duplicate inputs collapse: the serialized cardinality is the
     distinct count, so the decoder never over-reads."""
     assert decode_rbm_array(encode_rbm_array([5, 5, 9, 9, 9])) == [5, 9]
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 `deletion-vector-v1` Puffin blob codec
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_dv_blob_roundtrip_sparse_highs():
+    from connected_data_lake_spark.sources.roaring import (
+        decode_iceberg_dv_blob,
+        encode_iceberg_dv_blob,
+    )
+
+    # sparse high words (keys are EXPLICIT, unlike Delta's dense array)
+    vals = [5, 70000, (7 << 32) | 3, (7 << 32) | 99999, (1 << 40) + 12]
+    assert decode_iceberg_dv_blob(encode_iceberg_dv_blob(vals)) == sorted(vals)
+
+
+def test_iceberg_dv_blob_bitmap_container_and_crc():
+    import struct
+
+    import pytest
+
+    from connected_data_lake_spark.sources.roaring import (
+        RoaringFormatError,
+        decode_iceberg_dv_blob,
+        encode_iceberg_dv_blob,
+    )
+
+    vals = list(range(10_000))  # >4096 in one 2^16 block: bitmap container
+    blob = encode_iceberg_dv_blob(vals)
+    assert decode_iceberg_dv_blob(blob) == vals
+    # flip one payload bit: the CRC frame must catch it
+    corrupted = bytearray(blob)
+    corrupted[20] ^= 0x01
+    with pytest.raises(RoaringFormatError, match="CRC"):
+        decode_iceberg_dv_blob(bytes(corrupted))
+    # truncated length field must refuse, not overread
+    bad_len = struct.pack(">i", len(blob) * 2) + blob[4:]
+    with pytest.raises(RoaringFormatError, match="length"):
+        decode_iceberg_dv_blob(bad_len)
