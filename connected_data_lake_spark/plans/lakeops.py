@@ -3789,3 +3789,103 @@ def iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: session-scoped handle to the build-once archived-timeline Hudi fixture
+_HUDI_ARCHIVED_CACHE: dict[str, str] = {}
+
+
+def _hudi_archived_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Hudi COW table whose EARLY history lives in the
+    ARCHIVED timeline: t1 inserts the even orders, t2 the odd orders,
+    t3 upserts %10=0 with negated prices — then t1+t2 are moved into a
+    ``.hoodie/archived/`` HoodieLogFormat archive
+    (``sources/hudi.py::archive_hudi_instants``, the layout Hudi's
+    archival service writes). Time travel to t2 must replay the
+    archive; the latest snapshot must merge archived and active
+    instants."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import (
+        archive_hudi_instants,
+        write_hudi,
+    )
+
+    key = f"{sf_dir}"
+    if key in _HUDI_ARCHIVED_CACHE:
+        return _HUDI_ARCHIVED_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_hudiarch_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, ".hoodie", "archived")
+    if not os.path.isdir(done):
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        t1 = write_hudi(o.filter("o_orderkey % 2 = 0"), path, record_key="o_orderkey")
+        t2 = write_hudi(
+            o.filter("o_orderkey % 2 = 1"), path,
+            record_key="o_orderkey", mode="insert",
+        )
+        write_hudi(
+            o.filter("o_orderkey % 10 = 0").withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+            path,
+            record_key="o_orderkey",
+            mode="upsert",
+        )
+        if archive_hudi_instants(path, t2) != 2:
+            raise RuntimeError("fixture archival did not move t1+t2")
+    _HUDI_ARCHIVED_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_archived_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(SUM(CASE WHEN o_orderkey % 10 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price_latest
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "archived", "time-travel"),
+)
+def hudi_archived_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel ACROSS the archival boundary: t1+t2 were moved to
+    the archived timeline, so reading as-of t2 (original prices, all
+    rows) only works if the HoodieLogFormat archive replays into the
+    slice resolution; the same scan's latest snapshot (third/fourth
+    columns) must still see t3's active upsert — one row set proving
+    both timelines merge. A reader that silently ignored the archive
+    would raise (as-of precedes the active timeline) or lose t1/t2's
+    file groups."""
+    from connected_data_lake_spark.sources.hudi import (
+        _completed_instants,
+        _local,
+        read_hudi,
+    )
+
+    path = _hudi_archived_orders(spark, sf_dir)
+    # earliest ACTIVE instant is t3; as-of just below it lands on t2
+    t3 = _completed_instants(_local(path))[0][0]
+    asof = str(int(t3) - 1)
+    old = read_hudi(spark, path, as_of_instant=asof).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    new = read_hudi(spark, path).groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price_latest"),
+    )
+    return old.join(new, "o_orderstatus").select(
+        "o_orderstatus", "n_orders", "sum_price", "sum_price_latest"
+    ).orderBy("o_orderstatus")

@@ -42,11 +42,11 @@ Scale notes (100 TB):
 
 - The timeline is the same driver-side planning plane as the Delta log
   and Iceberg metadata: one directory listing plus one small JSON per
-  commit — data bytes never flow through Python. Archived timeline
-  (``.hoodie/archived/``) is not replayed: active-timeline instants are
-  sufficient for snapshot + recent time travel, exactly like Delta
-  checkpoint-era reads; requesting an instant older than the active
-  timeline gates loudly rather than resolving wrong.
+  commit — data bytes never flow through Python. The ARCHIVED timeline
+  (``.hoodie/archived/`` HoodieLogFormat archives, what a long-lived
+  production table's time travel actually hits) replays through
+  :func:`_archived_instants` into the same (instant, action, metadata)
+  stream; non-log archive layouts (1.x LSM history) gate loudly.
 - The resolved file list goes to ONE ``spark.read.parquet(*paths)``
   relation — predicate pushdown, column pruning, and partition-sized
   task split all intact; ``_hoodie_*`` meta columns are dropped by a
@@ -138,6 +138,58 @@ def _completed_instants(
     return out
 
 
+def _archived_instants(root: str) -> list[tuple[str, str, dict]]:
+    """Replay the ARCHIVED timeline (``.hoodie/archived/`` — instants
+    Hudi's archival service moved out of the active timeline): the
+    archives are HoodieLogFormat files whose Avro data blocks carry
+    ``HoodieArchivedMetaEntry`` records (commitTime, actionType,
+    actionState, nested commit metadata). Returns ascending
+    ``(instant, action, commit-metadata dict)`` for COMPLETED archived
+    instants that carry replayable metadata — clean/rollback entries
+    contribute no file slices and are skipped. Decoding uses each
+    block's own embedded writer schema, so the relevant subset
+    (``partitionToWriteStats`` → fileId/path,
+    ``partitionToReplaceFileIds``) resolves across Hudi versions; a
+    JSON-string metadata variant is parsed too."""
+    arch = os.path.join(root, ".hoodie", "archived")
+    if not os.path.isdir(arch):
+        return []
+    out: dict[tuple[str, str], dict] = {}
+    for name in sorted(os.listdir(arch)):
+        p = os.path.join(arch, name)
+        if not os.path.isfile(p):
+            continue
+        with open(p, "rb") as fh:
+            data = fh.read()
+        if not data[: len(_LOG_MAGIC)] == _LOG_MAGIC:
+            raise HudiProtocolError(
+                f"archived timeline file {name!r} is not HoodieLogFormat — "
+                "cannot replay this archive layout (LSM history replay is "
+                "not implemented)"
+            )
+        for b in read_log_blocks(data):
+            if b["type"] != _BLK_AVRO:
+                continue
+            for rec in _decode_avro_block(b):
+                state = rec.get("actionState")
+                if state not in (None, "COMPLETED"):
+                    continue
+                instant, action = rec.get("commitTime"), rec.get("actionType")
+                if not instant or not action:
+                    continue
+                meta = (
+                    rec.get("hoodieCommitMetadata")
+                    or rec.get("hoodieReplaceCommitMetadata")
+                    or rec.get("hoodieCompactionMetadata")
+                )
+                if meta is None:
+                    continue  # clean/rollback: no file slices to replay
+                if isinstance(meta, str):
+                    meta = json.loads(meta)
+                out[(str(instant), str(action))] = meta
+    return sorted((i, a, m) for (i, a), m in out.items())
+
+
 def _live_slices(
     root: str, as_of_instant: str | None
 ) -> list[tuple[str, str, str]]:
@@ -145,20 +197,18 @@ def _live_slices(
 
     Returns [(partition path, fileId, table-relative file path)] — for
     each file group the NEWEST completed slice <= as_of, minus groups a
-    replacecommit <= as_of replaced."""
+    replacecommit <= as_of replaced. Instants the archival service
+    moved out of the active timeline replay from ``.hoodie/archived/``
+    (:func:`_archived_instants`), so time travel works on aged tables
+    as long as the data files themselves survive cleaning."""
     instants = _completed_instants(root)
-    if as_of_instant is not None:
-        admitted = [t for t in instants if t[0] <= str(as_of_instant)]
-        if not admitted and instants:
-            raise ValueError(
-                f"as_of_instant {as_of_instant!r} precedes the active "
-                f"timeline (earliest completed instant {instants[0][0]!r} — "
-                "older history lives in the archived timeline, which this "
-                "reader does not replay)"
-            )
-        instants = admitted
-    slices: dict[tuple[str, str], tuple[str, str]] = {}
-    replaced: set[tuple[str, str]] = set()
+    # (instant, action, metadata dict) — archived first, active wins on
+    # an instant both carry (the active JSON is the fresher source)
+    timeline: list[tuple[str, str, dict]] = []
+    active_set = {t[0] for t in instants}
+    for instant, action, meta in _archived_instants(root):
+        if instant not in active_set:
+            timeline.append((instant, action, meta))
     for instant, action, meta_path in instants:
         with open(meta_path, "rb") as fh:
             raw = fh.read()
@@ -173,17 +223,32 @@ def _live_slices(
                 f"commit metadata {meta_path!r} is not JSON — this reader "
                 "replays the JSON timeline format only"
             ) from exc
+        timeline.append((instant, action, meta))
+    timeline.sort(key=lambda t: t[0])
+    if as_of_instant is not None:
+        admitted = [t for t in timeline if t[0] <= str(as_of_instant)]
+        if not admitted and timeline:
+            raise ValueError(
+                f"as_of_instant {as_of_instant!r} precedes the whole "
+                f"timeline (earliest replayable instant "
+                f"{timeline[0][0]!r}, archived included)"
+            )
+        timeline = admitted
+    slices: dict[tuple[str, str], tuple[str, str]] = {}
+    replaced: set[tuple[str, str]] = set()
+    for instant, action, meta in timeline:
         stats = meta.get("partitionToWriteStats")
         if stats is None:
             raise HudiProtocolError(
-                f"commit metadata {meta_path!r} has no partitionToWriteStats"
+                f"commit metadata of instant {instant!r} has no "
+                "partitionToWriteStats"
             )
         for part, sts in (stats or {}).items():
             for st in sts or []:
                 fid, rel = st.get("fileId"), st.get("path")
                 if not fid or not rel:
                     raise HudiProtocolError(
-                        f"write stat without fileId/path in {meta_path!r}"
+                        f"write stat without fileId/path at instant {instant!r}"
                     )
                 key = (part, fid)
                 prev = slices.get(key)
@@ -1502,3 +1567,109 @@ def read_hudi_incremental(
     return latest.filter(
         ~F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
     ).select(*data_cols, "_hoodie_commit_time")
+
+
+# ---------------------------------------------------------------------------
+# archived-timeline egress (what Hudi's archival service does)
+# ---------------------------------------------------------------------------
+
+_ARCHIVED_WRITE_STAT_SCHEMA = {
+    "type": "record",
+    "name": "HoodieWriteStat",
+    "fields": [
+        {"name": "fileId", "type": ["null", "string"], "default": None},
+        {"name": "path", "type": ["null", "string"], "default": None},
+    ],
+}
+
+_ARCHIVED_META_SCHEMA = {
+    "type": "record",
+    "name": "HoodieCommitMetadata",
+    "fields": [
+        {
+            "name": "partitionToWriteStats",
+            "type": [
+                "null",
+                {
+                    "type": "map",
+                    "values": {"type": "array", "items": _ARCHIVED_WRITE_STAT_SCHEMA},
+                },
+            ],
+            "default": None,
+        },
+        {
+            "name": "partitionToReplaceFileIds",
+            "type": [
+                "null",
+                {"type": "map", "values": {"type": "array", "items": "string"}},
+            ],
+            "default": None,
+        },
+        {"name": "operationType", "type": ["null", "string"], "default": None},
+    ],
+}
+
+_ARCHIVED_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "HoodieArchivedMetaEntry",
+    "fields": [
+        {"name": "commitTime", "type": ["null", "string"], "default": None},
+        {"name": "actionType", "type": ["null", "string"], "default": None},
+        {"name": "actionState", "type": ["null", "string"], "default": None},
+        {
+            "name": "hoodieCommitMetadata",
+            "type": ["null", _ARCHIVED_META_SCHEMA],
+            "default": None,
+        },
+    ],
+}
+
+
+def archive_hudi_instants(path: str, up_to_instant: str) -> int:
+    """Move completed COW instants ``<= up_to_instant`` from the active
+    timeline into a ``.hoodie/archived/`` HoodieLogFormat archive — the
+    layout Hudi's own archival service produces (AVRO data block of
+    ``HoodieArchivedMetaEntry`` records), which
+    :func:`_archived_instants` replays for time travel. Fixture/egress
+    helper; data files are untouched (archival never cleans). Returns
+    the number of instants archived."""
+    root = _local(path)
+    instants = _completed_instants(root)
+    to_arch = [t for t in instants if t[0] <= str(up_to_instant)]
+    if not to_arch:
+        return 0
+    if len(to_arch) == len(instants):
+        raise ValueError(
+            "refusing to archive the ENTIRE active timeline — Hudi always "
+            "retains the newest commits active"
+        )
+    recs = []
+    for instant, action, meta_path in to_arch:
+        with open(meta_path, "rb") as fh:
+            meta = json.loads(fh.read())
+        recs.append(
+            {
+                "commitTime": instant,
+                "actionType": action,
+                "actionState": "COMPLETED",
+                "hoodieCommitMetadata": {
+                    "partitionToWriteStats": meta.get("partitionToWriteStats")
+                    or {},
+                    "partitionToReplaceFileIds": meta.get(
+                        "partitionToReplaceFileIds"
+                    ),
+                    "operationType": meta.get("operationType"),
+                },
+            }
+        )
+    arch_dir = os.path.join(root, ".hoodie", "archived")
+    os.makedirs(arch_dir, exist_ok=True)
+    n = sum(1 for _x in os.listdir(arch_dir)) + 1
+    block = encode_avro_data_block(recs, _ARCHIVED_ENTRY_SCHEMA, to_arch[-1][0])
+    tmp = os.path.join(arch_dir, f".tmp-{to_arch[-1][0]}")
+    with open(tmp, "wb") as fh:
+        fh.write(write_log_blocks([block]))
+    os.replace(tmp, os.path.join(arch_dir, f".commits_.archive.{n}_1-0-1"))
+    for _instant, _action, meta_path in to_arch:
+        os.unlink(meta_path)
+    return len(to_arch)

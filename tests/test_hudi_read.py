@@ -267,3 +267,72 @@ def test_incremental_covers_mor_deltacommits(spark, tmp_path):
     assert [(r["k"], r["_hoodie_commit_time"]) for r in dels] == [(10, i4)]
     # sub-range excludes earlier deltacommits
     assert read_hudi_incremental(spark, p, i3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# archived timeline replay
+# ---------------------------------------------------------------------------
+
+
+def test_archived_timeline_time_travel(spark, tmp_path):
+    """After archival moves early instants out of the active timeline,
+    time travel to them must replay .hoodie/archived/ (HoodieLogFormat
+    HoodieArchivedMetaEntry records) instead of raising."""
+    import pytest
+
+    from connected_data_lake_spark.sources.hudi import (
+        archive_hudi_instants,
+        read_hudi,
+        write_hudi,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 60).selectExpr("id AS k", "id * 1.5 AS v")
+    t1 = write_hudi(df.filter("k < 30"), tbl, record_key="k")
+    t2 = write_hudi(df.filter("k >= 30"), tbl, record_key="k", mode="insert")
+    t3 = write_hudi(
+        spark.range(1, 6).selectExpr("id AS k", "id * -9.0 AS v"),
+        tbl, record_key="k", mode="upsert",
+    )
+    assert archive_hudi_instants(tbl, t2) == 2
+    # active timeline holds only t3 now; archived replay covers t1/t2
+    assert read_hudi(spark, tbl, as_of_instant=t1).count() == 30
+    old = read_hudi(spark, tbl, as_of_instant=t2)
+    assert old.count() == 60
+    assert old.filter("v < 0").count() == 0  # pre-upsert values
+    # the latest snapshot merges BOTH timelines: t3's upsert applies to
+    # a file group whose prior slice is archived
+    latest = read_hudi(spark, tbl)
+    assert latest.count() == 60
+    assert latest.filter("v < 0").count() == 5
+    # below the whole (archived-inclusive) timeline still gates
+    with pytest.raises(ValueError, match="precedes the whole"):
+        read_hudi(spark, tbl, as_of_instant=str(int(t1) - 1))
+
+
+def test_archive_refuses_whole_timeline_and_non_log_layout(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from connected_data_lake_spark.sources.hudi import (
+        HudiProtocolError,
+        archive_hudi_instants,
+        read_hudi,
+        write_hudi,
+    )
+
+    tbl = str(tmp_path / "t")
+    t1 = write_hudi(
+        spark.range(0, 10).selectExpr("id AS k", "id * 1.0 AS v"),
+        tbl, record_key="k",
+    )
+    with pytest.raises(ValueError, match="ENTIRE active timeline"):
+        archive_hudi_instants(tbl, t1)
+    # a non-HoodieLogFormat archive file (1.x LSM history) gates loudly
+    arch = os.path.join(tbl, ".hoodie", "archived")
+    os.makedirs(arch)
+    with open(os.path.join(arch, "history.parquet"), "wb") as fh:
+        fh.write(b"PAR1 not a log file")
+    with pytest.raises(HudiProtocolError, match="not HoodieLogFormat"):
+        read_hudi(spark, tbl, as_of_instant=t1)
