@@ -3889,3 +3889,172 @@ def hudi_archived_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.join(new, "o_orderstatus").select(
         "o_orderstatus", "n_orders", "sum_price", "sum_price_latest"
     ).orderBy("o_orderstatus")
+
+
+#: session-scoped handles to the iceberg/hudi lake-sync fixtures
+_LAKESYNC_ICE_CACHE: dict[str, str] = {}
+_LAKESYNC_HUDI_CACHE: dict[str, str] = {}
+
+
+def _lakesync_iceberg_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once NATIVE table filled by ``sync_from_iceberg`` ticks:
+    initial load of the %2=0 snapshot, a compaction (replace snapshot —
+    must be INVISIBLE to the sync), an append of the %2=1 slice, one
+    incremental tick, one idle tick (sequence-number ledger replay
+    skip). Equals orders only if the append-scan/compaction-skip/
+    ledger composition is exactly-once."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.iceberg_write import (
+        compact_iceberg,
+        write_iceberg,
+    )
+    from connected_data_lake_spark.streaming.lakesync import sync_from_iceberg
+
+    key = f"{sf_dir}"
+    if key in _LAKESYNC_ICE_CACHE:
+        return _LAKESYNC_ICE_CACHE[key]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_lakesync_ice_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    src = os.path.join(base, "iceberg_src")
+    dst = os.path.join(base, "native")
+    done = os.path.join(base, "_done")
+    if not os.path.isfile(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_iceberg(o.filter("o_orderkey % 2 = 0"), src, mode="error")
+        v1, _ = sync_from_iceberg(spark, src, dst)
+        compact_iceberg(spark, src)  # replace snapshot: no rows re-emitted
+        write_iceberg(o.filter("o_orderkey % 2 = 1"), src, mode="append")
+        v2, _ = sync_from_iceberg(spark, src, dst)
+        v3, _ = sync_from_iceberg(spark, src, dst)  # idle: must no-op
+        if v1 is None or v2 is None or v3 is not None:
+            raise RuntimeError(
+                f"iceberg lake-sync fixture broke exactly-once: {v1} {v2} {v3}"
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    _LAKESYNC_ICE_CACHE[key] = dst
+    return dst
+
+
+@query(
+    "lakesync_iceberg_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "streaming", "sync", "iceberg"),
+)
+def lakesync_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE Iceberg → native sync: two ticks (initial +
+    incremental across an intervening COMPACTION that must re-emit
+    nothing) plus an idle tick no-opped by the ledger — which
+    checkpoints the spec's monotone SEQUENCE NUMBER, never the random
+    64-bit snapshot id (the r13 stall hazard). Duplicated, dropped, or
+    compaction-re-emitted rows all break the oracle match."""
+    from connected_data_lake_spark.sources.rootfs import read_table
+
+    path = _lakesync_iceberg_orders(spark, sf_dir)
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _lakesync_hudi_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once NATIVE table filled by ``sync_from_hudi`` ticks under
+    the default ``on_change='error'`` safety mode: initial load of the
+    %2=0 insert, an incremental tick over a pure-insert commit (%2=1 —
+    the operationType fast path proves it append-only without touching
+    the sink), and an idle tick (instant-ledger replay skip)."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import write_hudi
+    from connected_data_lake_spark.streaming.lakesync import sync_from_hudi
+
+    key = f"{sf_dir}"
+    if key in _LAKESYNC_HUDI_CACHE:
+        return _LAKESYNC_HUDI_CACHE[key]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_lakesync_hudi_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    src = os.path.join(base, "hudi_src")
+    dst = os.path.join(base, "native")
+    done = os.path.join(base, "_done")
+    if not os.path.isfile(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_hudi(o.filter("o_orderkey % 2 = 0"), src, record_key="o_orderkey")
+        v1, _ = sync_from_hudi(spark, src, dst)
+        write_hudi(
+            o.filter("o_orderkey % 2 = 1"), src,
+            record_key="o_orderkey", mode="insert",
+        )
+        v2, _ = sync_from_hudi(spark, src, dst)
+        v3, _ = sync_from_hudi(spark, src, dst)  # idle: must no-op
+        if v1 is None or v2 is None or v3 is not None:
+            raise RuntimeError(
+                f"hudi lake-sync fixture broke exactly-once: {v1} {v2} {v3}"
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    _LAKESYNC_HUDI_CACHE[key] = dst
+    return dst
+
+
+@query(
+    "lakesync_hudi_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "streaming", "sync", "hudi"),
+)
+def lakesync_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE Hudi → native sync under the default error-mode
+    safety contract: the incremental tick consumes exactly the new
+    instant's rows (newest in-range state per key), the append-only
+    check passes on the pure-insert history via commit-metadata
+    operationType, and the idle tick no-ops through the transactional
+    ledger. Completes the sync triad with the Delta and Iceberg rows."""
+    from connected_data_lake_spark.sources.rootfs import read_table
+
+    path = _lakesync_hudi_orders(spark, sf_dir)
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
