@@ -721,8 +721,10 @@ ROTATED_GREEN_R12 = frozenset(
     }
 )
 
-#: Names whose DRIVER-OBSERVABLE behavior changes in round 13 after an
-#: earlier green row (same extended scope as REVERIFY_R11/R12). Round 13
+#: HISTORICAL (round 13): names whose driver-observable behavior changed
+#: in round 13 after an earlier green row. All nine re-passed in
+#: CORRECTNESS_r13 and now sit in ROTATED_GREEN_R13 — this set no longer
+#: participates in the rotation check. Round 13
 #: touches both external readers again — Delta gains within-version
 #: remove-before-add action reconciliation keyed by (path, dv uniqueId)
 #: (ADVICE r12 #1), a null-safe DV offset parse (ADVICE r12 #4), and a
@@ -742,6 +744,111 @@ REVERIFY_R13 = frozenset(
         "iceberg_mor_read",
         "iceberg_pruned_read",
         "iceberg_time_travel",
+    }
+)
+
+
+#: Driver-green rows from CORRECTNESS_r13 (50/50 in-window pass,
+#: ``tools/rotate_window.py CORRECTNESS_r13.json``) under their stable
+#: names: the 30 lake-format rows (all of delta/iceberg/hudi read+write+
+#: DML+incremental plus lakesync_delta_roundtrip — 20 of them first-time
+#: greens) and the agg/cluster tail the window re-verified.
+ROTATED_GREEN_R13 = frozenset(
+    {
+        "delta_cdf_read",
+        "delta_column_mapping_read",
+        "delta_dml_roundtrip",
+        "delta_dv_dml_roundtrip",
+        "delta_dv_read",
+        "delta_external_read",
+        "delta_merge_roundtrip",
+        "delta_time_travel",
+        "delta_write_roundtrip",
+        "delta_write_time_travel",
+        "delta_zorder_pruned_read",
+        "hudi_external_read",
+        "hudi_incremental_read",
+        "hudi_mor_dml_roundtrip",
+        "hudi_mor_read",
+        "hudi_mor_time_travel",
+        "hudi_time_travel",
+        "hudi_write_roundtrip",
+        "iceberg_dml_roundtrip",
+        "iceberg_eq_delete_read",
+        "iceberg_eq_dml_roundtrip",
+        "iceberg_external_read",
+        "iceberg_incremental_read",
+        "iceberg_mor_dml_roundtrip",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
+        "iceberg_time_travel",
+        "iceberg_write_roundtrip",
+        "iceberg_write_time_travel",
+        "lakesync_delta_roundtrip",
+        "agg_approx_distinct",
+        "agg_array_sorted",
+        "agg_bitwise_bool",
+        "agg_corr_covar",
+        "agg_cube",
+        "agg_filter_having",
+        "agg_global_stats",
+        "agg_group_distinct",
+        "agg_grouping_sets",
+        "agg_histogram_buckets",
+        "agg_hll_partial_merge",
+        "agg_median_percentile",
+        "agg_mode_pergroup",
+        "agg_percentile_approx",
+        "agg_rollup",
+        "agg_skew_kurtosis",
+        "agg_stddev_var",
+        "agg_string_concat",
+        "agg_sum_revenue",
+        "cluster_kmeans_embeddings",
+    }
+)
+
+#: Names whose DRIVER-OBSERVABLE behavior changes in round 14 after an
+#: earlier green row (same extended scope as REVERIFY_R11-R13:
+#: body/oracle, SQL-rewriting library, or executed-plan-shape change).
+#: Round 14 touches all three lake stacks:
+#: - Delta: read_delta_changes gains the cdc-file branch + the
+#:   mixed-commit derivation gate (delta_cdf_read, and
+#:   lakesync_delta_roundtrip consumes it inside sync_from_delta); the
+#:   DML engines gain CDF staging hooks and table-type casts on their
+#:   outputs (delta_dml/dv_dml/merge roundtrips).
+#: - Iceberg: read_iceberg admits format-version 3 and _live_files
+#:   collects puffin deletion vectors (every reader), and the delete
+#:   writers commit under an unpartitioned spec (every DML roundtrip);
+#:   the write roundtrips read back through the changed reader.
+#: - Hudi: _live_slices now merges the archived timeline (every COW
+#:   read and, via write_hudi's hit-group discovery, every fixture
+#:   build); MoR rows re-present alongside out of caution since their
+#:   fixtures build through the same writer.
+REVERIFY_R14 = frozenset(
+    {
+        "delta_cdf_read",
+        "delta_dml_roundtrip",
+        "delta_dv_dml_roundtrip",
+        "delta_merge_roundtrip",
+        "lakesync_delta_roundtrip",
+        "iceberg_dml_roundtrip",
+        "iceberg_eq_delete_read",
+        "iceberg_eq_dml_roundtrip",
+        "iceberg_external_read",
+        "iceberg_mor_dml_roundtrip",
+        "iceberg_mor_read",
+        "iceberg_pruned_read",
+        "iceberg_time_travel",
+        "iceberg_write_roundtrip",
+        "iceberg_write_time_travel",
+        "hudi_external_read",
+        "hudi_incremental_read",
+        "hudi_mor_dml_roundtrip",
+        "hudi_mor_read",
+        "hudi_mor_time_travel",
+        "hudi_time_travel",
+        "hudi_write_roundtrip",
     }
 )
 
@@ -778,7 +885,7 @@ def all_specs() -> dict[str, QuerySpec]:
     for name, spec in _REGISTRY.items():
         final = PROMOTED_R05.get(name, name)
         final = PROMOTED_R06.get(final, final)
-        if final not in REVERIFY_R13 and (
+        if final not in REVERIFY_R14 and (
             final in ROTATED_GREEN_R01
             or final in ROTATED_GREEN_R04
             or final in ROTATED_GREEN_R05
@@ -789,6 +896,7 @@ def all_specs() -> dict[str, QuerySpec]:
             or final in ROTATED_GREEN_R10
             or final in ROTATED_GREEN_R11
             or final in ROTATED_GREEN_R12
+            or final in ROTATED_GREEN_R13
         ):
             final = f"z_{final}"
         out[final] = spec if final == name else _renamed(spec, final)
