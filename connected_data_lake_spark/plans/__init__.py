@@ -825,8 +825,14 @@ ROTATED_GREEN_R13 = frozenset(
 #:   read and, via write_hudi's hit-group discovery, every fixture
 #:   build); MoR rows re-present alongside out of caution since their
 #:   fixtures build through the same writer.
+#: - knn: the pq/sketch CONTRACT queries now probe the same offline
+#:   index artifacts as their probe twins (bit-equal results, plan
+#:   shape changed) — both re-present.
 REVERIFY_R14 = frozenset(
     {
+        "knn_pq_topk",
+        "knn_sketch_topk",
+        "delta_dv_read",  # apply_dvs builds its pairs via fp_pos_df now
         "delta_cdf_read",
         "delta_dml_roundtrip",
         "delta_dv_dml_roundtrip",

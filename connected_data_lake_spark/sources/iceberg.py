@@ -1266,6 +1266,8 @@ def read_iceberg(
             decode_iceberg_dv_blob,
         )
 
+        from connected_data_lake_spark.sources.delta import fp_pos_df
+
         pairs: list[tuple[str, int]] = []
         for puffin, ref, off, size, _card in fs.dv_deletes:
             lp = store.local_data_path(puffin)
@@ -1277,15 +1279,7 @@ def read_iceberg(
                 blob = store.read_uri(puffin)[off : off + size]
             fp = _norm_path_py(ref)
             pairs.extend((fp, int(p)) for p in decode_iceberg_dv_blob(blob))
-        dv_df = spark.createDataFrame(
-            pairs,
-            T.StructType(
-                [
-                    T.StructField("__cdl_fp", T.StringType(), False),
-                    T.StructField("__cdl_pos", T.LongType(), False),
-                ]
-            ),
-        )
+        dv_df = fp_pos_df(spark, pairs)
         if broadcast_deletes:
             dv_df = F.broadcast(dv_df)
         df = df.join(dv_df, ["__cdl_fp", "__cdl_pos"], "left_anti")
