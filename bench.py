@@ -118,6 +118,22 @@ def main() -> None:
     registry_ids = persist_tables(spark, sf_dir)
     cache_leaks: set[str] = set()
 
+    # paired DuckDB control, INTERLEAVED per query (round 14): the
+    # control used to run as one separate pass after every Spark query —
+    # a multi-minute gap on a shared host, so an ambient contention
+    # burst could hit one side only and swing the DRAW ratio ±0.5 on
+    # identical code (r14 observed 1.55-2.58 across five draws of one
+    # tree). Timing each query's control immediately after its Spark
+    # runs makes every per-query ratio contemporaneous; the draw ratio
+    # then reflects engine work, not which side the burst landed on.
+    # Same work as before (one control execution per query), same knob.
+    duck_timings: dict[str, float] = {}
+    duck_con = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
+        from tools.oracle_check import duck_connection
+
+        duck_con = duck_connection(sf_dir)
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -166,24 +182,10 @@ def main() -> None:
             release_session_indexes()
             spark.catalog.clearCache()
             registry_ids = persist_tables(spark, sf_dir)
-
-    # paired DuckDB control, one pass per bench run (VERDICT r5 "What's
-    # wrong" #3): the same oracle SQL on the same host inside the same
-    # minutes, so a slow host draw shows up as a RATIO shift measurable
-    # per-run instead of a narrated noise envelope. Disable with
-    # SPARK_GRAFT_BENCH_DUCK=0 for quick iteration.
-    duck_timings: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
-        from tools.oracle_check import duck_connection
-
-        con = duck_connection(sf_dir)
-        for name in sorted(specs):
-            spec = specs[name]
-            if not spec.oracle:
-                continue
+        if duck_con is not None and spec.oracle:
             try:
                 start = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                duck_con.execute(spec.oracle).fetchall()
                 duck_timings[name] = round(time.perf_counter() - start, 4)
             except Exception as exc:  # noqa: BLE001
                 duck_timings[name] = -1.0
