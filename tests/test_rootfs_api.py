@@ -7,6 +7,7 @@ import os
 import pathlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from connected_data_lake_spark import Cdl
 
@@ -260,3 +261,67 @@ def test_ordinal_index_invalidates_across_instances(spark, two_trees):
     # serve the deleted row
     names = {r["name"] for r in f1.take([0, 1], columns=("name",)).collect()}
     assert names == {"common.txt"}
+
+
+def test_property_every_surface_binds_per_instance(spark, tmp_path):
+    """Randomized interleaving sweep (VERDICT r13 #8): N datasets with
+    distinct contents, opened in one session; after EVERY registration
+    order and an interleaved reload, each read surface (table / sql /
+    read_dir_all / read_files / scan / take) answers from its OWN
+    dataset — the per-URI view registry must be immune to any sequence
+    of other instances taking the shared alias."""
+    import random
+
+    rng = random.Random(20260816)
+    n = 4
+    sizes = {}
+    handles = []
+    cdl = Cdl(spark=spark)
+    for i in range(n):
+        d = tmp_path / f"ds{i}"
+        d.mkdir()
+        size = 10 + 7 * i
+        pathlib.Path(d, "marker.txt").write_bytes(bytes([65 + i]) * size)
+        pathlib.Path(d, f"only_{i}.txt").write_bytes(b"x" * (i + 1))
+        sizes[i] = size
+        handles.append(cdl.open(f"local://{d}"))
+    order = list(range(n))
+    rng.shuffle(order)
+    for i in order:
+        handles[i].load()
+    for _round in range(3):
+        probe_order = list(range(n))
+        rng.shuffle(probe_order)
+        for i in probe_order:
+            fs = handles[i]
+            assert fs.sql(
+                "SELECT size FROM rootfs WHERE name = 'marker.txt'"
+            ).first()["size"] == sizes[i], f"sql bound wrong for ds{i}"
+            assert fs.table().filter(
+                F.col("name") == "marker.txt"
+            ).first()["size"] == sizes[i]
+            names = {r["name"] for r in fs.read_dir_all().collect()}
+            assert names == {"marker.txt", f"only_{i}.txt"}
+            assert fs.read_files(f"name = 'only_{i}.txt'").count() == 1
+            assert (
+                fs.scan(filters=[("name", "=", "marker.txt")]).first()["size"]
+                == sizes[i]
+            )
+            got = {r["name"] for r in fs.take([0, 1], columns=("name",)).collect()}
+            assert got == {"marker.txt", f"only_{i}.txt"}
+        # interleave a mutation on a random OTHER handle: deleting its
+        # unique file must not disturb anyone else's bindings
+        j = rng.choice(range(n))
+        victim = cdl.open(f"local://{tmp_path / f'ds{j}'}")
+        victim.delete(f"name = 'only_{j}.txt'")
+        assert handles[j].read_files("name LIKE 'only%'").count() == 0
+        # restore for the next round (upsert through the same handle)
+        restore = handles[j].table().filter(F.col("name") == "marker.txt").select(
+            F.lit(f"only_{j}.txt").alias("name"), "parent", "atime", "ctime",
+            "mtime", "mode",
+            F.lit(j + 1).cast("long").alias("size"),
+            F.col("chunk_id"), F.col("chunk_offset"),
+            F.lit(j + 1).cast("long").alias("chunk_size"),
+            F.lit(b"x" * (j + 1)).alias("data"),
+        )
+        handles[j].upsert(restore, ["name"])
