@@ -1432,14 +1432,25 @@ def read_hudi_incremental(
         raise ValueError(f"no completed instants under {path}")
     if to_instant is None:
         to_instant = instants[-1][0]
+    # merged (instant, action, metadata) timeline: archival must never
+    # make a range silently UNDER-report — instants the archival service
+    # moved to .hoodie/archived/ replay like active ones (their write
+    # stats still point at the surviving data files); active wins on an
+    # instant both carry
+    active_set = {t[0] for t in instants}
+    timeline: list[tuple[str, str, dict]] = [
+        t for t in _archived_instants(root) if t[0] not in active_set
+    ]
+    for instant, action, meta_path in instants:
+        with open(meta_path, "rb") as fh:
+            timeline.append((instant, action, json.loads(fh.read())))
+    timeline.sort(key=lambda t: t[0])
     window = [
-        t for t in instants if str(from_instant) < t[0] <= str(to_instant)
+        t for t in timeline if str(from_instant) < t[0] <= str(to_instant)
     ]
     rels: list[str] = []
     log_rels: list[str] = []
-    for instant, action, meta_path in window:
-        with open(meta_path, "rb") as fh:
-            meta = json.loads(fh.read())
+    for instant, action, meta in window:
         for _part, sts in (meta.get("partitionToWriteStats") or {}).items():
             for st in sts or []:
                 rel = st.get("path")

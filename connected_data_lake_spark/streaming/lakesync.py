@@ -315,6 +315,7 @@ def _check_hudi_append_only(
     import json as _json
 
     from connected_data_lake_spark.sources.hudi import (
+        _archived_instants,
         _completed_instants,
         _local,
         _read_properties,
@@ -322,20 +323,31 @@ def _check_hudi_append_only(
     from connected_data_lake_spark.sources.rootfs import read_table
 
     root = _local(hudi_path)
-    window = [
-        t
-        for t in _completed_instants(root, allow_delta=True)
-        if mark < int(t[0]) <= latest
+    active = _completed_instants(root, allow_delta=True)
+    active_set = {t[0] for t in active}
+    # (instant, operationType) over the MERGED timeline: an instant the
+    # archival service moved out of the active timeline must still be
+    # op-checked if it falls inside the sync range
+    ops: list[tuple[str, str]] = [
+        (i, (m.get("operationType") or "").upper())
+        for i, _a, m in _archived_instants(root)
+        if i not in active_set and mark < int(i) <= latest
     ]
-    needs_key_check = False
-    for instant, _action, meta_path in window:
+    for instant, _action, meta_path in active:
+        if not (mark < int(instant) <= latest):
+            continue
         with open(meta_path, "rb") as fh:
             raw = fh.read()
-        op = (
-            (_json.loads(raw).get("operationType") or "").upper()
-            if raw.strip()
-            else ""
+        ops.append(
+            (
+                instant,
+                (_json.loads(raw).get("operationType") or "").upper()
+                if raw.strip()
+                else "",
+            )
         )
+    needs_key_check = False
+    for instant, op in sorted(ops):
         if op in _HUDI_DESTRUCTIVE_OPS:
             raise ValueError(
                 f"Hudi instant {instant} is operationType={op} — its "

@@ -336,3 +336,27 @@ def test_archive_refuses_whole_timeline_and_non_log_layout(spark, tmp_path):
         fh.write(b"PAR1 not a log file")
     with pytest.raises(HudiProtocolError, match="not HoodieLogFormat"):
         read_hudi(spark, tbl, as_of_instant=t1)
+
+
+def test_incremental_read_covers_archived_instants(spark, tmp_path):
+    """Archival must never make an incremental range silently
+    under-report: instants moved to .hoodie/archived/ still contribute
+    their written rows to read_hudi_incremental."""
+    from connected_data_lake_spark.sources.hudi import (
+        archive_hudi_instants,
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.range(0, 90).selectExpr("id AS k", "id * 1.5 AS v")
+    t1 = write_hudi(df.filter("k < 30"), tbl, record_key="k")
+    t2 = write_hudi(df.filter("k >= 30 AND k < 60"), tbl, record_key="k",
+                    mode="insert")
+    write_hudi(df.filter("k >= 60"), tbl, record_key="k", mode="insert")
+    before = read_hudi_incremental(spark, tbl, from_instant=t1).count()
+    assert before == 60  # t2 + t3 rows
+    assert archive_hudi_instants(tbl, t2) == 2
+    after = read_hudi_incremental(spark, tbl, from_instant=t1)
+    assert after.count() == 60, "archived t2 rows must not vanish"
+    assert after.filter("k < 30").count() == 0  # t1 itself stays excluded
