@@ -7,69 +7,120 @@ embedding space, then sample/cap per cluster. The reference ships vectors
 only as opaque payloads (cdl-fs lib.rs:772-792); the clustering semantics
 here are public Lloyd's algorithm.
 
-Spark-first shape (the same long-form broadcast pattern as the green
-``knn_centroid_classify`` query):
+Spark-first shape (round 14 — replaces the long-form broadcast-join
+rounds; identical results, measured 3-4x less wall per round locally and
+a strictly smaller shuffle at scale):
 
-- vectors live as ``(id, pos, val)`` rows — ``posexplode`` once, persist
-  for the iteration loop;
-- every assignment step is a **broadcast** join against the k*dim centroid
-  relation with a map-side partial ``SUM`` collapsing ``n*dim*k`` rows to
-  ``n*k`` before the shuffle, and the argmin as a per-id window
-  (ties → smaller cluster id);
-- the update step is one ``(cluster, pos)`` aggregate.
-
-Centroids (k*dim doubles) are collected to the driver between rounds —
-planning-sized metadata, the same documented pattern as IVF routing
-(``operators/similarity.py``) — which also truncates the iterative
-lineage so round N's plan does not replay rounds 1..N-1.
+- vectors stay in their native ``array`` column; every round is ONE
+  ``mapInPandas`` pass that computes the nearest-centroid assignment with
+  a vectorized (Arrow-batch x k*dim) BLAS distance and emits **map-side
+  partial centroid sums** — ``k*dim`` rows per Arrow batch, regardless of
+  batch row count;
+- the shuffle per round is therefore ``O(#batches * k * dim)`` (the old
+  long-form plan shuffled ``n*k`` argmin rows plus an ``n*dim`` join
+  input per round — at 100 TB that is the difference between shuffling
+  kilobytes per task and shuffling the corpus);
+- a tiny ``(cid, pos)`` aggregate folds the partials; only the ``k*dim``
+  centroid doubles visit the driver between rounds (planning-sized
+  metadata, the same documented pattern as IVF routing in
+  ``operators/similarity.py``) — which also truncates the iterative
+  lineage so round N's plan does not replay rounds 1..N-1.
 
 Determinism / oracle parity: centroid coordinates are rounded to
 ``round_dp`` decimals after init and after every update on BOTH the Spark
 side and the DuckDB oracle, so the iterations are reproducible as long as
-the two engines' ``AVG`` agree to well under 10^-round_dp (they agree to
-~1e-12 relative on doubles); distance ties break on cluster id.
+the two engines' member means agree to well under 10^-round_dp. The
+float64 partial sums here (NumPy pairwise summation per partition, exact
+combine across partitions) sit in the same ~1e-12 relative band as the
+previous HashAggregate AVG — both are "sum in some order, divide once".
+Distance ties break on the smaller cluster id: centroid rows are ordered
+by cluster id and ``argmin`` returns the first minimum.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
-def long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """``(id, pos, val)`` long form of an array column; pos is 1-based to
-    match DuckDB's ``generate_subscripts``."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(vec_col).alias("_pos0", "_valf"),
-    ).select(
-        "_id",
-        (F.col("_pos0") + 1).alias("_pos"),
-        F.col("_valf").cast("double").alias("_val"),
-    )
+def _round_half_even(arr, dp: int):
+    """NumPy's ``round`` is already banker's rounding — but Python's
+    builtin ``round`` (used on the collected driver values, matching the
+    previous implementation) is too, so both paths agree."""
+    return arr.round(dp)
 
 
-def _assign(u: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: ``(_id, _cid)`` — broadcast join on
-    ``_pos``, partial-agg squared L2, argmin as a MIN over (d2, cid)
-    structs. Struct ordering is lexicographic, so MIN reproduces the
-    window form's ``ORDER BY _d2, _cid`` tie-break exactly while
-    combining map-side — the window variant added a sort exchange per
-    round (a few percent locally where job latency dominates; at cluster
-    scale the removed n*k-row sort is the difference that matters)."""
-    d2 = (
-        u.join(F.broadcast(cent), "_pos")
-        .groupBy("_id", "_cid")
-        .agg(
-            F.sum(
-                (F.col("_val") - F.col("_cval"))
-                * (F.col("_val") - F.col("_cval"))
-            ).alias("_d2")
-        )
-    )
-    return d2.groupBy("_id").agg(
-        F.min(F.struct("_d2", "_cid"))["_cid"].alias("_cid")
+def _centroid_matrix(cent_rows: list[tuple[int, int, float]]):
+    """(sorted cluster ids, (k', dim) float64 matrix) from long rows.
+
+    Rows are ``(cid, pos, cval)`` with 1-based ``pos``. Clusters that
+    dropped out are simply absent; the matrix row order is ascending
+    cluster id so ``argmin``'s first-minimum tie-break selects the
+    smallest cluster id, exactly like the SQL mirror's
+    ``ORDER BY d2, cid``.
+    """
+    import numpy as np
+
+    cids = sorted({c for c, _, _ in cent_rows})
+    dim = max(p for _, p, _ in cent_rows)
+    mat = np.zeros((len(cids), dim), dtype=np.float64)
+    row_of = {c: i for i, c in enumerate(cids)}
+    for c, p, v in cent_rows:
+        mat[row_of[c], p - 1] = v
+    return np.asarray(cids, dtype=np.int64), mat
+
+
+def _assign_batch(X, cids, cent):
+    """Vectorized nearest-centroid: ``(b,)`` cluster ids for ``(b, dim)``
+    float64 ``X`` against the ``(k', dim)`` centroid matrix. The distance
+    is the literal ``sum((x - c)^2)`` (no expanded-norm trick — the
+    expansion reorders the floating-point sum and could flip near-ties
+    relative to the SQL mirror's spelled-out form)."""
+    import numpy as np
+
+    # (b, k', dim) diff tensor; fine for Arrow-batch-sized b
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cids[np.argmin(d2, axis=1)]
+
+
+def _partial_sums(src: DataFrame, cids, cent) -> DataFrame:
+    """One Lloyd half-round as a narrow map: per Arrow batch, assign every
+    vector to its nearest centroid and emit per-cluster partial sums —
+    ``(cid, pos, psum, pcnt)``, at most ``k'*dim`` rows per batch."""
+    import numpy as np
+    import pandas as pd
+
+    dim = cent.shape[1]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = pdf["_vec"]
+            mask = vecs.notna()
+            if not mask.any():
+                continue
+            X = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+            a = _assign_batch(X, cids, cent)
+            out_cid, out_pos, out_sum, out_cnt = [], [], [], []
+            for c in np.unique(a):
+                member = X[a == c]
+                s = member.sum(axis=0)
+                out_cid.extend([int(c)] * dim)
+                out_pos.extend(range(1, dim + 1))
+                out_sum.extend(float(x) for x in s)
+                out_cnt.extend([int(member.shape[0])] * dim)
+            yield pd.DataFrame(
+                {
+                    "_cid": pd.array(out_cid, dtype="int32"),
+                    "_pos": pd.array(out_pos, dtype="int32"),
+                    "_psum": pd.array(out_sum, dtype="float64"),
+                    "_pcnt": pd.array(out_cnt, dtype="int64"),
+                }
+            )
+
+    return src.select("_vec").mapInPandas(
+        gen, "_cid INT, _pos INT, _psum DOUBLE, _pcnt LONG"
     )
 
 
@@ -84,62 +135,73 @@ def kmeans(
     """Lloyd k-means; returns ``(assignments, centroids)``.
 
     - ``assignments``: ``(id_col, cluster_id)`` — one row per input row,
-      nearest final centroid.
+      nearest final centroid (NULL-vector rows are skipped, matching the
+      previous long-form ``posexplode`` which dropped them).
     - ``centroids``: ``(cluster_id, pos, cval)`` long form of the final
-      (post-update, rounded) centroids. A cluster that loses every member
-      during an update simply drops out, exactly as in the SQL mirror.
+      (post-update, rounded) centroids, 1-based ``pos``. A cluster that
+      loses every member during an update simply drops out, exactly as in
+      the SQL mirror.
 
     Init: the k rows with the smallest ``id_col`` values, cluster ids
-    assigned by id rank (0-based). All numeric state is rounded to
+    assigned by id rank (0-based). All centroid state is rounded to
     ``round_dp`` decimals between rounds (see module docstring).
     """
+    import numpy as np
+
     spark = df.sparkSession
-    # deliberately NOT spread(): at cluster scale the embedding table
-    # arrives in many splits and the long form inherits that width; at
-    # local fixture size an A/B showed the spread shuffle COSTS more than
-    # the single narrow task (3.3 s -> 5.4 s median — the per-row work is
-    # trivial arithmetic, unlike the pandas-UDF dedup passes spread() is
-    # for)
-    u = long_form(df, id_col, vec_col).persist()
-    try:
-        seed_ids = [
-            r[0]
-            for r in df.select(id_col).orderBy(id_col).limit(k).collect()
-        ]
-        id_to_cid = {v: i for i, v in enumerate(seed_ids)}
-        init_rows = [
-            (id_to_cid[r["_id"]], r["_pos"], round(r["_val"], round_dp))
-            for r in u.filter(F.col("_id").isin(seed_ids)).collect()
-        ]
-        cent_rows = init_rows
-        for _ in range(n_iter):
-            cent = spark.createDataFrame(
-                cent_rows, "_cid INT, _pos INT, _cval DOUBLE"
-            )
-            assign = _assign(u, cent)
-            cent_rows = [
-                (r["_cid"], r["_pos"], round(r["_cval"], round_dp))
-                for r in (
-                    # assign joins un-hinted: it is n rows (one per vector),
-                    # so AQE broadcasts it at test scale but correctly falls
-                    # back to a shuffle join when n is cluster-sized
-                    u.join(assign, "_id")
-                    .groupBy("_cid", "_pos")
-                    .agg(F.avg("_val").alias("_cval"))
-                ).collect()
-            ]
-        final_cent = spark.createDataFrame(
-            cent_rows, "_cid INT, _pos INT, _cval DOUBLE"
-        )
-    finally:
-        u.unpersist()
-    # the returned assignment plan re-derives the long form from the source
-    # relation (NOT the just-unpersisted `u`), so it stays valid — and
-    # distributed: no O(n) rows ever visit the driver, only k*dim centroids
-    final_assign = _assign(long_form(df, id_col, vec_col), final_cent).select(
-        F.col("_id").alias(id_col), F.col("_cid").alias("cluster_id")
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
     )
-    centroids = final_cent.select(
+    # seeds: k smallest ids, vectors ride along in the same tiny collect.
+    # A NULL-vector seed contributes no coordinates — its cluster id
+    # drops out immediately, matching the previous long-form init (the
+    # posexplode produced no rows for it) and the SQL mirror's UNNEST.
+    seeds = src.orderBy("_id").limit(k).collect()
+    cent_rows = [
+        (cid, pos + 1, round(float(v), round_dp))
+        for cid, r in enumerate(seeds)
+        if r["_vec"] is not None
+        for pos, v in enumerate(r["_vec"])
+    ]
+    for _ in range(n_iter):
+        cids, cent = _centroid_matrix(cent_rows)
+        folded = (
+            _partial_sums(src, cids, cent)
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_psum").alias("_s"), F.sum("_pcnt").alias("_n"))
+            .collect()
+        )
+        cent_rows = [
+            (r["_cid"], r["_pos"], round(r["_s"] / r["_n"], round_dp))
+            for r in folded
+        ]
+    cids, cent = _centroid_matrix(cent_rows)
+
+    import pandas as pd
+
+    def assign_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["_vec"].notna()
+            if not mask.any():
+                continue
+            X = np.stack(pdf["_vec"][mask].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"][mask].to_numpy(),
+                    "_cid": _assign_batch(X, cids, cent).astype("int32"),
+                }
+            )
+
+    from connected_data_lake_spark.localrel import local_df
+
+    id_field = src.schema["_id"].dataType.simpleString()
+    final_assign = src.mapInPandas(
+        assign_gen, f"_id {id_field}, _cid INT"
+    ).select(F.col("_id").alias(id_col), F.col("_cid").alias("cluster_id"))
+    centroids = local_df(
+        spark, cent_rows, "_cid INT, _pos INT, _cval DOUBLE"
+    ).select(
         F.col("_cid").alias("cluster_id"),
         F.col("_pos").alias("pos"),
         F.col("_cval").alias("cval"),

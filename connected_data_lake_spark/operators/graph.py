@@ -43,6 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from connected_data_lake_spark.localrel import local_df
 from connected_data_lake_spark.operators.dedup import register_persist
 
 __all__ = [
@@ -133,7 +134,7 @@ def _local_union_find(spark, rows) -> DataFrame:
             else:
                 parent[ru] = rv
     labels = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(labels, "node bigint, component bigint")
+    return local_df(spark, labels, "node bigint, component bigint")
 
 
 def connected_components(
@@ -349,6 +350,37 @@ def _connected_components_star(
     )
 
 
+def _pagerank_local(
+    spark, trans_rows, damping: float, n_iter: int, node_type: str = "bigint"
+) -> DataFrame:
+    """Driver-side finish for sub-cut graphs: the identical fixed-point
+    arithmetic as the distributed loop below — contributions via the
+    normalized transition probabilities, dangling mass folded back
+    uniformly — over an already-collected (e_src, e_dst, p) list. Float
+    summation order differs from the distributed SUM, exactly as the
+    distributed SUM's own partial-combine order differs run to run; both
+    sit far inside the 6-dp output rounding the declared queries apply."""
+    nodes = sorted(
+        {r["e_src"] for r in trans_rows} | {r["e_dst"] for r in trans_rows}
+    )
+    n = float(len(nodes))
+    has_out = {r["e_src"] for r in trans_rows}
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib: dict = {}
+        for r in trans_rows:
+            contrib[r["e_dst"]] = contrib.get(r["e_dst"], 0.0) + r["p"] * rank[r["e_src"]]
+        dang = sum(rank[v] for v in nodes if v not in has_out)
+        rank = {
+            v: (1.0 - damping) / n
+            + damping * (contrib.get(v, 0.0) + dang / n)
+            for v in nodes
+        }
+    return local_df(
+        spark, [(v, rank[v]) for v in nodes], f"node {node_type}, rank double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -392,6 +424,26 @@ def pagerank(
     trans = e.join(outw, "e_src").select(
         "e_src", "e_dst", (F.col("e_w") / F.col("out_w")).alias("p")
     ).persist()
+    # hybrid contraction cut, the SAME documented gate as the CC loops
+    # (LOCAL_FINISH_EDGES): the aggregated transition relation of a domain/
+    # trade graph is often planning-sized even when the edge BUILD scanned
+    # a fact table — five distributed rounds over a few hundred rows is
+    # pure scheduler latency. Below the cut, collect the transitions once
+    # (bounded by the same 4096-row argument as the union-find finish) and
+    # run the identical iteration driver-side; the distributed loop below
+    # is the ≥cut path and the 100 TB shape.
+    n_trans = trans.count()
+    if n_trans <= LOCAL_FINISH_EDGES:
+        rows = trans.collect()
+        node_type = nodes.schema["node"].dataType.simpleString()
+        trans.unpersist()
+        return _pagerank_local(
+            edges.sparkSession,
+            rows,
+            damping=damping,
+            n_iter=n_iter,
+            node_type=node_type,
+        )
     # loop invariants, materialized once: node count (driver scalar —
     # planning metadata) and the has-out-edges node set (lineage-truncated
     # so the per-round anti-join reads it, not the edge build)

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connected_data_lake_spark.functions import vectors as VX
+from connected_data_lake_spark.localrel import local_df
 from connected_data_lake_spark.operators.dedup import _with_persisted, spread
 
 
@@ -389,7 +390,8 @@ def knn_ivf(
             for c in np.lexsort((np.arange(len(centroids)), dist))[:nprobe]:
                 probed_rows.append((r["query_id"], r["q_emb"], int(c)))
                 cells_needed.add(int(c))
-        probed = spark.createDataFrame(
+        probed = local_df(
+            spark,
             probed_rows,
             T.StructType(
                 list(q.schema.fields) + [T.StructField("cell", T.IntegerType(), False)]
@@ -397,8 +399,8 @@ def knn_ivf(
         )
         corpus = corpus.filter(F.col("cell").isin(sorted(cells_needed)))
     else:
-        cent = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
+        cent = local_df(
+            spark, [(i, c) for i, c in enumerate(centroids)], "cell int, c_emb array<double>"
         )
         w_cell = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
         probed = (
@@ -578,7 +580,8 @@ def knn_pq(
         return pd.Series(out)
 
     spark = df.sparkSession
-    qmap = spark.createDataFrame(
+    qmap = local_df(
+        spark,
         [(qi, r["query_id"], r["q_emb"]) for qi, r in enumerate(q_rows)],
         f"qpos int, query_id long, q_emb {queries.schema[emb_col].dataType.simpleString()}",
     )

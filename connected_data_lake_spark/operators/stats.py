@@ -88,7 +88,9 @@ def ks_two_sample(
             "the statistic is undefined"
         )
     n1, n2 = float(r1), float(r2)
-    base_df = spark.createDataFrame(bases, "pid int, b1 bigint, b2 bigint")
+    from connected_data_lake_spark.localrel import local_df
+
+    base_df = local_df(spark, bases, "pid int, b1 bigint, b2 bigint")
     w = (
         Window.partitionBy("pid")
         .orderBy("value")

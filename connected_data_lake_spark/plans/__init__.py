@@ -828,10 +828,41 @@ ROTATED_GREEN_R13 = frozenset(
 #: - knn: the pq/sketch CONTRACT queries now probe the same offline
 #:   index artifacts as their probe twins (bit-equal results, plan
 #:   shape changed) — both re-present.
+#: Round-14 second session (performance pass, results bit-stable but
+#: executed paths changed — same re-presentation discipline):
+#: - k-means rewritten from the long-form broadcast-join rounds to
+#:   Arrow-batch assignment with map-side partial centroid sums
+#:   (operators/clustering.py) → cluster_kmeans_embeddings and
+#:   curation_semdedup (its offline clustering build).
+#: - pagerank gains the sub-cut driver finish (the CC gate) →
+#:   graph_pagerank_trade.
+#: - planning-sized local relations now enter plans as ONE Arrow batch
+#:   (localrel.py::local_df) instead of pickled Python-RDD scans →
+#:   dedup_cluster_assign/star (union-find labels), knn_ivf_topk/
+#:   knn_ivf_probe (IVF routing), knn_pq_probe (ADC query map),
+#:   pack_sequences + stats_ks_two_sample (prefix-sum base offsets),
+#:   text_language_guess + pipeline_training_data (stopword relation),
+#:   join_salted_skew (weight dim).
+#: - agg_approx_distinct's sketch relaxes rsd 0.01 → 0.02 (contract
+#:   unchanged at ≤5%, measured error ≤0.9% at every SF).
 REVERIFY_R14 = frozenset(
     {
+        "agg_approx_distinct",
+        "cluster_kmeans_embeddings",
+        "curation_semdedup",
+        "dedup_cluster_assign",
+        "dedup_cluster_star",
+        "graph_pagerank_trade",
+        "join_salted_skew",
+        "knn_ivf_probe",
+        "knn_ivf_topk",
+        "knn_pq_probe",
         "knn_pq_topk",
         "knn_sketch_topk",
+        "pack_sequences",
+        "pipeline_training_data",
+        "stats_ks_two_sample",
+        "text_language_guess",
         "delta_dv_read",  # apply_dvs builds its pairs via fp_pos_df now
         "delta_cdf_read",
         "delta_dml_roundtrip",

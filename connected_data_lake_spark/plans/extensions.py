@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connected_data_lake_spark.functions import text as TX
+from connected_data_lake_spark.localrel import local_df
 from connected_data_lake_spark.functions import vectors as VX
 from connected_data_lake_spark.functions.text import LANG_STOPWORDS as TXL
 from connected_data_lake_spark.operators import dedup as DD
@@ -264,7 +265,8 @@ def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     language per reference (~10 passes/row; measured 3.6s -> 0.9s at
     sf0.1). The DuckDB oracle states the same argmax cascade."""
     docs = load_table(spark, sf_dir, "documents")
-    sw = spark.createDataFrame(
+    sw = local_df(
+        spark,
         [
             (tok, lang, pri)
             for pri, (lang, words) in enumerate(TXL.items())
@@ -1418,7 +1420,8 @@ def zz_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
     )
     nrm = TX.normalize_text("text")
-    sw = spark.createDataFrame(
+    sw = local_df(
+        spark,
         [
             (tok, lang, pri)
             for pri, (lang, words) in enumerate(TXL.items())
@@ -2260,7 +2263,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in sums:
         bases.append((r["pid"], running))
         running += r["s"]
-    base_df = spark.createDataFrame(bases, "pid int, base bigint")
+    base_df = local_df(spark, bases, "pid int, base bigint")
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
@@ -2962,7 +2965,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connected_data_lake_spark.operators import skew as SK
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    dim = spark.createDataFrame(
+    dim = local_df(
+        spark,
         [("click", 2.0), ("view", 1.0), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
         "event_type string, weight double",
     )

@@ -2440,6 +2440,159 @@ def hudi_mor_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-scoped handle to the build-once LOGS-ONLY MoR fixture
+_HUDI_LOGSONLY_CACHE: dict[str, str] = {}
+
+
+def _hudi_logsonly_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once LOGS-ONLY Hudi MERGE_ON_READ table — a file group with
+    NO base parquet (the 'inserts routed to logs before any base file'
+    layout some Hudi index configs produce; hudi tech-specs 'Log File
+    Format'): deltacommit t1 INSERTS the ``o_orderkey % 97 = 0`` slice of
+    orders as a raw HoodieLogFormat data block, deltacommit t2 appends
+    upserts (negated price for even non-%5 keys) and ``_hoodie_is_deleted``
+    deletes (%5 keys). The table schema exists ONLY in the blocks'
+    embedded Avro writer schema, so the read is wrong unless schema
+    inference from the log header, newest-write-wins merge AND delete
+    filtering all work without a base file."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.hudi import (
+        encode_avro_data_block,
+        write_log_blocks,
+    )
+
+    key = f"{sf_dir}"
+    if key in _HUDI_LOGSONLY_CACHE:
+        return _HUDI_LOGSONLY_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_hudilogsonly_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    t1, t2 = "20260101000000000", "20260102000000000"
+    done = os.path.join(path, ".hoodie", f"{t2}.deltacommit")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, ".hoodie"))
+        avro_schema = {
+            "type": "record",
+            "name": "orders_logsonly",
+            "fields": [
+                {"name": "_hoodie_record_key", "type": "string"},
+                {"name": "o_orderkey", "type": ["null", "long"], "default": None},
+                {"name": "o_orderstatus", "type": ["null", "string"], "default": None},
+                {"name": "o_totalprice", "type": ["null", "double"], "default": None},
+                {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+            ],
+        }
+        sl = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect()  # fixture-build collect: the %97 slice is
+            # planning-sized (~1.5k rows at sf0.1), the DV-fixture class
+        )
+
+        def rec(r, price, deleted=False):
+            return {
+                "_hoodie_record_key": str(r["o_orderkey"]),
+                "o_orderkey": r["o_orderkey"],
+                "o_orderstatus": r["o_orderstatus"],
+                "o_totalprice": price,
+                "_hoodie_is_deleted": deleted,
+            }
+
+        inserts = [rec(r, r["o_totalprice"]) for r in sl]
+        changes = [
+            rec(r, -r["o_totalprice"])
+            for r in sl
+            if r["o_orderkey"] % 2 == 0 and r["o_orderkey"] % 5 != 0
+        ] + [
+            rec(r, r["o_totalprice"], deleted=True)
+            for r in sl
+            if r["o_orderkey"] % 5 == 0
+        ]
+        for ver, instant, records in (
+            (1, t1, inserts),
+            (2, t2, changes),
+        ):
+            log_rel = f".f7_{t1}.log.{ver}_0-1-0"
+            with open(os.path.join(tmp, log_rel), "wb") as fh:
+                fh.write(
+                    write_log_blocks(
+                        [encode_avro_data_block(records, avro_schema, instant)]
+                    )
+                )
+            meta = {
+                "partitionToWriteStats": {
+                    "": [{"fileId": "f7", "path": log_rel}]
+                },
+                "operationType": "UPSERT",
+            }
+            with open(
+                os.path.join(tmp, ".hoodie", f"{instant}.deltacommit"), "w"
+            ) as fh:
+                _json.dump(meta, fh)
+        with open(os.path.join(tmp, ".hoodie", "hoodie.properties"), "w") as fh:
+            fh.write(
+                "hoodie.table.name=cdl_orders_logsonly\n"
+                "hoodie.table.type=MERGE_ON_READ\n"
+                "hoodie.table.version=6\n"
+            )
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale_dir = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale_dir)
+                    shutil.rmtree(stale_dir, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _HUDI_LOGSONLY_CACHE[key] = path
+    return path
+
+
+@query(
+    "hudi_logsonly_mor_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 2 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "hudi", "mor"),
+)
+def hudi_logsonly_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read of a LOGS-ONLY MoR file group (no base parquet
+    anywhere in the table): the schema comes from the first live data
+    block's embedded Avro writer schema, inserts from deltacommit t1,
+    upserts (negated even-key prices) and deletes (%5 keys) from t2 —
+    previously a loud gate (VERDICT r13 missing #4)."""
+    from connected_data_lake_spark.sources.hudi import read_hudi_mor
+
+    path = _hudi_logsonly_orders(spark, sf_dir)
+    return (
+        read_hudi_mor(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 #: session-scoped handle to the build-once MoR-DML-written Hudi fixture
 _HUDI_MOR_DML_CACHE: dict[str, str] = {}
 
@@ -3754,6 +3907,200 @@ def _iceberg_v3_dv_orders(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(tmp, ignore_errors=True)
     _ICEBERG_V3_DV_CACHE[key] = path
     return path
+
+
+#: session-scoped handle to the build-once v3 COLUMN-DEFAULTS fixture
+_ICEBERG_V3_DEFAULTS_CACHE: dict[str, str] = {}
+
+
+def _iceberg_v3_defaults_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once FORMAT-VERSION 3 table exercising COLUMN DEFAULTS (spec
+    "Default values"): data file a (the ``o_orderkey % 3 <> 0`` rows)
+    was written BEFORE the ``bonus`` column existed — it must read as
+    the schema's ``initial-default`` 2.5 — while data file b
+    (``% 3 = 0`` rows) carries real ``bonus = o_totalprice / 10``
+    values. A ``write-default`` is declared too and must NOT affect the
+    read (writer-side only)."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.avro_ocf import write_ocf
+
+    key = f"{sf_dir}"
+    if key in _ICEBERG_V3_DEFAULTS_CACHE:
+        return _ICEBERG_V3_DEFAULTS_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_icebergv3def_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(path, "metadata", "version-hint.text")
+    if not os.path.isfile(done):
+        tmp = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"))
+        os.makedirs(os.path.join(tmp, "metadata"))
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        entries = []
+        for name, df in (
+            ("a", o.filter(F.col("o_orderkey") % 3 != 0)),
+            (
+                "b",
+                o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                    "bonus", F.col("o_totalprice") / 10
+                ),
+            ),
+        ):
+            stage = os.path.join(tmp, f".stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(tmp, "data", f"{name}.parquet"))
+            shutil.rmtree(stage, ignore_errors=True)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": 1,
+                    "sequence_number": 1,
+                    "file_sequence_number": 1,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"{path}/data/{name}.parquet",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(
+                            os.path.join(tmp, "data", f"{name}.parquet")
+                        ),
+                    },
+                }
+            )
+        m_blob = write_ocf(iceberg_entry_schema(None), entries)
+        with open(os.path.join(tmp, "metadata", "m-data.avro"), "wb") as fh:
+            fh.write(m_blob)
+        ml_blob = write_ocf(
+            ICEBERG_MANIFEST_FILE_SCHEMA,
+            [
+                {
+                    "manifest_path": f"{path}/metadata/m-data.avro",
+                    "manifest_length": len(m_blob),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": 1,
+                    "min_sequence_number": 1,
+                    "added_snapshot_id": 1,
+                    "added_files_count": 2,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": 2,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+        )
+        with open(os.path.join(tmp, "metadata", "snap-1.avro"), "wb") as fh:
+            fh.write(ml_blob)
+        meta = {
+            "format-version": 3,
+            "table-uuid": "0cdc1cdc-0000-4000-8000-0000000000d4",
+            "location": path,
+            "last-sequence-number": 1,
+            "last-updated-ms": 1000,
+            "last-column-id": 4,
+            "next-row-id": 0,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+                        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+                        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+                        {
+                            "id": 4,
+                            "name": "bonus",
+                            "required": False,
+                            "type": "double",
+                            "initial-default": 2.5,
+                            "write-default": 9.9,
+                        },
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "timestamp-ms": 1000,
+                    "first-row-id": 0,
+                    "summary": {"operation": "append"},
+                    "manifest-list": f"{path}/metadata/snap-1.avro",
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": 1000}],
+        }
+        with open(os.path.join(tmp, "metadata", "v1.metadata.json"), "w") as fh:
+            _json.dump(meta, fh)
+        with open(os.path.join(tmp, "metadata", "version-hint.text"), "w") as fh:
+            fh.write("1")
+        if os.path.isfile(done):  # lost the build race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(path):  # stale partial
+                    stale = f"{path}.stale.{os.getpid()}"
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    _ICEBERG_V3_DEFAULTS_CACHE[key] = path
+    return path
+
+
+@query(
+    "iceberg_v3_defaults_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice / 10
+                          ELSE 2.5 END), 2) AS sum_bonus
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakeops", "iceberg", "v3", "defaults"),
+)
+def iceberg_v3_defaults_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT-VERSION 3 column defaults: file a predates the ``bonus``
+    field (absent under field-id resolution → the schema's
+    ``initial-default`` 2.5 per row), file b carries real values; the
+    declared ``write-default`` must not leak into the read. Previously
+    a blanket v3-defaults loud gate (VERDICT r13 missing #3 tail)."""
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    path = _iceberg_v3_defaults_orders(spark, sf_dir)
+    return (
+        read_iceberg(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("bonus"), 2).alias("sum_bonus"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 @query(

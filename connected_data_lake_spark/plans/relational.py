@@ -748,13 +748,16 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinality (A7, approx_distinct). Approx outputs are
     never hash-compared (FIXTURES.md rule); instead the query itself
-    asserts an error contract — |approx - exact| ≤ 5% with a 1% rsd
-    sketch (5 standard deviations of headroom; the default 5% rsd sketch
-    itself exceeded 5% on one group) — and ships the boolean next to the
-    exact count, which the oracle states as TRUE. HLL++ is deterministic
-    for a given input, so the check is stable run-to-run. At scale the
-    sketch is the point: it shuffles O(sketch) per group where
-    COUNT(DISTINCT) shuffles every distinct key.
+    asserts an error contract — |approx - exact| ≤ 5% with a 2% rsd
+    sketch (2.5 standard deviations of headroom; the default 5% rsd
+    sketch itself exceeded 5% on one group, and the 1% rsd sketch used
+    through round 13 costs 3-4x the wall purely in register-array init +
+    merge — measured 0.34 s vs 0.11 s for the aggregate alone — for
+    headroom the contract does not need). HLL++ is deterministic for a
+    given input, so the boolean is stable run-to-run; the 2% sketch's
+    actual error was verified ≤ 0.9% on every group at sf0.001/0.01/0.1.
+    At scale the sketch is the point: it shuffles O(sketch) per group
+    where COUNT(DISTINCT) shuffles every distinct key.
 
     Plan shape: dedupe (group, key) FIRST, then run both aggregates over
     the deduped set — COUNT(*) there IS the exact distinct count, and the
@@ -769,7 +772,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("exact_d"),
-            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
         )
         .select(
             "o_orderpriority",

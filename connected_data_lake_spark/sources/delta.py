@@ -462,7 +462,10 @@ def _dv_rows_distributed(
     desc_rows = [
         (_norm_path_py(p), json.dumps(d)) for p, d in dv_adds
     ]
-    src = spark.createDataFrame(
+    from connected_data_lake_spark.localrel import local_df
+
+    src = local_df(
+        spark,
         desc_rows,
         T.StructType(
             [

@@ -503,11 +503,10 @@ def _decode_avro_block(block: dict) -> list[dict]:
     return out
 
 
-def _slice_log_records(log_paths: list[str]) -> list[tuple[int, dict]]:
-    """Decode one file slice's ordered log files into (ordinal, record)
-    pairs, applying rollback COMMAND blocks (drop earlier blocks whose
-    INSTANT_TIME equals the command's TARGET_INSTANT_TIME) and skipping
-    CORRUPT blocks — runs executor-side, one slice per task."""
+def _slice_live_blocks(log_paths: list[str]) -> list[dict]:
+    """One file slice's LIVE data blocks in log order: rollback COMMAND
+    blocks drop earlier blocks whose INSTANT_TIME equals the command's
+    TARGET_INSTANT_TIME, CORRUPT blocks are skipped."""
     live: list[dict] = []
     for p in log_paths:
         with open(p, "rb") as fh:
@@ -533,13 +532,52 @@ def _slice_log_records(log_paths: list[str]) -> list[tuple[int, dict]]:
                 "are implemented; binary delete blocks should use the "
                 "_hoodie_is_deleted field instead)"
             )
+    return live
+
+
+def _slice_log_records(log_paths: list[str]) -> list[tuple[int, dict]]:
+    """Decode one file slice's ordered log files into (ordinal, record)
+    pairs — runs executor-side, one slice per task."""
     out: list[tuple[int, dict]] = []
     ordinal = 0
-    for b in live:
+    for b in _slice_live_blocks(log_paths):
         for rec in _decode_avro_block(b):
             out.append((ordinal, rec))
             ordinal += 1
     return out
+
+
+#: Avro primitive → Spark type, for LOGS-ONLY file groups where no base
+#: parquet exists to carry the table schema (the schema then comes from
+#: the first live data block's embedded writer schema, exactly where
+#: hudi's own AbstractHoodieLogRecordReader gets it).
+_AVRO_PRIM_SPARK = {
+    "string": "string",
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+def _avro_field_spark_type(avro_type):
+    """Spark type for one Avro field type; nullable unions unwrap.
+    Complex/logical types gate loudly — the log writers this reader
+    supports emit flat primitive records."""
+    if isinstance(avro_type, str):
+        t = _AVRO_PRIM_SPARK.get(avro_type)
+        if t is not None:
+            return t
+    if isinstance(avro_type, list):
+        non_null = [x for x in avro_type if x != "null"]
+        if len(non_null) == 1:
+            return _avro_field_spark_type(non_null[0])
+    raise HudiProtocolError(
+        f"unsupported Avro field type {avro_type!r} in a logs-only file "
+        "group's embedded schema (flat primitive records only)"
+    )
 
 
 def _mor_slices(
@@ -671,27 +709,87 @@ def read_hudi_mor(
         raise ValueError(f"empty MoR snapshot under {path}")
 
     # the table schema comes from the base parquet (or, logs-only, the
-    # first data block's embedded Avro schema)
+    # first live data block's embedded Avro writer schema — the same
+    # source hudi's AbstractHoodieLogRecordReader uses)
+    avro_fields: list[dict] = []
     if base_paths:
         base = spark.read.parquet(*base_paths)
-    else:
-        first_recs = _slice_log_records(log_slices[0][1][:1])
-        if not first_recs:
-            raise HudiProtocolError("logs-only table with an empty first block")
-        cols = list(first_recs[0][1].keys())
-        base = None
-    if base is not None:
         cols = base.columns
+    else:
+        import json as _json
+
+        first_live = _slice_live_blocks(log_slices[0][1])
+        if not first_live:
+            raise HudiProtocolError("logs-only table with no live data block")
+        avro_fields = _json.loads(first_live[0]["header"][_HDR_SCHEMA])[
+            "fields"
+        ]
+        cols = [f["name"] for f in avro_fields]
+        base = None
+    # VIRTUAL-KEY tables (hoodie.populate.meta.fields=false): no
+    # _hoodie_record_key column anywhere — the merge key is derived from
+    # hoodie.table.recordkey.fields exactly as Hudi's key generators do
+    # (SimpleKeyGenerator: str(value); ComplexKeyGenerator:
+    # "f1:v1,f2:v2" with __null__/__empty__ sentinels). Restricted to
+    # string/integral key fields: a float key renders differently in
+    # Java's Double.toString vs this reader and would split file groups.
+    virtual_keys: list[str] | None = None
     if "_hoodie_record_key" not in cols:
-        raise HudiProtocolError(
-            "MoR merge needs the _hoodie_record_key meta column "
-            "(virtual-key tables are not supported)"
-        )
+        rk = (props.get("hoodie.table.recordkey.fields") or "").strip()
+        rk_fields = [f for f in (p.strip() for p in rk.split(",")) if f]
+        if not rk_fields:
+            raise HudiProtocolError(
+                "MoR merge needs the _hoodie_record_key meta column, and "
+                "hoodie.properties declares no hoodie.table.recordkey."
+                "fields to derive a virtual key from"
+            )
+        missing = [f for f in rk_fields if f not in cols]
+        if missing:
+            raise HudiProtocolError(
+                f"hoodie.table.recordkey.fields {missing!r} not present "
+                "in the table columns"
+            )
+        virtual_keys = rk_fields
     data_cols = [c for c in cols if not c.startswith("_hoodie_")]
 
+    def _vk_expr(field_type_of):
+        """Key-generator column expression over the data columns;
+        ``field_type_of(name)`` -> spark simpleString of the field."""
+        ok_types = {"string", "bigint", "int", "smallint", "tinyint"}
+        for f in virtual_keys:
+            if field_type_of(f) not in ok_types:
+                raise HudiProtocolError(
+                    f"virtual record-key field {f!r} has type "
+                    f"{field_type_of(f)!r}; only string/integral key "
+                    "fields are supported (float keys render engine-"
+                    "dependently)"
+                )
+        if len(virtual_keys) == 1:
+            return F.col(virtual_keys[0]).cast("string")
+        parts = []
+        for f in virtual_keys:
+            s = F.col(f).cast("string")
+            rendered = (
+                F.when(s.isNull(), F.lit("__null__"))
+                .when(s == "", F.lit("__empty__"))
+                .otherwise(s)
+            )
+            parts.append(F.concat(F.lit(f + ":"), rendered))
+        return F.concat_ws(",", *parts)
+
     if base is not None:
+        if virtual_keys is None:
+            key_field = base.schema["_hoodie_record_key"]
+            key_col = F.col("_hoodie_record_key")
+        else:
+            key_field = T.StructField(
+                "_hoodie_record_key", T.StringType(), True
+            )
+            key_col = _vk_expr(
+                lambda f: base.schema[f].dataType.simpleString()
+            ).alias("_hoodie_record_key")
         merged_schema = T.StructType(
-            [base.schema["_hoodie_record_key"]]
+            [key_field]
             + [base.schema[c] for c in data_cols]
             + [
                 T.StructField("_hoodie_is_deleted", T.BooleanType(), True),
@@ -699,20 +797,57 @@ def read_hudi_mor(
             ]
         )
         base_side = base.select(
-            "_hoodie_record_key",
+            key_col,
             *data_cols,
             F.lit(False).alias("_hoodie_is_deleted"),
             F.lit(-1).cast("long").alias("__cdl_ord"),
         )
     else:
-        raise HudiProtocolError(
-            "logs-only MoR tables (no base file in any file group) are "
-            "not supported yet — compact once, or write through COW"
+        by_name = {f["name"]: f["type"] for f in avro_fields}
+        if virtual_keys is not None:
+            _vk_expr(  # type-gate only; the python mirror renders below
+                lambda f: _avro_field_spark_type(by_name[f])
+            )
+        merged_schema = T.StructType(
+            [T.StructField("_hoodie_record_key", T.StringType(), True)]
+            + [
+                T.StructField(
+                    c,
+                    T._parse_datatype_string(
+                        _avro_field_spark_type(by_name[c])
+                    ),
+                    True,
+                )
+                for c in data_cols
+            ]
+            + [
+                T.StructField("_hoodie_is_deleted", T.BooleanType(), True),
+                T.StructField("__cdl_ord", T.LongType(), False),
+            ]
         )
+        base_side = None
 
     union = base_side
     if log_slices:
         out_names = [f.name for f in merged_schema.fields]
+        vk = list(virtual_keys) if virtual_keys else None
+
+        def _vk_py(rec: dict):
+            # python mirror of _vk_expr — str(long/str) renders exactly
+            # like Spark's cast-to-string for the admitted key types
+            if len(vk) == 1:
+                v = rec.get(vk[0])
+                return None if v is None else str(v)
+            parts = []
+            for f in vk:
+                v = rec.get(f)
+                s = (
+                    "__null__"
+                    if v is None
+                    else ("__empty__" if str(v) == "" else str(v))
+                )
+                parts.append(f + ":" + s)
+            return ",".join(parts)
 
         def decode(batches):
             # columnar assembly: one list per output column, not one dict
@@ -726,11 +861,17 @@ def read_hudi_mor(
                     cols: dict[str, list] = {n: [] for n in out_names}
                     for ordinal, rec in recs:
                         for n in data_names:
-                            cols[n].append(rec.get(n))
+                            if vk is not None and n == "_hoodie_record_key":
+                                cols[n].append(_vk_py(rec))
+                            else:
+                                cols[n].append(rec.get(n))
                         cols["__cdl_ord"].append(ordinal)
                     yield pd.DataFrame(cols, columns=out_names)
 
-        slice_df = spark.createDataFrame(
+        from connected_data_lake_spark.localrel import local_df
+
+        slice_df = local_df(
+            spark,
             [(i, logs) for i, logs in log_slices],
             T.StructType(
                 [
@@ -740,7 +881,11 @@ def read_hudi_mor(
             ),
         ).repartition(max(1, min(len(log_slices), 32)), "slice_id")
         log_side = slice_df.mapInPandas(decode, merged_schema)
-        union = base_side.unionByName(log_side)
+        union = (
+            log_side
+            if base_side is None
+            else base_side.unionByName(log_side)
+        )
 
     w = Window.partitionBy("_hoodie_record_key").orderBy(F.desc("__cdl_ord"))
     snap = (
@@ -1553,7 +1698,10 @@ def read_hudi_incremental(
                     if cols_out["__cdl_ord"]:
                         yield pd.DataFrame(cols_out, columns=out_names)
 
-        log_df = spark.createDataFrame(
+        from connected_data_lake_spark.localrel import local_df
+
+        log_df = local_df(
+            spark,
             [(os.path.join(root, r),) for r in sorted(set(log_rels))],
             T.StructType([T.StructField("log", T.StringType(), False)]),
         ).repartition(max(1, min(len(log_rels), 32)))

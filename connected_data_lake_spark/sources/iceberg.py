@@ -50,14 +50,18 @@ format versions 1 and 2, with — since round 11 —
   connector — matching the reference's S3-resident datasets
   (reference crates/cdl-fs/src/lib.rs:343-373).
 
-Format-version 3 reads are supported for the headline v3 feature —
+Format-version 3 reads are supported for the headline v3 features —
 puffin DELETION VECTORS (decoded via :mod:`sources.roaring`
 ``decode_iceberg_dv_blob``, applied as the same (file, pos) anti-join
-as position-delete files). Loud gates — never a silent misread —
-remain for: format-version 4+, v3 column default values,
-partition-scoped equality deletes, delete sets past the broadcast
-row-count gate, non-parquet data files, unsupported types, and files
-whose columns can be resolved neither by field id nor by name.
+as position-delete files) and COLUMN DEFAULTS (``initial-default``
+materialized for data files that predate the field under field-id
+resolution; ``write-default`` is writer-side by spec and ignored on
+read). Loud gates — never a silent misread — remain for:
+format-version 4+, non-primitive initial-defaults, defaulted columns
+without footer access, partition-scoped equality deletes, delete sets
+past the broadcast row-count gate, non-parquet data files, unsupported
+types, and files whose columns can be resolved neither by field id nor
+by name.
 
 Scale notes (100 TB):
 
@@ -1018,8 +1022,45 @@ def _read_mapped(
             F.col("_metadata.row_index").alias("__cdl_pos"),
         )
 
+    def _initial_default_lit(f_dict: dict, spark_field: T.StructField):
+        """v3 ``initial-default`` as a typed literal, for data files that
+        predate the field (spec "Default values" — readers use it for
+        columns absent under field-id resolution). Primitive JSON
+        single-values only; anything else gates loudly rather than
+        misreading old files as null."""
+        v = f_dict.get("initial-default")
+        if v is None:
+            return None
+        t = f_dict.get("type")
+        if t in ("int", "long") and isinstance(v, int) and not isinstance(v, bool):
+            pass
+        elif t in ("float", "double") and isinstance(v, (int, float)) and not isinstance(v, bool):
+            v = float(v)
+        elif t == "string" and isinstance(v, str):
+            pass
+        elif t == "boolean" and isinstance(v, bool):
+            pass
+        else:
+            raise IcebergProtocolError(
+                f"v3 initial-default {v!r} of type {t!r} on "
+                f"{f_dict.get('name')!r} is not supported (primitive "
+                "int/long/float/double/string/boolean defaults only)"
+            )
+        return F.lit(v).cast(spark_field.dataType)
+
     locals_ = [store.local_data_path(f) for f in files]
     if any(lp is None for lp in locals_):
+        defaulted = [
+            f["name"] for f in fields if f.get("initial-default") is not None
+        ]
+        if defaulted:
+            raise IcebergProtocolError(
+                "Iceberg object-store read without footer access cannot "
+                f"tell which files predate the defaulted column(s) "
+                f"{sorted(defaulted)} (initial-default applies only to "
+                "files missing the field id) — materialize the table or "
+                "read it where footers are reachable"
+            )
         renamed = _schema_history_renames(meta or {}) & {
             f["name"] for f in fields
         }
@@ -1061,10 +1102,14 @@ def _read_mapped(
             for p, f in zip(mapping, schema.fields)
         ]
         df = spark.read.schema(T.StructType(phys_fields)).parquet(*paths)
-        renames = [
-            F.col(pf.name).alias(f.name)
-            for pf, f in zip(phys_fields, schema.fields)
-        ]
+        renames = []
+        for p, pf, f, fd in zip(mapping, phys_fields, schema.fields, fields):
+            lit = _initial_default_lit(fd, f) if p is None else None
+            renames.append(
+                lit.alias(f.name)
+                if lit is not None
+                else F.col(pf.name).alias(f.name)
+            )
         if meta_cols:
             renames += [
                 _norm_path(F.col("_metadata.file_path")).alias("__cdl_fp"),
@@ -1160,18 +1205,11 @@ def read_iceberg(
         raise IcebergProtocolError(f"Iceberg format-version {fv} > 3 not supported")
     snapshot = _pick_snapshot(meta, snapshot_id, as_of_timestamp_ms)
     schema_dict = _schema_dict_for_snapshot(meta, snapshot)
-    if fv >= 3:
-        # v3 read support covers puffin DELETION VECTORS; column default
-        # values would silently misread old files as null — loud gate
-        for f in schema_dict.get("fields", []):
-            if (
-                f.get("initial-default") is not None
-                or f.get("write-default") is not None
-            ):
-                raise IcebergProtocolError(
-                    f"v3 column default values on {f.get('name')!r} are "
-                    "not supported (old files would misread as null)"
-                )
+    # v3 column defaults: ``initial-default`` is applied by _read_mapped
+    # to files that PREDATE the field (absent under field-id resolution
+    # — spec "Default values"); unsupported default TYPES gate there.
+    # ``write-default`` is writer-side only (writers must materialize it
+    # INTO data files when the user omits the column), so reads ignore it.
     schema = _iceberg_type_to_spark(schema_dict)
     flt = _normalize_filters(filters)
 
@@ -1325,7 +1363,10 @@ def _apply_equality_deletes(
     a delete file that does not carry an equality column at all is
     refused for the same over-deletion reason."""
     by_name = {f["id"]: f["name"] for f in schema_dict["fields"]}
-    seq_map = spark.createDataFrame(
+    from connected_data_lake_spark.localrel import local_df
+
+    seq_map = local_df(
+        spark,
         [(_norm_path_py(p), int(s)) for p, s in fs.data],
         T.StructType(
             [

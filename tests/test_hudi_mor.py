@@ -489,3 +489,333 @@ def test_mor_dml_schema_mismatch_refused(spark, tmp_path):
     narrower = spark.range(0, 3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="table data columns"):
         upsert_hudi_mor(spark, p, narrower, record_key="k")
+
+
+# ---------------------------------------------------------------------------
+# LOGS-ONLY file groups (r14: schema from the block's embedded Avro schema)
+# ---------------------------------------------------------------------------
+
+
+def _mk_logsonly_table(spark, root: str, logs_by_instant: dict[str, list[dict]]):
+    """MoR table with ONE file group that has NO base parquet: each
+    deltacommit commits one log file named against base-instant T1."""
+    os.makedirs(os.path.join(root, ".hoodie"))
+    for i, (instant, blocks) in enumerate(sorted(logs_by_instant.items())):
+        log_rel = f".f9_{T1}.log.{i + 1}_0-1-0"
+        with open(os.path.join(root, log_rel), "wb") as fh:
+            fh.write(write_log_blocks(blocks))
+        meta = {"partitionToWriteStats": {"": [{"fileId": "f9", "path": log_rel}]}}
+        with open(
+            os.path.join(root, ".hoodie", f"{instant}.deltacommit"), "w"
+        ) as fh:
+            json.dump(meta, fh)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n")
+    return root
+
+
+def test_logsonly_insert_upsert_delete(spark, tmp_path):
+    root = _mk_logsonly_table(
+        spark,
+        str(tmp_path / "lo"),
+        {
+            T1: [
+                encode_avro_data_block(
+                    [_rec(1, 1.0), _rec(2, 2.0), _rec(3, 3.0)], AVRO_SCHEMA, T1
+                )
+            ],
+            T2: [
+                encode_avro_data_block(
+                    [_rec(2, 20.0), _rec(3, 3.0, deleted=True)], AVRO_SCHEMA, T2
+                )
+            ],
+        },
+    )
+    df = read_hudi_mor(spark, root)
+    # schema inferred from the embedded Avro writer schema: long + double
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "double",
+    ]
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got == {1: 1.0, 2: 20.0}
+
+
+def test_logsonly_time_travel_sees_inserts_only(spark, tmp_path):
+    root = _mk_logsonly_table(
+        spark,
+        str(tmp_path / "lo_tt"),
+        {
+            T1: [encode_avro_data_block([_rec(1, 1.0)], AVRO_SCHEMA, T1)],
+            T2: [
+                encode_avro_data_block(
+                    [_rec(1, 9.0), _rec(4, 4.0)], AVRO_SCHEMA, T2
+                )
+            ],
+        },
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in read_hudi_mor(spark, root, as_of_instant=T1).collect()
+    }
+    assert got == {1: 1.0}
+
+
+def test_logsonly_group_merges_beside_based_group(spark, tmp_path):
+    """A MIXED table: one normal base+log file group plus one logs-only
+    group — both must appear in the snapshot, merged independently."""
+    root = str(tmp_path / "mixed")
+    _mk_table(
+        spark,
+        root,
+        {T2: [encode_avro_data_block([_rec(0, 100.0)], AVRO_SCHEMA, T2)]},
+    )
+    log_rel = f".f9_{T1}.log.1_0-1-0"
+    with open(os.path.join(root, log_rel), "wb") as fh:
+        fh.write(
+            write_log_blocks(
+                [encode_avro_data_block([_rec(77, 7.5)], AVRO_SCHEMA, T3)]
+            )
+        )
+    meta = {"partitionToWriteStats": {"": [{"fileId": "f9", "path": log_rel}]}}
+    with open(os.path.join(root, ".hoodie", f"{T3}.deltacommit"), "w") as fh:
+        json.dump(meta, fh)
+    got = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    assert got[0] == 100.0  # log upsert over the base group
+    assert got[77] == 7.5  # logs-only group's insert
+    assert len(got) == 11  # 10 base rows + 1 logs-only row
+
+
+def test_logsonly_schema_skips_rolled_back_first_block(spark, tmp_path):
+    """The schema block must be the first LIVE block: a rollback command
+    targeting T1 removes the first data block, so the schema comes from
+    the T2 block, and T1's records must not resurface."""
+    narrow_schema = {
+        "type": "record",
+        "name": "narrow",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "k", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "double"], "default": None},
+            {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+        ],
+    }
+    root = _mk_logsonly_table(
+        spark,
+        str(tmp_path / "lo_rb"),
+        {
+            T1: [encode_avro_data_block([_rec(1, 1.0)], narrow_schema, T1)],
+            T2: [
+                {
+                    "type": _BLK_COMMAND,
+                    "header": {_HDR_INSTANT: T2, _HDR_TARGET_INSTANT: T1},
+                    "content": b"",
+                },
+                encode_avro_data_block([_rec(5, 5.0)], AVRO_SCHEMA, T2),
+            ],
+        },
+    )
+    got = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    assert got == {5: 5.0}
+
+
+def test_logsonly_no_live_block_gates(spark, tmp_path):
+    root = _mk_logsonly_table(
+        spark,
+        str(tmp_path / "lo_none"),
+        {
+            T1: [encode_avro_data_block([_rec(1, 1.0)], AVRO_SCHEMA, T1)],
+            T2: [
+                {
+                    "type": _BLK_COMMAND,
+                    "header": {_HDR_INSTANT: T2, _HDR_TARGET_INSTANT: T1},
+                    "content": b"",
+                }
+            ],
+        },
+    )
+    with pytest.raises(HudiProtocolError, match="no live data block"):
+        read_hudi_mor(spark, root)
+
+
+def test_logsonly_complex_avro_type_gates(spark, tmp_path):
+    arr_schema = {
+        "type": "record",
+        "name": "cplx",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {
+                "name": "tags",
+                "type": {"type": "array", "items": "string"},
+            },
+            {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+        ],
+    }
+    root = _mk_logsonly_table(
+        spark,
+        str(tmp_path / "lo_cplx"),
+        {
+            T1: [
+                encode_avro_data_block(
+                    [
+                        {
+                            "_hoodie_record_key": "1",
+                            "tags": ["a"],
+                            "_hoodie_is_deleted": False,
+                        }
+                    ],
+                    arr_schema,
+                    T1,
+                )
+            ]
+        },
+    )
+    with pytest.raises(HudiProtocolError, match="unsupported Avro field type"):
+        read_hudi_mor(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# VIRTUAL-KEY tables (r14: hoodie.populate.meta.fields=false)
+# ---------------------------------------------------------------------------
+
+VK_SCHEMA = {
+    "type": "record",
+    "name": "vk_rows",
+    "fields": [
+        {"name": "k", "type": ["null", "long"], "default": None},
+        {"name": "v", "type": ["null", "double"], "default": None},
+        {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+    ],
+}
+
+
+def _vk_rec(k: int, v: float, deleted: bool = False) -> dict:
+    return {"k": k, "v": v, "_hoodie_is_deleted": deleted}
+
+
+def _mk_vk_table(spark, root: str, blocks_by_instant, rk="k", extra_props=""):
+    """MoR table WITHOUT meta columns: base parquet (k=0..9, v=k), key
+    derived from hoodie.table.recordkey.fields."""
+    import glob
+    import shutil
+
+    os.makedirs(os.path.join(root, ".hoodie"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    stage = os.path.join(root, ".stage")
+    base.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    base_rel = f"f1_0-1-0_{T1}.parquet"
+    os.replace(part, os.path.join(root, base_rel))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def commit(instant, action, rel):
+        meta = {"partitionToWriteStats": {"": [{"fileId": "f1", "path": rel}]}}
+        with open(os.path.join(root, ".hoodie", f"{instant}.{action}"), "w") as fh:
+            json.dump(meta, fh)
+
+    commit(T1, "commit", base_rel)
+    for i, (instant, blocks) in enumerate(sorted(blocks_by_instant.items())):
+        log_rel = f".f1_{T1}.log.{i + 1}_0-1-0"
+        with open(os.path.join(root, log_rel), "wb") as fh:
+            fh.write(write_log_blocks(blocks))
+        commit(instant, "deltacommit", log_rel)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n"
+            f"hoodie.table.recordkey.fields={rk}\n" + extra_props
+        )
+    return root
+
+
+def test_virtual_key_merge_upsert_and_delete(spark, tmp_path):
+    root = _mk_vk_table(
+        spark,
+        str(tmp_path / "vk"),
+        {
+            T2: [
+                encode_avro_data_block(
+                    [_vk_rec(3, 30.0), _vk_rec(7, 7.0, deleted=True)],
+                    VK_SCHEMA,
+                    T2,
+                )
+            ]
+        },
+    )
+    df = read_hudi_mor(spark, root)
+    assert df.columns == ["k", "v"]
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got[3] == 30.0 and 7 not in got and len(got) == 9
+
+
+def test_virtual_key_missing_declaration_gates(spark, tmp_path):
+    root = _mk_vk_table(spark, str(tmp_path / "vk_none"), {}, rk="")
+    with pytest.raises(HudiProtocolError, match="recordkey"):
+        read_hudi_mor(spark, root)
+
+
+def test_virtual_key_float_field_gates(spark, tmp_path):
+    root = _mk_vk_table(spark, str(tmp_path / "vk_float"), {}, rk="v")
+    with pytest.raises(HudiProtocolError, match="string/integral"):
+        read_hudi_mor(spark, root)
+
+
+def test_virtual_key_unknown_field_gates(spark, tmp_path):
+    root = _mk_vk_table(spark, str(tmp_path / "vk_bad"), {}, rk="zz")
+    with pytest.raises(HudiProtocolError, match="not present"):
+        read_hudi_mor(spark, root)
+
+
+def test_virtual_composite_key_sentinels(spark, tmp_path):
+    """Composite ComplexKeyGenerator rendering f1:v1,f2:v2 — the base row
+    and the log upsert must collide on the SAME derived key."""
+    schema = {
+        "type": "record",
+        "name": "ck",
+        "fields": [
+            {"name": "a", "type": ["null", "string"], "default": None},
+            {"name": "k", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "double"], "default": None},
+            {"name": "_hoodie_is_deleted", "type": "boolean", "default": False},
+        ],
+    }
+    import glob
+    import shutil
+
+    root = str(tmp_path / "vk_comp")
+    os.makedirs(os.path.join(root, ".hoodie"))
+    base = spark.createDataFrame(
+        [("x", 1, 1.0), (None, 2, 2.0), ("", 3, 3.0)],
+        "a string, k long, v double",
+    )
+    stage = os.path.join(root, ".stage")
+    base.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    base_rel = f"f1_0-1-0_{T1}.parquet"
+    os.replace(part, os.path.join(root, base_rel))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def commit(instant, action, rel):
+        meta = {"partitionToWriteStats": {"": [{"fileId": "f1", "path": rel}]}}
+        with open(os.path.join(root, ".hoodie", f"{instant}.{action}"), "w") as fh:
+            json.dump(meta, fh)
+
+    commit(T1, "commit", base_rel)
+    # upsert all three identities through the log, one per sentinel case
+    recs = [
+        {"a": "x", "k": 1, "v": 10.0, "_hoodie_is_deleted": False},
+        {"a": None, "k": 2, "v": 20.0, "_hoodie_is_deleted": False},
+        {"a": "", "k": 3, "v": 30.0, "_hoodie_is_deleted": False},
+    ]
+    log_rel = f".f1_{T1}.log.1_0-1-0"
+    with open(os.path.join(root, log_rel), "wb") as fh:
+        fh.write(write_log_blocks([encode_avro_data_block(recs, schema, T2)]))
+    commit(T2, "deltacommit", log_rel)
+    with open(os.path.join(root, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=t\nhoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.recordkey.fields=a,k\n"
+        )
+    got = {r["k"]: r["v"] for r in read_hudi_mor(spark, root).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}

@@ -1377,31 +1377,96 @@ def test_v3_puffin_dv_read_end_to_end(spark, sf_dir):
     assert got.filter("o_orderkey % 10 = 4").count() == 0
 
 
-def test_v4_still_gates_and_v3_defaults_gate(spark, tmp_path):
+def _v3_copy(spark, tmp_path):
     import json
     import os
+    import shutil
+
+    from connected_data_lake_spark.plans.lakeops import _iceberg_v3_dv_orders
+
+    src = _iceberg_v3_dv_orders(spark, "/root/testdata/sf0.001")
+    tbl = str(tmp_path / "t")
+    shutil.copytree(src, tbl)
+    return tbl, os.path.join(tbl, "metadata", "v1.metadata.json")
+
+
+def test_v4_still_gates(spark, tmp_path):
+    import json
 
     import pytest
 
-    from connected_data_lake_spark.plans.lakeops import _iceberg_v3_dv_orders
     from connected_data_lake_spark.sources.iceberg import (
         IcebergProtocolError,
         read_iceberg,
     )
 
-    src = _iceberg_v3_dv_orders(spark, "/root/testdata/sf0.001")
-    import shutil
-
-    tbl = str(tmp_path / "t")
-    shutil.copytree(src, tbl)
-    mpath = os.path.join(tbl, "metadata", "v1.metadata.json")
+    tbl, mpath = _v3_copy(spark, tmp_path)
     meta = json.load(open(mpath))
     meta["format-version"] = 4
     json.dump(meta, open(mpath, "w"))
     with pytest.raises(IcebergProtocolError, match="format-version 4"):
         read_iceberg(spark, tbl)
-    meta["format-version"] = 3
-    meta["schemas"][0]["fields"][2]["initial-default"] = 0.0
+
+
+def test_v3_initial_default_fills_predating_files(spark, tmp_path):
+    """r14: a field ADDED with ``initial-default`` reads as the default
+    from data files that predate it (absent under field-id resolution)
+    — while the puffin DV deletes keep applying."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+    tbl, mpath = _v3_copy(spark, tmp_path)
+    meta = json.load(open(mpath))
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 4,
+            "name": "bonus",
+            "required": False,
+            "type": "double",
+            "initial-default": 2.5,
+            "write-default": 9.9,  # writer-side only: must NOT affect reads
+        }
+    )
+    meta["last-column-id"] = 4
     json.dump(meta, open(mpath, "w"))
-    with pytest.raises(IcebergProtocolError, match="default values"):
-        read_iceberg(spark, tbl)
+    df = read_iceberg(spark, tbl)
+    assert "bonus" in df.columns
+    rows = df.agg(
+        F.count("*").alias("n"),
+        F.min("bonus").alias("lo"),
+        F.max("bonus").alias("hi"),
+        F.sum((F.col("o_orderkey") % 10 == 4).cast("int")).alias("n_del"),
+    ).collect()[0]
+    assert rows["lo"] == 2.5 and rows["hi"] == 2.5  # every row defaulted
+    assert rows["n_del"] == 0  # DV deletes still applied
+    assert rows["n"] > 0
+
+
+def test_v3_nonprimitive_initial_default_gates(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from connected_data_lake_spark.sources.iceberg import (
+        IcebergProtocolError,
+        read_iceberg,
+    )
+
+    tbl, mpath = _v3_copy(spark, tmp_path)
+    meta = json.load(open(mpath))
+    meta["schemas"][0]["fields"].append(
+        {
+            "id": 4,
+            "name": "d",
+            "required": False,
+            "type": "decimal(10,2)",
+            "initial-default": "1.00",
+        }
+    )
+    meta["last-column-id"] = 4
+    json.dump(meta, open(mpath, "w"))
+    with pytest.raises(IcebergProtocolError, match="initial-default"):
+        read_iceberg(spark, tbl).collect()

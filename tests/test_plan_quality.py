@@ -410,13 +410,16 @@ def test_corpus_frequency_signals_join_on_shingle_hash(spark, sf_dir, name):
     )
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
-    """The k-means final-assignment plan must broadcast the k*dim
-    centroid relation against the long-form vectors — a shuffled or
-    nested-loop join there would shuffle n*dim rows per iteration."""
+def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
+    """The k-means final-assignment must be a NARROW Arrow-batch map over
+    the native vector column (centroids ride in the task closure as k*dim
+    planning metadata) — no join, no explode, no shuffle of vector rows
+    anywhere in the assignment leg. The only joins allowed are the k-row
+    sizes×norms finish."""
     plan = plan_of(spark, sf_dir, "cluster_kmeans_embeddings")
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no posexplode long form in the plan
 
 
 def test_skew_kurtosis_is_partial_then_final(spark, sf_dir):
