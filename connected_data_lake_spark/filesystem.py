@@ -76,6 +76,96 @@ class Cdl:
 
         return self.spark.sql(rewrite_variadic_len(stmt))
 
+    def register_table(
+        self, name: str, path: str, format: str = "parquet", **options
+    ) -> DataFrame:
+        """Register an EXTERNAL table as a named SQL view — the
+        cross-FORMAT half of the connected-lake surface. :meth:`open_all`
+        federates datasets in the NATIVE rootfs format; this method pulls
+        tables hosted by the open lakehouse formats into the same session
+        so :meth:`sql` can join a Delta table against an Iceberg table
+        against a rootfs dataset in one statement (the reference's
+        connected-lake premise — data replicated across heterogeneous
+        stores, queried as one: crates/cdl-k8s-provider/src/object.rs
+        bucket replication; benchmark/src/command/sync.rs).
+
+        ``format``: ``delta`` (options: ``version``, ``filters``),
+        ``iceberg`` (``snapshot_id``, ``as_of_timestamp_ms``,
+        ``filters``), ``hudi`` (``as_of_instant``; COW and MoR tables
+        auto-route on ``hoodie.table.type``), ``lance``, ``parquet``,
+        ``csv``, ``json``, ``orc``, ``ipc``. Returns the registered
+        DataFrame (lazy — the view re-plans per statement, so lake-format
+        filter pushdown options apply at registration time).
+
+        ``name`` must be a plain SQL identifier; registering an existing
+        name replaces it (temp-view semantics), including the per-dataset
+        ``rootfs_*`` names — those are reserved."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"not a valid SQL identifier: {name!r}")
+        if name == ROOTFS_TABLE or name.startswith(f"{ROOTFS_TABLE}_"):
+            raise ValueError(
+                f"view name {name!r} is reserved for rootfs datasets"
+            )
+        fmt = format.lower()
+        if fmt == "delta":
+            from connected_data_lake_spark.sources.delta import read_delta
+
+            df = read_delta(
+                self.spark,
+                path,
+                version=options.pop("version", None),
+                filters=options.pop("filters", None),
+            )
+        elif fmt == "iceberg":
+            from connected_data_lake_spark.sources.iceberg import read_iceberg
+
+            df = read_iceberg(
+                self.spark,
+                path,
+                snapshot_id=options.pop("snapshot_id", None),
+                as_of_timestamp_ms=options.pop("as_of_timestamp_ms", None),
+                filters=options.pop("filters", None),
+            )
+        elif fmt == "hudi":
+            from connected_data_lake_spark.sources.hudi import (
+                read_hudi,
+                read_hudi_mor,
+                table_type,
+            )
+
+            as_of = options.pop("as_of_instant", None)
+            if table_type(path) == "MERGE_ON_READ":
+                df = read_hudi_mor(self.spark, path, as_of_instant=as_of)
+            else:
+                df = read_hudi(self.spark, path, as_of_instant=as_of)
+        elif fmt == "lance":
+            from connected_data_lake_spark.sources.lance_ds import read_lance
+
+            df = read_lance(self.spark, path)
+        elif fmt == "parquet":
+            df = self.spark.read.parquet(path)
+        elif fmt in ("csv", "json", "orc", "ipc"):
+            from connected_data_lake_spark.sources import formats as _formats
+
+            reader = {
+                "csv": _formats.read_csv,
+                "json": _formats.read_json,
+                "orc": _formats.read_orc,
+                "ipc": _formats.read_arrow_ipc,
+            }[fmt]
+            df = reader(self.spark, path, **options)
+            options = {}
+        else:
+            raise ValueError(f"unknown table format {format!r}")
+        if options:
+            raise TypeError(
+                f"unknown options for format {fmt!r}: {sorted(options)}"
+            )
+        df.createOrReplaceTempView(name)
+        return df
+
 
 class CdlFS:
     """A dataset view: the ``rootfs`` table plus canned queries."""

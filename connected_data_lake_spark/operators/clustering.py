@@ -124,6 +124,72 @@ def _partial_sums(src: DataFrame, cids, cent) -> DataFrame:
     )
 
 
+#: Corpora at or below this many vectors finish DRIVER-side: the identical
+#: Lloyd arithmetic over one collected (id, vec) list instead of
+#: ``n_iter + 1`` distributed Python-worker rounds whose cost is pure
+#: scheduling/Arrow-transfer floor at that size. Same hybrid contraction
+#: cut as ``graph.LOCAL_FINISH_EDGES`` (4096 edges) and the pagerank
+#: local finish: 4096 vectors x a typical embedding dim (<=1024 doubles)
+#: is a planning-sized collect (<=32 MiB, and the test corpora are
+#: <=64-dim: <=2 MiB); at 100 TB the distributed loop below is the path.
+LOCAL_FINISH_VECTORS = 4096
+
+
+def _kmeans_local(
+    spark, rows, id_type: str, k: int, n_iter: int, round_dp: int
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side finish for sub-cut corpora: the same fixed-point
+    arithmetic as the distributed loop — seeds are the k smallest ids,
+    centroids round to ``round_dp`` between rounds, argmin ties break on
+    the smaller cluster id, emptied clusters drop out. Member sums run
+    in one ``numpy.add.at`` scatter per round; float summation order
+    differs from the distributed partial-combine exactly as that
+    combine's own order differs run to run — both sit far inside the
+    round_dp rounding (the pagerank local finish's documented band)."""
+    import numpy as np
+
+    from connected_data_lake_spark.localrel import local_df
+
+    rows = sorted(
+        ((r["_id"], r["_vec"]) for r in rows), key=lambda t: t[0]
+    )
+    cent_rows = [
+        (cid, pos + 1, round(float(v), round_dp))
+        for cid, (_id, vec) in enumerate(rows[:k])
+        if vec is not None
+        for pos, v in enumerate(vec)
+    ]
+    ids = [i for i, vec in rows if vec is not None]
+    X = (
+        np.stack([np.asarray(vec, dtype=np.float64) for _i, vec in rows if vec is not None])
+        if ids
+        else np.zeros((0, 1))
+    )
+    for _ in range(n_iter):
+        cids, cent = _centroid_matrix(cent_rows)
+        a = _assign_batch(X, cids, cent)
+        dim = cent.shape[1]
+        cent_rows = []
+        for c in np.unique(a):
+            member = X[a == c]
+            s = member.sum(axis=0)
+            n = member.shape[0]
+            cent_rows.extend(
+                (int(c), pos + 1, round(float(s[pos]) / n, round_dp))
+                for pos in range(dim)
+            )
+    cids, cent = _centroid_matrix(cent_rows)
+    assign = local_df(
+        spark,
+        [(i, int(c)) for i, c in zip(ids, _assign_batch(X, cids, cent))],
+        f"_id {id_type}, cluster_id int",
+    )
+    centroids = local_df(
+        spark, cent_rows, "cluster_id INT, pos INT, cval DOUBLE"
+    )
+    return assign, centroids
+
+
 def kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -131,6 +197,7 @@ def kmeans(
     k: int = 8,
     n_iter: int = 3,
     round_dp: int = 6,
+    local_finish_vectors: int = LOCAL_FINISH_VECTORS,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means; returns ``(assignments, centroids)``.
 
@@ -153,6 +220,19 @@ def kmeans(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
     )
+    # hybrid contraction cut (LOCAL_FINISH_VECTORS): sub-cut corpora
+    # collect once and run the identical iteration driver-side; the
+    # distributed loop below is the >=cut path and the 100 TB shape.
+    n_rows = src.count()
+    if n_rows <= local_finish_vectors:
+        id_type = src.schema["_id"].dataType.simpleString()
+        assign, centroids = _kmeans_local(
+            spark, src.collect(), id_type, k, n_iter, round_dp
+        )
+        return (
+            assign.select(F.col("_id").alias(id_col), "cluster_id"),
+            centroids,
+        )
     # seeds: k smallest ids, vectors ride along in the same tiny collect.
     # A NULL-vector seed contributes no coordinates — its cluster id
     # drops out immediately, matching the previous long-form init (the

@@ -225,12 +225,16 @@ def sketch_index(
     id_col: str = "vec_id",
     n_bits: int = 256,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """The corpus side of the sign-sketch ANN as a standalone relation
     (neighbor_id, emb, sig) — write it to parquet once and probe forever:
     the planes are seeded and the sketch needs NO training, so unlike
-    IVF/PQ there is no model sidecar to keep with it."""
-    dim = df.select(F.size(emb_col).alias("d")).first()["d"]
+    IVF/PQ there is no model sidecar to keep with it. ``dim`` skips the
+    embedding-width lookup scan when the caller already knows it (index
+    metadata at cluster scale lives WITH the artifact, not in a scan)."""
+    if dim is None:
+        dim = df.select(F.size(emb_col).alias("d")).first()["d"]
     planes = make_planes(dim, n_bits, seed)
     return spread(df, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -248,18 +252,24 @@ def knn_sketch_probe(
     n_bits: int = 256,
     candidates_per_query: int = 100,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe a prebuilt :func:`sketch_index` (e.g. read back from parquet):
     Hamming prune + exact re-rank only — what a steady-state ANN serving
-    query costs once the index exists."""
+    query costs once the index exists. ``dim`` as in :func:`sketch_index`."""
     out, qk = _sketch_probe_plan(
-        index, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed
+        index, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed,
+        dim,
     )
     return _with_persisted(out, qk)
 
 
-def _sketch_probe_plan(sk, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed):
-    dim = queries.select(F.size(emb_col).alias("d")).first()["d"]
+def _sketch_probe_plan(
+    sk, queries, k, emb_col, id_col, n_bits, candidates_per_query, seed,
+    dim=None,
+):
+    if dim is None:
+        dim = queries.select(F.size(emb_col).alias("d")).first()["d"]
     planes = make_planes(dim, n_bits, seed)
     qk = queries.select(
         F.col(id_col).alias("query_id"),

@@ -753,6 +753,22 @@ _KNN_PROBE_CONTRACT_ORACLE = """
 #: so recall checks never re-run brute force at query time.
 _GT_CACHE: dict[str, DataFrame] = {}
 
+#: embedding width per (session, sf_dir) — index METADATA (every ANN
+#: artifact records its dim; FAISS stores d in the header). Deriving it
+#: per probe re-scanned one parquet row per plan build (a whole Spark job
+#: of pure floor); cache it like the artifacts themselves.
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _EMB_DIM_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _EMB_DIM_CACHE[key] = emb.select(
+            F.size("embedding").alias("d")
+        ).first()["d"]
+    return _EMB_DIM_CACHE[key]
+
 
 def _gt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -877,7 +893,12 @@ def knn_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     exact = SIM.knn_brute_force(emb, queries, k=10)
-    approx = SIM.knn_sketch_probe(_sketch_indexed(spark, sf_dir), queries, k=10)
+    approx = SIM.knn_sketch_probe(
+        _sketch_indexed(spark, sf_dir),
+        queries,
+        k=10,
+        dim=_emb_dim(spark, sf_dir),
+    )
     return _knn_recall_contract(exact, approx, min_hits=8)
 
 
@@ -2719,7 +2740,7 @@ def _sketch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not os.path.isdir(path):  # offline build step, once per corpus
             emb = load_table(spark, sf_dir, "embeddings")
-            SIM.sketch_index(emb).write.parquet(path)
+            SIM.sketch_index(emb, dim=_emb_dim(spark, sf_dir)).write.parquet(path)
         _SRP_CACHE[key] = spark.read.parquet(path)
     return _SRP_CACHE[key]
 
@@ -2743,7 +2764,7 @@ def zz_knn_sketch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _sketch_indexed(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
-    probe = SIM.knn_sketch_probe(idx, queries, k=10)
+    probe = SIM.knn_sketch_probe(idx, queries, k=10, dim=_emb_dim(spark, sf_dir))
     return _knn_probe_contract(_gt_topk(spark, sf_dir), probe, min_hits=8)
 
 
@@ -3334,11 +3355,13 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     init) over the embeddings corpus — the cluster-then-sample backbone of
     semantic dedup / diversity curation. Declared output: per-cluster
     member count + rounded centroid L2 norm (counts and rounded norms are
-    fp-drift-safe; raw centroid coordinates are not declared). Plan: each
-    round is a broadcast join of the long-form (id,pos,val) relation
-    against the k*dim centroid relation with map-side combine, argmin as a
-    per-id window; only k*dim centroid doubles visit the driver between
-    rounds (operators/clustering.py)."""
+    fp-drift-safe; raw centroid coordinates are not declared). Plan: at
+    corpus size, each Lloyd round is ONE narrow mapInPandas pass emitting
+    k*dim map-side partial centroid sums (only k*dim doubles visit the
+    driver between rounds); below the hybrid LOCAL_FINISH_VECTORS cut the
+    identical iteration finishes driver-side — the same contraction-cut
+    pattern as the CC/pagerank loops (operators/clustering.py; parity
+    pinned by tests/test_clustering.py)."""
     from connected_data_lake_spark.operators import clustering as KM
 
     emb = load_table(spark, sf_dir, "embeddings")

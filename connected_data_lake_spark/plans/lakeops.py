@@ -4405,3 +4405,131 @@ def lakesync_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-FORMAT federation (round 14): one SQL statement over Delta +
+# Iceberg + Hudi tables registered side by side via Cdl.register_table
+# ---------------------------------------------------------------------------
+
+_FEDLAKE_CACHE: dict[str, str] = {}
+
+
+def _federated_lake_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture root holding the SAME logical schema split across the three
+    lakehouse formats — customer as a Delta table, orders as an Iceberg
+    table, supplier as a Hudi COW table — each written by this repo's own
+    spec-shaped writer (offline layout jobs; the declared query times the
+    federated read+join, not the one-time export, same contract as the
+    bucketed-join and IVF-index fixtures)."""
+    import os
+    import shutil
+    import tempfile
+
+    from connected_data_lake_spark.plans.extensions import _artifact_token
+    from connected_data_lake_spark.sources.delta_write import write_delta
+    from connected_data_lake_spark.sources.hudi import write_hudi
+    from connected_data_lake_spark.sources.iceberg_write import write_iceberg
+
+    key = f"{sf_dir}"
+    if key in _FEDLAKE_CACHE:
+        return _FEDLAKE_CACHE[key]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"cdl_fedlake_v1_{_artifact_token(sf_dir, 'orders')}",
+    )
+    done = os.path.join(root, "_DONE")
+    if not os.path.isfile(done):
+        # the Iceberg writer embeds ABSOLUTE file URIs in its manifests
+        # (spec behavior — see _iceberg_write_fixture), so every table
+        # builds at its FINAL path; a stale partial build is wiped first
+        # and the _DONE marker lands only after all three commits
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        write_delta(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey", "c_acctbal"
+            ),
+            os.path.join(root, "customer_delta"),
+            mode="error",
+        )
+        write_iceberg(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            os.path.join(root, "orders_iceberg"),
+            mode="error",
+        )
+        write_hudi(
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_nationkey"
+            ),
+            os.path.join(root, "supplier_hudi"),
+            record_key="s_suppkey",
+            mode="insert",
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    _FEDLAKE_CACHE[key] = root
+    return root
+
+
+@query(
+    "federated_lake_formats_join",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier GROUP BY s_nationkey
+    )
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           s.n_sup AS n_suppliers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN s ON s.s_nationkey = c.c_nationkey
+    GROUP BY c.c_nationkey, s.n_sup
+    ORDER BY nationkey
+    """,
+    tags=("lakeops", "federation"),
+)
+def federated_lake_formats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT federated join — the full "connected data lake":
+    customer hosted as Delta, orders as Iceberg, supplier as Hudi, all
+    three registered into one session via ``Cdl.register_table`` and
+    joined in a single ``Cdl.sql`` statement (three-way revenue-by-nation
+    with per-nation supplier counts). Matching the oracle's plain-parquet
+    join proves the three format readers agree on the SAME logical rows
+    through one federated plan. Scale shape: each leg is that format's
+    snapshot scan (file-list planning driver-side, data executor-side);
+    the join and aggregate are ordinary Catalyst shuffles — AQE picks
+    broadcast for the planning-sized supplier leg."""
+    from connected_data_lake_spark.filesystem import Cdl
+
+    root = _federated_lake_tables(spark, sf_dir)
+    cdl = Cdl(spark)
+    cdl.register_table(
+        "fed_customer_delta", f"{root}/customer_delta", format="delta"
+    )
+    cdl.register_table(
+        "fed_orders_iceberg", f"{root}/orders_iceberg", format="iceberg"
+    )
+    cdl.register_table(
+        "fed_supplier_hudi", f"{root}/supplier_hudi", format="hudi"
+    )
+    return cdl.sql(
+        """
+        WITH s AS (
+          SELECT s_nationkey, COUNT(*) AS n_sup
+          FROM fed_supplier_hudi GROUP BY s_nationkey
+        )
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue,
+               s.n_sup AS n_suppliers
+        FROM fed_orders_iceberg o
+        JOIN fed_customer_delta c ON o.o_custkey = c.c_custkey
+        JOIN s ON s.s_nationkey = c.c_nationkey
+        GROUP BY c.c_nationkey, s.n_sup
+        ORDER BY nationkey
+        """
+    )

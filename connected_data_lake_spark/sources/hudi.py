@@ -103,6 +103,22 @@ def _local(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+def table_type(path: str) -> str:
+    """``hoodie.table.type`` of the table at ``path`` (``COPY_ON_WRITE``
+    or ``MERGE_ON_READ``) — the routing key between :func:`read_hudi`
+    and :func:`read_hudi_mor` (``Cdl.register_table`` auto-routes on
+    it). Raises ``FileNotFoundError`` if ``path`` is not a Hudi table."""
+    props_path = os.path.join(_local(path), ".hoodie", "hoodie.properties")
+    if not os.path.isfile(props_path):
+        raise FileNotFoundError(
+            f"not a Hudi table (no .hoodie/hoodie.properties): {path}"
+        )
+    with open(props_path, encoding="utf-8") as fh:
+        return _read_properties(fh.read()).get(
+            "hoodie.table.type", "COPY_ON_WRITE"
+        )
+
+
 def _timeline_dirs(root: str) -> list[str]:
     """Active-timeline directories: ``.hoodie`` (0.x) and
     ``.hoodie/timeline`` (1.x layout) — whichever exist."""

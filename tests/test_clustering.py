@@ -63,3 +63,46 @@ def test_kmeans_assignment_is_nearest_final_centroid(spark):
         }
         best = min(d, key=lambda cid: (d[cid], cid))
         assert got[vid] == best, (vid, d, got[vid])
+
+
+def test_kmeans_local_finish_matches_distributed(spark):
+    """The hybrid local finish (sub-cut corpora collect and iterate
+    driver-side) must be value-identical to the distributed loop — same
+    seeds, same per-round round_dp rounding, same argmin tie-break, so
+    the only difference is float summation order, which the rounding
+    absorbs on these inputs."""
+    df = _blob_df(spark)
+    a_loc, c_loc = kmeans(df, k=3, n_iter=3)          # 10 rows → local
+    a_dst, c_dst = kmeans(df, k=3, n_iter=3, local_finish_vectors=0)
+    assert sorted(map(tuple, a_loc.collect())) == sorted(
+        map(tuple, a_dst.collect())
+    )
+    assert sorted(map(tuple, c_loc.collect())) == sorted(
+        map(tuple, c_dst.collect())
+    )
+
+
+def test_kmeans_local_finish_matches_distributed_on_corpus(spark):
+    """Same parity on the real embeddings table (64-dim, non-separable
+    clusters — exercises emptied-cluster drop-out and interior ties the
+    blob fixture can't)."""
+    from connected_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a_loc, c_loc = kmeans(emb, k=8, n_iter=3)
+    a_dst, c_dst = kmeans(emb, k=8, n_iter=3, local_finish_vectors=0)
+    assert sorted(map(tuple, a_loc.collect())) == sorted(
+        map(tuple, a_dst.collect())
+    )
+    assert sorted(map(tuple, c_loc.collect())) == sorted(
+        map(tuple, c_dst.collect())
+    )
+
+
+def test_kmeans_null_vector_rows_skip_both_paths(spark):
+    rows = [(0, [0.0, 0.0]), (1, None), (2, [10.0, 10.0]), (3, [10.1, 9.9])]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    for cut in (4096, 0):
+        assign, _ = kmeans(df, k=2, n_iter=2, local_finish_vectors=cut)
+        got = {r["vec_id"] for r in assign.collect()}
+        assert got == {0, 2, 3}, cut

@@ -411,15 +411,29 @@ def test_corpus_frequency_signals_join_on_shingle_hash(spark, sf_dir, name):
 
 
 def test_kmeans_assignment_is_narrow_map(spark, sf_dir):
-    """The k-means final-assignment must be a NARROW Arrow-batch map over
-    the native vector column (centroids ride in the task closure as k*dim
-    planning metadata) — no join, no explode, no shuffle of vector rows
-    anywhere in the assignment leg. The only joins allowed are the k-row
-    sizes×norms finish."""
-    plan = plan_of(spark, sf_dir, "cluster_kmeans_embeddings")
+    """The DISTRIBUTED k-means path (forced below the hybrid cut by
+    ``local_finish_vectors=0``) must plan the final assignment as a
+    NARROW Arrow-batch map over the native vector column (centroids ride
+    in the task closure as k*dim planning metadata) — no join, no
+    explode, no shuffle of vector rows anywhere in the assignment leg."""
+    from connected_data_lake_spark.operators.clustering import kmeans
+    from connected_data_lake_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _cent = kmeans(emb, k=8, n_iter=1, local_finish_vectors=0)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # no posexplode long form in the plan
+
+
+def test_kmeans_query_local_finish_plans_no_python_rounds(spark, sf_dir):
+    """At sub-cut corpus sizes the declared query takes the hybrid
+    LOCAL FINISH (LOCAL_FINISH_VECTORS): the result plan is local-relation
+    arithmetic — no MapInPandas stages, no scan of the vector column."""
+    plan = plan_of(spark, sf_dir, "cluster_kmeans_embeddings")
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_skew_kurtosis_is_partial_then_final(spark, sf_dir):
