@@ -848,6 +848,18 @@ ROTATED_GREEN_R13 = frozenset(
 REVERIFY_R14 = frozenset(
     {
         "agg_approx_distinct",
+        # exact_percentiles moved to the range-partitioned two-phase
+        # prefix sum (operators/percentile.py) — every consumer's
+        # executed plan changed, so all four re-enter the window.
+        # This makes 52 unrotated names for the 50-name window; the
+        # two alphabetically-last (stats_psi_value_drift,
+        # text_language_guess) spill into the NEXT round's window —
+        # they stay unrotated until driver-green, so the cross-round
+        # union remains monotone with no never-verified names:
+        "agg_median_percentile",
+        "agg_percentile_approx",
+        "events_anomaly_mad",
+        "stats_psi_value_drift",
         "cluster_kmeans_embeddings",
         "curation_semdedup",
         "dedup_cluster_assign",
