@@ -4436,7 +4436,12 @@ def _federated_lake_tables(spark: SparkSession, sf_dir: str) -> str:
         return _FEDLAKE_CACHE[key]
     root = os.path.join(
         tempfile.gettempdir(),
-        f"cdl_fedlake_v1_{_artifact_token(sf_dir, 'orders')}",
+        # v2: v1 briefly built via a stage-then-rename under
+        # ``<root>.build.<pid>`` — the Iceberg manifests embed ABSOLUTE
+        # URIs, so a renamed build is poisoned (its metadata points at
+        # the deleted staging dir). The version bump orphans any such
+        # on-disk v1 fixture instead of trusting its _DONE marker.
+        f"cdl_fedlake_v2_{_artifact_token(sf_dir, 'orders')}",
     )
     done = os.path.join(root, "_DONE")
     if not os.path.isfile(done):
