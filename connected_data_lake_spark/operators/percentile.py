@@ -16,18 +16,14 @@ and DuckDB ``quantile_cont()`` share) from a memory-bounded plan:
    number of *distinct* values per map partition (map-side combine), and
    the hash-agg state per task is one long per distinct value it sees,
    spillable by Spark's ordinary agg spill path.
-2. One RANGE-PARTITIONED ordered pass (the distributed two-phase prefix
-   sum, same shape as ``operators/stats.py::ks_two_sample``): the distinct
-   (group, value) relation range-repartitions on (group, value), each
-   partition computes its running cumulative count / ``lead`` locally,
-   and per-(partition, group) exclusive offsets + next-partition first
-   values (a planning-sized aggregate of the SAME exchange — Catalyst
-   reuses the shuffle) splice the partitions into exact group-wide
-   cumulative counts. Parallelism is value-range-wide, never #groups-wide
-   (a window partitioned by a 3-value group key serializes the whole
-   column onto 3 reducers); the per-partition sort is EXTERNAL — it
-   spills instead of growing a buffer, so a hot range degrades to IO,
-   never OOM.
+2. An ordered cumulative-count pass over the distinct relation, with two
+   strategies (see ``strategy`` below): the default ``'window'`` runs one
+   window pass per group ordered by value — the per-group sort is an
+   EXTERNAL sort (spills to disk instead of growing a buffer, so the
+   reducer holding a hot group degrades to IO, never OOM) — while
+   ``'range'`` runs the distributed two-phase prefix sum (the
+   ``operators/stats.py::ks_two_sample`` shape) whose parallelism tracks
+   the value range instead of the group count.
 3. For each requested fraction ``p``: the target 0-based position
    ``h = (n-1)·p`` falls inside exactly one distinct value's cumulative
    span ``[cum-cnt, cum-1]``; that row emits
@@ -36,11 +32,30 @@ and DuckDB ``quantile_cont()`` share) from a memory-bounded plan:
    value. A final tiny max-aggregate per group collapses the one non-null
    candidate per (group, fraction).
 
-Cost: one count-shuffle + one range-shuffle (planned once, read by both
-the offset aggregate and the ordered pass — ReusedExchange) + one
-broadcast of the planning-sized offset relation; no per-group in-memory
-value map anywhere in the plan (HashAggregate + partition-local Window,
-no ObjectHashAggregate, no single-reducer stage of any kind).
+Strategy trade (measured at sf0.1, 1.2M-row melted relation, 6 groups):
+``'window'`` completes the whole query in ~1.0 s — the same time as
+merely counting the distinct relation — because the ordered pass adds no
+extra exchange beyond the count shuffle. ``'range'`` costs ~4× that HERE
+(range-boundary sampling job + offset aggregate + broadcast splice are
+three extra stages of fixed floor), but is the right shape when distinct
+values ≈ corpus rows AND groups are few: a 3-group percentile over a raw
+continuous column at 100 TB would sort ~a third of the column per
+reducer under ``'window'`` (IO-degraded external sort), while ``'range'``
+spreads that sort value-range-wide. Quantized or naturally bounded value
+columns (3-decimal metrics, integer buckets — every in-repo consumer)
+keep the distinct relation small regardless of corpus size, so
+``'window'`` is the default; callers percentiling raw continuous columns
+with a handful of groups at cluster scale pass ``strategy='range'``.
+
+Cost (window): one count-shuffle + one group-partitioned sort window; no
+per-group in-memory value map anywhere in the plan (HashAggregate +
+Window, no ObjectHashAggregate). Cost (range): one count-shuffle + one
+range-shuffle (the aggregated relation is persisted on both sides of the
+exchange, so the RangePartitioner sampling pass and the offset aggregate
+read the cache instead of re-executing the aggregate) + one broadcast of
+the per-(partition, group) offset relation; the caller releases the two
+cached relations via ``operators.dedup.release_index`` (suite runners
+free session-wide via ``release_session_indexes``).
 """
 
 from __future__ import annotations
@@ -58,6 +73,7 @@ def exact_percentiles(
     value_col: str,
     fractions: Sequence[float],
     out_cols: Sequence[str],
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-group exact interpolated percentiles of ``value_col``.
 
@@ -66,9 +82,16 @@ def exact_percentiles(
     result as ``percentile(value_col, p)`` / ``quantile_cont(v, p)``).
     A group whose values are all NULL yields NULL quantiles, exactly as
     the aggregate functions behave under GROUP BY.
+
+    ``strategy``: ``'window'`` (default — one external-sort window per
+    group over the pre-aggregated distinct relation) or ``'range'`` (the
+    range-partitioned two-phase prefix sum; see the module docstring for
+    the trade and when to choose it).
     """
     if len(fractions) != len(out_cols):
         raise ValueError("fractions and out_cols must pair 1:1")
+    if strategy not in ("window", "range"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     g = list(group_cols)
     v = F.col(value_col).cast("double")
     # NULLs keep their (group, NULL) count row through the pipeline — an
@@ -77,24 +100,66 @@ def exact_percentiles(
     # never satisfy the in-span predicate below. One scan, no second pass.
     cnt = df.groupBy(*g, v.alias("_v")).agg(F.count("*").alias("_c"))
     nn = F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(F.lit(0))
-    # Cumulative counts via a RANGE-PARTITIONED two-phase prefix sum (the
-    # ks_two_sample shape, here with zero driver round-trips): a window
-    # partitioned by the group alone has parallelism = #groups — a
-    # 3-group fact table serializes onto 3 tasks (measured 1.9 s of a
-    # 2.3 s query at sf0.1; at 100x one reducer sorts the whole column).
-    # Range-repartition the distinct-value relation on (group, value), do
-    # the ordered work per PARTITION, and splice partitions together with
-    # per-(partition, group) exclusive offsets computed from a
-    # planning-sized aggregate of the SAME exchange (Catalyst plans the
-    # shuffle once — ReusedExchange — so nothing is scanned twice, and
-    # partition ids are consistent between the two consumers). The
-    # cross-partition pieces of the within-group ordering: the offset
-    # splices the cumulative count, ``_next_first`` splices ``lead``
-    # (the first value of the group's next populated partition).
+    if strategy == "window":
+        wsort = Window.partitionBy(*g).orderBy(F.asc_nulls_first("_v"))
+        wall = Window.partitionBy(*g)
+        marked = (
+            cnt.withColumn("_cum", F.sum(nn).over(wsort))
+            .withColumn("_n", F.sum(nn).over(wall))
+            .withColumn("_nxt", F.lead("_v").over(wsort))
+        )
+        return marked.groupBy(*g).agg(
+            *_interp_aggs(fractions, out_cols)
+        )
+    return _range_strategy(df, cnt, nn, g, fractions, out_cols)
+
+
+def _interp_aggs(fractions, out_cols):
+    aggs = []
+    for p, out in zip(fractions, out_cols):
+        h = (F.col("_n") - F.lit(1)) * F.lit(float(p))
+        lo = F.floor(h)
+        frac = h - lo
+        in_span = (lo >= F.col("_cum") - F.col("_c")) & (lo < F.col("_cum"))
+        v_hi = F.when(lo + 1 < F.col("_cum"), F.col("_v")).otherwise(
+            F.coalesce(F.col("_nxt"), F.col("_v"))
+        )
+        cand = F.when(in_span, F.col("_v") + frac * (v_hi - F.col("_v")))
+        aggs.append(F.max(cand).alias(out))
+    return aggs
+
+
+def _range_strategy(df, cnt, nn, g, fractions, out_cols):
+    """Cumulative counts via a RANGE-PARTITIONED two-phase prefix sum (the
+    ks_two_sample shape, with the offsets as a broadcast relation instead
+    of a driver collect — per-(partition, group) offsets are bounded by
+    n_parts x groups, NOT planning-sized when the group column is
+    high-cardinality). Range-repartition the distinct-value relation on
+    (group, value), do the ordered work per PARTITION, and splice
+    partitions together with per-(partition, group) exclusive offsets.
+    The cross-partition pieces of the within-group ordering: the offset
+    splices the cumulative count, ``_next_first`` splices ``lead`` (the
+    first value of the group's next populated partition)."""
+    from connected_data_lake_spark.operators.dedup import _with_persisted
+
+    # Persisted: RangePartitioner SAMPLES its child to place the range
+    # boundaries, which would re-execute the upstream aggregate a second
+    # time — the cache makes the sampling job the one materialization and
+    # the shuffle map stage a cache read.
+    cnt = cnt.persist()
+    # ``parts`` is persisted so the offset aggregate and the ordered pass
+    # read the SAME materialized partitioning — ``_pid`` consistency
+    # between the two consumers comes from the cache, and survives
+    # eviction because recomputing the identical lineage re-derives
+    # identical range boundaries (RangePartitioner's reservoir sample is
+    # seeded from the lineage id — the ks_two_sample determinism
+    # invariant, ADVICE r8).
     n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    parts = cnt.repartitionByRange(
-        n_parts, *g, F.asc_nulls_first("_v")
-    ).withColumn("_pid", F.spark_partition_id())
+    parts = (
+        cnt.repartitionByRange(n_parts, *g, F.asc_nulls_first("_v"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     wmeta = Window.partitionBy(*g).orderBy("_pid")
     meta = (
         parts.groupBy("_pid", *g)
@@ -121,15 +186,8 @@ def exact_percentiles(
             F.coalesce(F.lead("_v").over(wsort), F.col("_next_first")),
         )
     )
-    aggs = []
-    for p, out in zip(fractions, out_cols):
-        h = (F.col("_n") - F.lit(1)) * F.lit(float(p))
-        lo = F.floor(h)
-        frac = h - lo
-        in_span = (lo >= F.col("_cum") - F.col("_c")) & (lo < F.col("_cum"))
-        v_hi = F.when(lo + 1 < F.col("_cum"), F.col("_v")).otherwise(
-            F.coalesce(F.col("_nxt"), F.col("_v"))
-        )
-        cand = F.when(in_span, F.col("_v") + frac * (v_hi - F.col("_v")))
-        aggs.append(F.max(cand).alias(out))
-    return marked.groupBy(*g).agg(*aggs)
+    return _with_persisted(
+        marked.groupBy(*g).agg(*_interp_aggs(fractions, out_cols)),
+        cnt,
+        parts,
+    )

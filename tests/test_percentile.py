@@ -93,3 +93,41 @@ def test_fraction_name_mismatch_rejected(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         exact_percentiles(df, ["g"], "v", [0.5, 0.9], ["only_one"])
+
+
+def test_range_strategy_matches_window_strategy(spark):
+    """Both strategies are value-identical on mixed distributions
+    (duplicates, near-all-distinct, NULLs, an all-NULL group, groups
+    spanning several range partitions)."""
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.choice([float(rng.randrange(5)), rng.uniform(0, 1e6)]))
+        for _ in range(3000)
+    ]
+    rows += [("a", None)] * 20 + [("d", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    outs = [f"p{i}" for i in range(len(FRACTIONS))]
+    win = {
+        r["g"]: [r[o] for o in outs]
+        for r in exact_percentiles(df, ["g"], "v", FRACTIONS, outs).collect()
+    }
+    rng_out = exact_percentiles(
+        df, ["g"], "v", FRACTIONS, outs, strategy="range"
+    )
+    rngd = {r["g"]: [r[o] for o in outs] for r in rng_out.collect()}
+    from connected_data_lake_spark.operators.dedup import release_index
+
+    release_index(rng_out)
+    assert set(win) == set(rngd) == {"a", "b", "c", "d"}
+    for gk in win:
+        for a, b in zip(win[gk], rngd[gk]):
+            if a is None or b is None:
+                assert a is None and b is None, (gk, a, b)
+            else:
+                assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gk, a, b)
+
+
+def test_unknown_strategy_rejected(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        exact_percentiles(df, ["g"], "v", [0.5], ["m"], strategy="sorted")
