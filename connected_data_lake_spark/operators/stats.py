@@ -60,9 +60,18 @@ def ks_two_sample(
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     ev = df.filter(label.isin(label_a, label_b))
-    g = ev.groupBy(value.alias("value")).agg(
-        F.sum(F.when(label == label_a, 1).otherwise(0)).alias("c1"),
-        F.sum(F.when(label == label_b, 1).otherwise(0)).alias("c2"),
+    # Persisted: RangePartitioner SAMPLES its child to place the range
+    # boundaries, which would re-execute the fact-table aggregate a
+    # second time (the percentile operator's measured finding, r14) —
+    # the cache makes the sampling job the one materialization and the
+    # shuffle map stage a cache read.
+    g = (
+        ev.groupBy(value.alias("value"))
+        .agg(
+            F.sum(F.when(label == label_a, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(label == label_b, 1).otherwise(0)).alias("c2"),
+        )
+        .persist()
     )
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     parts = (
@@ -83,6 +92,7 @@ def ks_two_sample(
         r2 += r["s2"]
     if r1 == 0 or r2 == 0:
         parts.unpersist()
+        g.unpersist()
         raise ValueError(
             f"ks_two_sample: empty sample (n1={r1}, n2={r2}) — "
             "the statistic is undefined"
@@ -109,4 +119,4 @@ def ks_two_sample(
             F.max(F.abs(F.col("f1") - F.col("f2"))) * F.lit(scale), 4
         ).alias("ks_scaled"),
     )
-    return _with_persisted(out, parts)
+    return _with_persisted(out, g, parts)
