@@ -148,3 +148,33 @@ def test_federated_query_spec_matches_oracle(spark, duck):
     got = [tuple(r) for r in spec.spark(spark, "/root/testdata/sf0.001").collect()]
     want = [tuple(r) for r in duck.sql(spec.oracle).fetchall()]
     assert got == want
+
+
+def test_external_table_joins_rootfs_dataset(cdl, lake_trio, tmp_path):
+    """The full connected story in ONE statement: an external Delta table
+    joined against an ingested rootfs dataset's file metadata."""
+    import os as _os
+
+    root, _sf = lake_trio
+    src = tmp_path / "tree"
+    src.mkdir()
+    for key in (1, 2, 3):
+        (src / f"cust_{key}.txt").write_text("x" * key)
+    fs = cdl.open(f"local://{src}")
+    fs.load(max_chunk_size=0)
+    cdl.register_table("x_cust", _os.path.join(root, "cust_delta"), format="delta")
+    rows = cdl.sql(
+        f"""
+        SELECT r.name, r.size, COUNT(c.c_custkey) AS n
+        FROM {fs.view_name} r
+        LEFT JOIN x_cust c
+          ON c.c_custkey = CAST(regexp_extract(r.name, 'cust_(\\\\d+)', 1) AS BIGINT)
+        WHERE r.size IS NOT NULL
+        GROUP BY r.name, r.size ORDER BY r.name
+        """
+    ).collect()
+    assert [(r["name"], r["size"], r["n"]) for r in rows] == [
+        ("cust_1.txt", 1, 1),
+        ("cust_2.txt", 2, 1),
+        ("cust_3.txt", 3, 1),
+    ]
