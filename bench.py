@@ -39,6 +39,7 @@ if REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    gc_between = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -190,6 +191,18 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 duck_timings[name] = -1.0
                 print(f"# duck control error {name}: {exc}", file=sys.stderr)
+        if gc_between:
+            # UNTIMED between-query hygiene (off by default, stamped into
+            # the record when on): queries late in the alphabet measured
+            # 1.5-1.8x their standalone time in-suite while early draws'
+            # values matched standalone — consistent with accumulated JVM
+            # old-gen pressure from 231 queries sharing one driver JVM.
+            # A forced full GC between queries charges collection cost to
+            # the gap instead of a random later query's timed window.
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     def _family(name: str) -> str:
         stem = name[2:] if name.startswith("z_") else name
@@ -215,7 +228,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "protocol": f"median_of_{n_runs}_after_1_warmup",
+        "protocol": f"median_of_{n_runs}_after_1_warmup"
+        + ("+gc_between_queries" if gc_between else ""),
         "duck_control_total": duck_total or None,
         "shuffle_partitions": shuffle_partitions,
     }
