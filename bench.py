@@ -119,21 +119,41 @@ def main() -> None:
     registry_ids = persist_tables(spark, sf_dir)
     cache_leaks: set[str] = set()
 
-    # paired DuckDB control, INTERLEAVED per query (round 14): the
-    # control used to run as one separate pass after every Spark query —
-    # a multi-minute gap on a shared host, so an ambient contention
-    # burst could hit one side only and swing the DRAW ratio ±0.5 on
-    # identical code (r14 observed 1.55-2.58 across five draws of one
-    # tree). Timing each query's control immediately after its Spark
-    # runs makes every per-query ratio contemporaneous; the draw ratio
-    # then reflects engine work, not which side the burst landed on.
-    # Same work as before (one control execution per query), same knob.
+    # paired DuckDB control. Placement knob (SPARK_GRAFT_BENCH_CONTROL):
+    #
+    # - "trailing" (default): the control runs as ONE uncontended pass
+    #   after the whole Spark phase. Risk: a weather change between the
+    #   phases lands on one side only (r14 observed 1.55-2.58 across
+    #   five draws of one tree) — mitigated by drawing repeatedly and
+    #   stratifying on the control total (BENCH.md selection rule).
+    # - "interleaved": each query's control runs right after its Spark
+    #   runs (contemporaneous per-query ratios). Adopted mid-r14 for
+    #   the burst asymmetry, then REVERTED on direct measurement: the
+    #   32-thread engines contaminate each other two-sidedly — same
+    #   tree, same host session measured spark-only 127.3/117.4 s
+    #   (8g/24g) and duck-only 59.0 s, while interleaved draws ran
+    #   spark 135-163 s against control 66-86 s. Interleaving inflates
+    #   BOTH phases (thermal/cache/allocator churn at every switch) by
+    #   more than the weather drift it was hedging, and the inflation
+    #   is not ratio-neutral. Both placements do identical work.
     duck_timings: dict[str, float] = {}
     duck_con = None
+    control_placement = os.environ.get("SPARK_GRAFT_BENCH_CONTROL", "trailing")
+    if control_placement not in ("trailing", "interleaved"):
+        raise ValueError(f"unknown control placement {control_placement!r}")
     if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
         from tools.oracle_check import duck_connection
 
         duck_con = duck_connection(sf_dir)
+
+    def _duck_once(con, name, oracle, out) -> None:
+        try:
+            start = time.perf_counter()
+            con.execute(oracle).fetchall()
+            out[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001
+            out[name] = -1.0
+            print(f"# duck control error {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -183,14 +203,12 @@ def main() -> None:
             release_session_indexes()
             spark.catalog.clearCache()
             registry_ids = persist_tables(spark, sf_dir)
-        if duck_con is not None and spec.oracle:
-            try:
-                start = time.perf_counter()
-                duck_con.execute(spec.oracle).fetchall()
-                duck_timings[name] = round(time.perf_counter() - start, 4)
-            except Exception as exc:  # noqa: BLE001
-                duck_timings[name] = -1.0
-                print(f"# duck control error {name}: {exc}", file=sys.stderr)
+        if (
+            duck_con is not None
+            and spec.oracle
+            and control_placement == "interleaved"
+        ):
+            _duck_once(duck_con, name, spec.oracle, duck_timings)
         if gc_between:
             # UNTIMED between-query hygiene (off by default, stamped into
             # the record when on): queries late in the alphabet measured
@@ -203,6 +221,13 @@ def main() -> None:
 
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
+
+    if duck_con is not None and control_placement == "trailing":
+        # one uncontended control pass over the whole oracle suite,
+        # immediately after the Spark phase (see placement note above)
+        for name in sorted(specs):
+            if specs[name].oracle:
+                _duck_once(duck_con, name, specs[name].oracle, duck_timings)
 
     def _family(name: str) -> str:
         stem = name[2:] if name.startswith("z_") else name
@@ -229,7 +254,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "protocol": f"median_of_{n_runs}_after_1_warmup"
-        + ("+gc_between_queries" if gc_between else ""),
+        + ("+gc_between_queries" if gc_between else "")
+        + (
+            f"+control_{control_placement}"
+            if duck_con is not None
+            else ""
+        ),
         "duck_control_total": duck_total or None,
         "shuffle_partitions": shuffle_partitions,
     }

@@ -115,7 +115,15 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g default (was 8g): in LOCAL mode the driver heap is also the
+        # executor heap for all worker threads; an 8g heap under a
+        # 32-thread suite run measured ~8% suite-wide GC drag (paired
+        # control-free draws: 127.3 s @8g vs 117.4 s @24g, BENCH.md r14),
+        # concentrated in the shuffle-heavy tail. 48g measured WORSE in
+        # its draw (longer pauses / page faults — ledger draw H), so the
+        # default stays at the measured knee. Cluster deployments size
+        # executors explicitly; this only seeds local mode.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
