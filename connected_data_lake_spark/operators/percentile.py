@@ -88,10 +88,6 @@ def exact_percentiles(
     range-partitioned two-phase prefix sum; see the module docstring for
     the trade and when to choose it).
     """
-    if len(fractions) != len(out_cols):
-        raise ValueError("fractions and out_cols must pair 1:1")
-    if strategy not in ("window", "range"):
-        raise ValueError(f"unknown strategy {strategy!r}")
     g = list(group_cols)
     v = F.col(value_col).cast("double")
     # NULLs keep their (group, NULL) count row through the pipeline — an
@@ -99,6 +95,33 @@ def exact_percentiles(
     # cumulative/total counts, and (sorting NULLS FIRST at cum = 0) can
     # never satisfy the in-span predicate below. One scan, no second pass.
     cnt = df.groupBy(*g, v.alias("_v")).agg(F.count("*").alias("_c"))
+    return exact_percentiles_from_counts(
+        cnt, g, fractions, out_cols, strategy
+    )
+
+
+def exact_percentiles_from_counts(
+    cnt: DataFrame,
+    group_cols: Sequence[str],
+    fractions: Sequence[float],
+    out_cols: Sequence[str],
+    strategy: str = "window",
+) -> DataFrame:
+    """Per-group exact interpolated percentiles over a PRE-AGGREGATED
+    distinct-value relation ``cnt`` with columns ``(*group_cols, _v
+    double, _c long)`` — one row per (group, distinct value), ``_c`` its
+    multiplicity (``_v`` may be NULL, carrying the group's NULL count).
+
+    Same result as :func:`exact_percentiles` over the expanded multiset.
+    This is the sharing entry point for callers that already hold (or
+    reuse) the counts relation — e.g. a MAD pipeline that derives
+    deviations from the same quantized distinct values (one corpus scan
+    for the whole statistic instead of one per percentile pass)."""
+    if len(fractions) != len(out_cols):
+        raise ValueError("fractions and out_cols must pair 1:1")
+    if strategy not in ("window", "range"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    g = list(group_cols)
     nn = F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(F.lit(0))
     if strategy == "window":
         wsort = Window.partitionBy(*g).orderBy(F.asc_nulls_first("_v"))
@@ -111,7 +134,7 @@ def exact_percentiles(
         return marked.groupBy(*g).agg(
             *_interp_aggs(fractions, out_cols)
         )
-    return _range_strategy(df, cnt, nn, g, fractions, out_cols)
+    return _range_strategy(cnt, nn, g, fractions, out_cols)
 
 
 def _interp_aggs(fractions, out_cols):
@@ -129,7 +152,7 @@ def _interp_aggs(fractions, out_cols):
     return aggs
 
 
-def _range_strategy(df, cnt, nn, g, fractions, out_cols):
+def _range_strategy(cnt, nn, g, fractions, out_cols):
     """Cumulative counts via a RANGE-PARTITIONED two-phase prefix sum (the
     ks_two_sample shape, with the offsets as a broadcast relation instead
     of a driver collect — per-(partition, group) offsets are bounded by
@@ -154,7 +177,7 @@ def _range_strategy(df, cnt, nn, g, fractions, out_cols):
     # identical range boundaries (RangePartitioner's reservoir sample is
     # seeded from the lineage id — the ks_two_sample determinism
     # invariant, ADVICE r8).
-    n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    n_parts = max(2, cnt.sparkSession.sparkContext.defaultParallelism)
     parts = (
         cnt.repartitionByRange(n_parts, *g, F.asc_nulls_first("_v"))
         .withColumn("_pid", F.spark_partition_id())
