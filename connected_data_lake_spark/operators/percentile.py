@@ -84,12 +84,19 @@ def exact_percentiles(
     the aggregate functions behave under GROUP BY.
 
     ``strategy``: ``'window'`` (default — one external-sort window per
-    group over the pre-aggregated distinct relation) or ``'range'`` (the
+    group over the pre-aggregated distinct relation), ``'range'`` (the
     range-partitioned two-phase prefix sum; see the module docstring for
-    the trade and when to choose it).
+    the trade and when to choose it), or ``'bucket'`` (two-pass
+    histogram-narrowing — see :func:`_bucket_strategy`; the shape for
+    near-all-distinct value columns, where the counts pre-aggregation
+    achieves no reduction and the per-group sort is the whole column).
     """
     g = list(group_cols)
     v = F.col(value_col).cast("double")
+    if strategy == "bucket":
+        if len(fractions) != len(out_cols):
+            raise ValueError("fractions and out_cols must pair 1:1")
+        return _bucket_strategy(df, g, v, fractions, out_cols)
     # NULLs keep their (group, NULL) count row through the pipeline — an
     # all-NULL group must still emit a result row — but contribute 0 to the
     # cumulative/total counts, and (sorting NULLS FIRST at cum = 0) can
@@ -98,6 +105,114 @@ def exact_percentiles(
     return exact_percentiles_from_counts(
         cnt, g, fractions, out_cols, strategy
     )
+
+
+def _bucket_col(v):
+    """Monotone (order-preserving) data-independent bucket id for a double:
+    sign · floor(32·log2(1+|v|)) — 32 sub-buckets per octave, so the
+    bucket count is bounded by 32·log2(max|v|) (~2.1k for |v| ≤ 1e20)
+    REGARDLESS of row count or distinct-value count. Monotone because
+    log2(1+|x|) is monotone in |x| and the sign flip mirrors it for
+    negatives; floor only merges ADJACENT values, which is exactly what a
+    histogram bucket is allowed to do. NULL stays NULL (sorts first, like
+    the NULL value rows it summarizes)."""
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        # NaN sorts greatest in Spark but CAST(NaN AS LONG) is 0 — pin it
+        # to the top bucket (shared with +Inf, its order-neighbour) to
+        # keep the bucket id monotone in the value ordering
+        .when(F.isnan(v), F.lit(9223372036854775807))
+        .otherwise((F.signum(v) * F.floor(F.log2(F.abs(v) + 1) * 32)).cast("long"))
+    )
+
+
+def _bucket_strategy(df, g, v, fractions, out_cols):
+    """Two-pass histogram narrowing for exact percentiles over
+    near-all-distinct value columns.
+
+    Pass 1 aggregates counts per (group, log-bucket) — the shuffle is
+    bounded by groups × ~2k buckets with full map-side combine, where the
+    counts+window shape shuffles every distinct value (no reduction at
+    all when values are near-unique, e.g. prices). A per-group window
+    over that TINY histogram locates, for each requested fraction, the
+    bucket containing rank floor(h) (the same in-span arithmetic as the
+    value-level pass) and flags it plus its successor bucket (the
+    interpolation upper neighbour can be the next bucket's first value).
+
+    Pass 2 re-scans the source, keeps only rows in flagged buckets (a
+    broadcast hash semi-filter — rows outside the span buckets never
+    enter a shuffle), and runs the ordinary counts+window interpolation
+    inside them, splicing cumulative counts with the per-bucket exclusive
+    offsets from pass 1. Both windows run over span-bucket rows only.
+
+    Identical result to the window strategy: same type-7 formula over the
+    same (v_lo, v_hi, n, h) doubles — pass 1 only decides WHICH rows can
+    carry the answer, never the arithmetic. At scale: two scans and two
+    tiny shuffles versus one scan plus a full-column shuffle and a
+    per-group sort of the whole column — the scan is the cheap, pruned,
+    columnar part; the shuffle/sort is what kills."""
+    import functools
+
+    src = df.select(*g, v.alias("_v"), _bucket_col(v).alias("_b"))
+    bc = src.groupBy(*g, "_b").agg(F.count("*").alias("_c"))
+    nnb = F.when(F.col("_b").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    wsort = Window.partitionBy(*g).orderBy(F.asc_nulls_first("_b"))
+    wall = Window.partitionBy(*g)
+    meta = bc.withColumn("_cum", F.sum(nnb).over(wsort)).withColumn(
+        "_n", F.sum(nnb).over(wall)
+    )
+    spans = []
+    for p in fractions:
+        h = (F.col("_n") - F.lit(1)) * F.lit(float(p))
+        lo = F.floor(h)
+        spans.append((lo >= F.col("_cum") - F.col("_c")) & (lo < F.col("_cum")))
+    # an all-NULL group's NULL bucket carries no rank at fraction 0.0
+    # (lo = 0 never lands inside a zero-width span) but the group must
+    # still emit its NULL-result row — always select it
+    any_span = functools.reduce(lambda a, b: a | b, spans) | (
+        (F.col("_n") == 0) & F.col("_b").isNull()
+    )
+    sel = (
+        meta.withColumn("_sp", any_span)
+        .withColumn(
+            # a bucket is needed if it carries a target rank itself OR is
+            # the successor of one (bc holds only non-empty buckets, so
+            # the previous histogram row IS the previous non-empty bucket)
+            "_need",
+            F.col("_sp") | F.coalesce(F.lag("_sp").over(wsort), F.lit(False)),
+        )
+        .filter(F.col("_need"))
+        .select(
+            *[F.col(c).alias(f"_g_{c}") for c in g],
+            F.col("_b").alias("_sb"),
+            (F.col("_cum") - nnb).alias("_base"),
+            "_n",
+        )
+    )
+    on = functools.reduce(
+        lambda a, b: a & b,
+        [src[c].eqNullSafe(F.col(f"_g_{c}")) for c in g]
+        + [src["_b"].eqNullSafe(F.col("_sb"))],
+    )
+    hit = src.join(F.broadcast(sel), on).select(
+        *g, "_v", "_b", "_base", "_n"
+    )
+    cnt = hit.groupBy(*g, "_b", "_base", "_n", "_v").agg(
+        F.count("*").alias("_c")
+    )
+    nn = F.when(F.col("_v").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    wb = Window.partitionBy(*g, "_b").orderBy(F.asc_nulls_first("_v"))
+    wg = Window.partitionBy(*g).orderBy(F.asc_nulls_first("_v"))
+    marked = cnt.withColumn("_cum", F.col("_base") + F.sum(nn).over(wb)).withColumn(
+        # the global-in-group lead is correct exactly where it matters: an
+        # in-span row's next distinct value is either in its own bucket or
+        # the first value of the successor bucket, and the successor is
+        # always selected; other rows' leads may jump pruned-out gaps but
+        # never satisfy the in-span predicate
+        "_nxt",
+        F.lead("_v").over(wg),
+    )
+    return marked.groupBy(*g).agg(*_interp_aggs(fractions, out_cols))
 
 
 def exact_percentiles_from_counts(

@@ -713,8 +713,19 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("l_returnflag", F.col("x.w").alias("w"), F.col("x.v").alias("v"))
+    # strategy='bucket': l_extendedprice is near-all-distinct, so the
+    # counts pre-aggregation shuffles ~every row and the per-group window
+    # sorts whole columns on #groups tasks; the histogram-narrowing pass
+    # shuffles only (group, log-bucket) counts and sorts only the span
+    # buckets' rows (measured 2.62 s -> see OPTIMIZATION_r14.md; plan gate
+    # in tests/test_plan_quality.py keeps the narrow broadcast shape)
     pct = exact_percentiles(
-        melted, ["l_returnflag", "w"], "v", [0.5, 0.25, 0.95], ["_p50", "_p25", "_p95"]
+        melted,
+        ["l_returnflag", "w"],
+        "v",
+        [0.5, 0.25, 0.95],
+        ["_p50", "_p25", "_p95"],
+        strategy="bucket",
     )
     return (
         pct.groupBy("l_returnflag")
@@ -812,7 +823,12 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     exact = exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5], ["_exact"]
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5],
+        ["_exact"],
+        strategy="bucket",
     )
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx")
@@ -2522,16 +2538,30 @@ def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel on the orderkey."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    lines = (
+    # Basket form instead of the self-join: collect each order's DISTINCT
+    # brands as one sorted set (collect_set dedupes in the aggregation,
+    # replacing the standalone DISTINCT), then explode the i<j pairs
+    # per basket. Same pair multiset as the a.k = b.k AND brand_a <
+    # brand_b self-join, but ONE corpus shuffle (on l_orderkey) instead
+    # of two distinct-aggregations plus a sort-merge self-join — the
+    # whole shared subtree used to execute twice (no ReusedExchange:
+    # plans/r14/z_join_cooccurrence_before.txt shows both BroadcastHashJoin
+    # + double-HashAggregate chains). Fanout is still bounded by basket
+    # size (the standard co-occurrence cost), generated value-local in
+    # the explode instead of through a join.
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    a = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
-    b = lines.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.posexplode("bs").alias("_i", "brand_a"), "bs")
+        .select(
+            "brand_a",
+            F.explode(
+                F.slice(F.col("bs"), F.col("_i") + 2, F.size("bs"))
+            ).alias("brand_b"),
+        )
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_orders"))
     )

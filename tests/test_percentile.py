@@ -127,6 +127,62 @@ def test_range_strategy_matches_window_strategy(spark):
                 assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gk, a, b)
 
 
+def test_bucket_strategy_matches_window_strategy(spark):
+    """The histogram-narrowing strategy is value-identical to the window
+    strategy on mixed distributions: negatives (mirrored bucket ids),
+    heavy duplicates (whole groups inside one bucket), near-all-distinct
+    values, NULLs, an all-NULL group, and boundary fractions 0.0/1.0
+    (rank at the first/last value, where the successor-bucket selection
+    and the group-level lead must line up)."""
+    rng = random.Random(13)
+    rows = [
+        (
+            rng.choice(["a", "b", "c"]),
+            rng.choice(
+                [float(rng.randrange(5)), rng.uniform(-1e6, 1e6), 0.0]
+            ),
+        )
+        for _ in range(3000)
+    ]
+    rows += [("a", None)] * 20 + [("d", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    outs = [f"p{i}" for i in range(len(FRACTIONS))]
+    win = {
+        r["g"]: [r[o] for o in outs]
+        for r in exact_percentiles(df, ["g"], "v", FRACTIONS, outs).collect()
+    }
+    bkt = {
+        r["g"]: [r[o] for o in outs]
+        for r in exact_percentiles(
+            df, ["g"], "v", FRACTIONS, outs, strategy="bucket"
+        ).collect()
+    }
+    assert set(win) == set(bkt) == {"a", "b", "c", "d"}
+    for gk in win:
+        for a, b in zip(win[gk], bkt[gk]):
+            if a is None or b is None:
+                assert a is None and b is None, (gk, a, b)
+            else:
+                assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gk, a, b)
+
+
+def test_bucket_strategy_all_null_group_fraction_zero(spark):
+    """Degenerate corner: an all-NULL group queried ONLY at fraction 0.0
+    has no in-span bucket at all (lo = 0 against a zero-width span) —
+    the group row must still appear with a NULL result."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("d", None), ("d", None)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: r["p0"]
+        for r in exact_percentiles(
+            df, ["g"], "v", [0.0], ["p0"], strategy="bucket"
+        ).collect()
+    }
+    assert out == {"a": 1.0, "d": None}
+
+
 def test_unknown_strategy_rejected(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError):

@@ -278,6 +278,19 @@ def test_batch4_joins_are_hash_equality(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("name", ["agg_median_percentile", "agg_percentile_approx"])
+def test_percentile_bucket_narrowing_shape(spark, sf_dir, name):
+    """The histogram-narrowing exact-percentile pass must apply the
+    span-bucket filter as a BROADCAST hash join against the tiny selected-
+    bucket relation (never a sort-merge join over the value column) and
+    keep every window partitioned by group — the whole point of the
+    strategy is that nothing full-column ever enters a shuffle or sort."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_q17_part_dim_broadcasts_and_window_stays_partitioned(spark, sf_dir):
     """Q17's decorrelated plan: the brand+type part slice broadcasts into
     ONE lineitem scan, and the per-part AVG window is partitioned by
