@@ -293,6 +293,7 @@ def minhash_lsh_candidates(
     bands: int = 32,
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
+    with_est: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH:
     (id_a, id_b, est_jaccard) with id_a < id_b.
@@ -300,7 +301,10 @@ def minhash_lsh_candidates(
     bands×rows = num_hashes; a pair collides if any band's row-slice hashes
     equal. est_jaccard = fraction of equal signature positions. Pass a
     prebuilt ``shingles`` relation (:func:`shingle_relation`) to share the
-    shingling pass with the verify step.
+    shingling pass with the verify step. ``with_est=False`` drops the
+    est_jaccard column (and the signature re-attach joins that produce
+    it) — the right call when the candidates feed an exact-Jaccard verify
+    step that never reads the estimate.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -321,9 +325,15 @@ def minhash_lsh_candidates(
         .filter(F.col("sig").isNotNull())
         .persist()
     )
+    # The self-joined band relation carries (id, band, band_hash) ONLY —
+    # 24 bytes/row. An earlier shape exploded the 128-long signature array
+    # through the band join (~1 KB × bands per doc on BOTH sides, ~40x the
+    # shuffle bytes) so est could be computed per collision; the estimate
+    # is now attached per DISTINCT surviving pair below, from the persisted
+    # sig relation, which also evaluates the 128-position compare once per
+    # pair instead of once per colliding band.
     bucketed = sig.select(
         "id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -333,30 +343,41 @@ def minhash_lsh_candidates(
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    # est_jaccard is computed BEFORE the pair-dedup shuffle so only
-    # (id_a, id_b, est) crosses the wire — shuffling both 128-long
-    # signature arrays per colliding band was ~50x the bytes
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ).cast("double")
-    out = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(est / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _with_persisted(out, sig, shingles)
+    if with_est:
+        est = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_sig_a"), F.col("_sig_b"), lambda x, y: (x == y).cast("int")
+                ),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        pairs = (
+            pairs.join(
+                sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sig_a")),
+                "id_a",
+            )
+            .join(
+                sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sig_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(est / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            )
+        )
+    return _with_persisted(pairs, sig, shingles)
 
 
 def minhash_bands(

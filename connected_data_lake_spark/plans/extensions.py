@@ -387,7 +387,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on exact Jaccard, so spurious candidates can never appear."""
     docs = load_table(spark, sf_dir, "documents")
     sh = DD.shingle_relation(docs)  # one shingling pass: signatures + verify
-    cand = DD.minhash_lsh_candidates(docs, num_hashes=128, bands=32, shingles=sh)
+    cand = DD.minhash_lsh_candidates(
+        docs, num_hashes=128, bands=32, shingles=sh, with_est=False
+    )
     return DD.jaccard_verify(cand, docs, threshold=0.5, shingles=sh).orderBy("id_a", "id_b")
 
 
@@ -1435,43 +1437,55 @@ def zz_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed = docs.filter(TX.quality_score("text") == 1.0)
     surv = DD.exact_dedup(passed)  # min-doc_id survivor per fingerprint
     sh = DD.shingle_relation(surv)  # one shingling pass: LSH + verify
-    cand = DD.minhash_lsh_candidates(surv, num_hashes=128, bands=32, shingles=sh)
+    cand = DD.minhash_lsh_candidates(
+        surv, num_hashes=128, bands=32, shingles=sh, with_est=False
+    )
     pairs = DD.jaccard_verify(cand, surv, threshold=0.5, shingles=sh)
     kept = surv.join(
         pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
     )
     nrm = TX.normalize_text("text")
-    sw = local_df(
-        spark,
-        [
-            (tok, lang, pri)
-            for pri, (lang, words) in enumerate(TXL.items())
-            for tok in words
-        ],
-        "tok string, lang string, pri int",
-    )
-    best = (
-        kept.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-        .join(F.broadcast(sw), "tok")
-        .groupBy("doc_id", "lang", "pri")
-        .agg(F.count("*").alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            F.min_by(
-                F.col("lang"), F.struct((-F.col("n")).alias("neg_n"), F.col("pri"))
-            ).alias("lang_guess")
-        )
-    )
-    per_doc = kept.select(
+    # ``kept`` is consumed exactly ONCE, scan-locally. The previous shape
+    # consumed it twice (token-explode/stopword-join vote branch +
+    # doc-level token-count branch joined back on doc_id), and since
+    # kept's lineage contains the whole LSH band join + Jaccard verify,
+    # Catalyst executed that subtree twice — no ReusedExchange across the
+    # two consumers. The vote itself needs no explode/join/shuffle at
+    # all: per-language stopword hit counts are array filters over the
+    # token array, argmax'd by a CASE cascade in TXL priority order —
+    # exactly the oracle's formulation, and value-identical to the old
+    # min_by((-n, pri)) vote ('und' iff every count is 0). The layered
+    # projections are load-bearing: normalize / tokenize+bpe / scores are
+    # separate select()s so CollapseProject keeps each non-cheap
+    # expression (regex, split, size(filter(...))) single-evaluation
+    # instead of inlining it per reference — same discipline as
+    # functions.text.quality_score_from (text_language_guess measured the
+    # naive inlined-HOF form at ~10 tokenization passes per row).
+    normed = kept.select("doc_id", nrm.alias("_nrm"))
+    toked = normed.select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(nrm, F.lit(TX.BPE_ISH_PATTERN), F.lit(0))
+            F.regexp_extract_all("_nrm", F.lit(TX.BPE_ISH_PATTERN), F.lit(0))
         ).cast("bigint").alias("bpe_tokens"),
-    ).join(best, "doc_id", "left")
+        F.split("_nrm", " ").alias("_toks"),
+    )
+    def _hits(words):
+        # single-arg lambda via closure: a 2-arg lambda (t, default-bound
+        # array) would be called by F.filter as (element, index)
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t)))
+
+    score_cols = [
+        _hits(words).alias(f"_s_{lang}") for lang, words in TXL.items()
+    ]
+    scored = toked.select("doc_id", "bpe_tokens", *score_cols)
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in TXL])
+    guess = F.lit("und")
+    for lang in reversed(list(TXL)):
+        guess = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best > 0, guess).otherwise(F.lit("und"))
     return (
-        per_doc.select(
-            F.coalesce("lang_guess", F.lit("und")).alias("lang_guess"), "bpe_tokens"
-        )
+        scored.select(guess.alias("lang_guess"), "bpe_tokens")
         .groupBy("lang_guess")
         .agg(
             F.count("*").alias("n_docs"),
@@ -3135,7 +3149,11 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
     surv = ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    docs_per = passed.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # every passed doc emits >= 1 chunk (start i=1 is unconditional), so
+    # the doc census can be read off the persisted chunk relation instead
+    # of re-running the scan + normalization regexes a second time —
+    # ``passed`` now has exactly one consumer
+    docs_per = ch.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
     chunks_per = ch.groupBy("lang").agg(F.count("*").alias("n_chunks"))
     uniq_per = surv.groupBy("lang").agg(
         F.count("*").alias("n_unique_chunks"),
