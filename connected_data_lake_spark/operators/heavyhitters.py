@@ -39,6 +39,8 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
     rows), as ``(item, cnt)`` — computed with the two-phase candidate /
     verify plan above. ``k`` bounds both the result size (< k items) and
     the per-partition candidate memory."""
+    from connected_data_lake_spark.operators.dedup import _with_persisted
+
     items = df.select(F.col(item_col).alias("item"))
 
     def _local_counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -48,27 +50,39 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
             n_p += len(b)
             for item, c in b["item"].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
-        if counts:
+        if n_p:
             out = pd.DataFrame(
                 {"item": list(counts.keys()), "cnt": list(counts.values())}
             )
-            yield out[out["cnt"] * k > n_p]
+            out = out[out["cnt"] * k > n_p]
+            # sentinel row (item NULL): this partition's total occurrence
+            # count — the global n rides along with the candidates, so no
+            # separate full counting pass over the item stream is needed
+            yield pd.concat(
+                [out, pd.DataFrame({"item": [None], "cnt": [n_p]})],
+                ignore_index=True,
+            )
 
-    # candidates: <= k rows PER PARTITION — bounded per task but not
+    # candidates: <= k+1 rows PER PARTITION — bounded per task but not
     # globally (k=200 x thousands of partitions at 100 TB), so they stay a
     # DataFrame and reach the verify scan as a broadcast hash semi join
     # rather than a driver-collected literal IN list whose expression tree
-    # would grow with the partition count (ADVICE r8).
-    cand_df = (
-        items.mapInPandas(_local_counts, "item string, cnt long")
-        .select("item")
-        .distinct()
+    # would grow with the partition count (ADVICE r8). Persisted: the
+    # relation is read twice (n scalar + candidate set) and each re-read
+    # would otherwise re-run the full candidate scan — with it, the item
+    # stream is scanned exactly twice overall (candidates + verify),
+    # which is the two-phase method's floor.
+    cand_all = items.mapInPandas(_local_counts, "item string, cnt long").persist()
+    n = (
+        cand_all.filter(F.col("item").isNull())
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+        .collect()[0][0]
     )
-    n = items.count()
+    cand_df = cand_all.filter(F.col("item").isNotNull()).select("item").distinct()
     verified = (
         items.join(F.broadcast(cand_df), "item", "left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(n))
     )
-    return verified
+    return _with_persisted(verified, cand_all)

@@ -1870,11 +1870,19 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     near_pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5)
     near = near_pairs.select("id_a", "id_b")
-    fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    exact = a.join(
-        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # exact-dup edges as a STAR (each doc -> its fingerprint group's min
+    # id), not the fp x fp self-join: identical connected components, but
+    # O(k) edges per k-duplicate group instead of O(k^2) — the self-join
+    # is a quadratic blowup on hot fingerprints (think empty/boilerplate
+    # docs at corpus scale) — and one window shuffle instead of the
+    # two-sided join exchange.
+    wfp = Window.partitionBy("fp")
+    exact = (
+        docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .withColumn("m", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
     comp = GR.connected_components(near.unionAll(exact))
     w = Window.partitionBy("cluster_id")
     out = (
@@ -1904,11 +1912,19 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     near_pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5)
     near = near_pairs.select("id_a", "id_b")
-    fp = docs.select("doc_id", TX.fingerprint("text").alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    exact = a.join(
-        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # exact-dup edges as a STAR (each doc -> its fingerprint group's min
+    # id), not the fp x fp self-join: identical connected components, but
+    # O(k) edges per k-duplicate group instead of O(k^2) — the self-join
+    # is a quadratic blowup on hot fingerprints (think empty/boilerplate
+    # docs at corpus scale) — and one window shuffle instead of the
+    # two-sided join exchange.
+    wfp = Window.partitionBy("fp")
+    exact = (
+        docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .withColumn("m", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
     comp = GR.connected_components(near.unionAll(exact), algorithm="star")
     w = Window.partitionBy("cluster_id")
     out = (
@@ -4243,20 +4259,40 @@ def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-member norm once (n rows), not per pair (sum of cluster sizes
     # squared): pair cosine is then one dot product + one multiply
     m = m.withColumn("nrm", VX.norm("embedding"))
+    # Block-decompose the within-cluster pair space: joining on
+    # cluster_id alone gives k distinct shuffle keys (k=8 here), so the
+    # quadratic pair stage runs on at most k tasks no matter the cluster
+    # size — a parallelism collapse locally and an unsplittable hot key
+    # at scale (AQE skew handling cannot split one giant cluster). Each
+    # member gets a deterministic block b = pmod(xxhash64(id), B); the
+    # left side replicates across all B blocks and joins on (cluster,
+    # right member's block), so every unordered pair still meets exactly
+    # once and the key space becomes k×B. B scales with the session's
+    # parallelism (replication factor = the standard pair-blocking
+    # trade), so the shape adapts to the core count it runs on.
+    n_blocks = max(2, min(16, m.sparkSession.sparkContext.defaultParallelism // 4))
     x = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
     )
     y = m.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
+    # the pair join broadcasts the unreplicated side, so the quadratic
+    # work runs at the LEFT side's partitioning — which is the member
+    # artifact's file layout (1-2 files) unless spread; hash-repartition
+    # the replicated side on the compound key so the k×B key space
+    # actually lands on that many tasks
+    x = x.repartition("cluster_id", "_blk")
     p = (
-        x.join(y, "cluster_id")
+        x.join(y, ["cluster_id", "_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(

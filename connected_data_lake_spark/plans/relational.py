@@ -2211,10 +2211,17 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND l_shipdate < CAST('1998-01-02' AS TIMESTAMP_NTZ)"
         )
     )
+    # aggregate-before-shuffle: only COUNT survives the join downstream
+    # and l_shipdate is day-granular, so collapsing the point side to
+    # (distinct value, weight) BEFORE the bucket join shrinks it from
+    # ~|lineitem-in-span| rows to ~365 — the range join itself (and its
+    # residual filter) is unchanged, each surviving row now carries its
+    # multiplicity
+    pts = pts.groupBy("l_shipdate").agg(F.count("*").alias("_n"))
     joined = TP.interval_point_join(
         pts, iv, "l_shipdate", "w_start", "w_end", bin_seconds=86_400
     )
-    counts = joined.groupBy("o_orderkey").agg(F.count("*").alias("n_shipped"))
+    counts = joined.groupBy("o_orderkey").agg(F.sum("_n").alias("n_shipped"))
     return (
         iv.select("o_orderkey")
         .join(counts, "o_orderkey", "left")
@@ -2250,7 +2257,12 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine's length is data-driven."""
     ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
     d = ev.groupBy("day").agg(F.count("*").alias("n_events"))
-    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    # bounds straight off the scan: min/max over all days equals min/max
+    # over the distinct-day aggregate, but partial-combines map-side with
+    # NO day-hash exchange — the previous agg-over-d branch rebuilt the
+    # whole per-day aggregation (column pruning made the two d subtrees
+    # structurally different, so Catalyst could not ReuseExchange them)
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
     return (
         cal.join(d, "day", "left")
