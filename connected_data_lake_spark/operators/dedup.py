@@ -598,6 +598,11 @@ def ngram_jaccard_pairs(
     # ``base`` stays bound to the persisted relation even when the df-cap
     # anti-join rebinds ``postings`` below, so release_index() unpersists
     # the relation that actually holds cached blocks.
+    # (r14 note: a basket-form rewrite — collect_list posting lists + i<j
+    # explode, the join_cooccurrence trick — was A/B-measured SLOWER here,
+    # 1.98 -> 2.64 s at sf0.1: the inverted index is dominated by
+    # SINGLETON buckets, so the ObjectHashAggregate list-building overhead
+    # is paid per posting while the self-join only pays at matching keys.)
     base = sh.select(
         "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()

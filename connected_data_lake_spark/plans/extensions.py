@@ -960,46 +960,77 @@ def zz_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter signal). All decisions are md5-nibble + integer arithmetic —
     engine-exact; the only float is the output-rounded fraction.
 
-    Shape: one shuffle on doc_id for the chunk-id running sum (window
-    over the exploded token relation, partition-parallel per doc), one
-    shuffle on (doc, chunk) for chunk assembly, one on fp for the shared
-    set, a shuffle join back. At 100 TB the fp→shared relation is the
-    written artifact an ingest pipeline maintains incrementally."""
+    Shape: chunking is DOCUMENT-LOCAL, so the whole chunk assembly runs
+    as array expressions on the scan — boundary positions via a filtered
+    position sequence, chunks via per-span slices — with NO shuffle (the
+    earlier token-explode + per-doc window + (doc, chunk) groupBy paid
+    two token-volume exchanges for arithmetic each doc can do alone).
+    The only shuffles left are the fp aggregation for the shared set and
+    the join back — both at chunk granularity. At 100 TB the fp→shared
+    relation is the written artifact an ingest pipeline maintains
+    incrementally."""
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens("text")
-    p = (
+    base = (
         # empty normalized text splits to [''] in both engines — exclude it
         # (matches the oracle's len(toks) > 0 AND toks[1] <> '' guard)
         docs.filter(F.length(TX.normalize_text("text")) > 0)
-        .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            "tok",
+            "toks",
+            # boundary token positions (1-based): md5 first nibble 0/1
+            F.filter(
+                F.sequence(F.lit(1), F.size("toks")),
+                lambda i: F.substring(
+                    F.md5(F.element_at(F.col("toks"), i)), 1, 1
+                ).isin("0", "1"),
+            ).alias("bpos"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            # chunk start positions: every boundary starts a chunk and
+            # belongs to it (the running SUM(bnd) includes the current
+            # row); tokens before the first boundary form chunk 0
             F.when(
-                F.substring(F.md5("tok"), 1, 1).isin("0", "1"), F.lit(1)
+                (F.size("bpos") == 0)
+                | (F.element_at("bpos", 1) != F.lit(1)),
+                F.concat(F.array(F.lit(1)), F.col("bpos")),
             )
-            .otherwise(F.lit(0))
-            .alias("bnd"),
+            .otherwise(F.col("bpos"))
+            .alias("starts"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    c = p.withColumn("chunk_id", F.sum("bnd").over(w))
     chunks = (
-        c.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "tok"))
-                        ),
-                        lambda s: s["tok"],
+        base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("starts")),
+                    lambda j: F.struct(
+                        F.element_at(F.col("starts"), j).alias("s"),
+                        F.coalesce(
+                            F.element_at(
+                                F.col("starts"), (j + 1).cast("int")
+                            ),
+                            F.size("toks") + 1,
+                        ).alias("e"),
                     ),
-                    " ",
                 )
-            ).alias("fp"),
-            F.count("*").alias("n_toks"),
+            ).alias("span"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.slice(
+                "toks", F.col("span.s"), F.col("span.e") - F.col("span.s")
+            ).alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join("chunk_toks", " ")).alias("fp"),
+            F.size("chunk_toks").cast("bigint").alias("n_toks"),
         )
         .persist()
     )
@@ -3466,15 +3497,17 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of a doc's distinct 3-gram shingles that occur in more than 25%
     of all docs — headers, navigation chrome, and license blurbs light
     up; novel prose scores near zero. Shape: one shingling pass, one
-    (shingle) document-frequency aggregate with map-side combine, one
-    shuffle join back, per-doc aggregate; N arrives as a broadcast
+    exchange on the shingle where COUNT-over-window computes each
+    shingle's df in place (the earlier separate df aggregate + join back
+    planned the shingling pass twice — column pruning made the two
+    branches' exchanges structurally different, so ReusedExchange never
+    fired), then the per-doc aggregate; N arrives as a broadcast
     one-row relation (the tf-idf convention), never a driver count()."""
     docs = load_table(spark, sf_dir, "documents")
     p = _doc_shingle_rel(docs)
-    d = p.groupBy("tok").agg(F.count("*").alias("df_"))
     n_rel = docs.agg(F.count("*").alias("n_docs"))
     return (
-        p.join(d, "tok")
+        p.withColumn("df_", F.count("*").over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n_rel))
         .groupBy("doc_id")
         .agg(
@@ -3520,14 +3553,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the share of a doc's distinct 3-gram shingles whose FIRST corpus
     occurrence is this doc — the incremental-contribution signal a
     dedup-aware sampler caps low-novelty docs on (a doc that is pure
-    recombination of earlier shingles scores 0). Same two-aggregate
-    shape as the boilerplate signal with MIN(doc_id) as the per-shingle
-    reduction."""
+    recombination of earlier shingles scores 0). Same single-exchange
+    window shape as the boilerplate signal with MIN(doc_id)-over-window
+    as the per-shingle reduction (one shingling pass, no join back)."""
     docs = load_table(spark, sf_dir, "documents")
     p = _doc_shingle_rel(docs)
-    d = p.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     return (
-        p.join(d, "tok")
+        p.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("tok"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -3930,11 +3964,17 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus, 256 md5-hashed feature buckets, add-one smoothing.
     Docs whose token distribution looks target-like get high weight —
     the standard cheap reweighting step before pretraining-mixture
-    sampling. Plan: ONE token-explode scan feeds both the bucket-count
+    sampling. Plan: the token-explode scan feeds both the bucket-count
     model build (256-row aggregate) and the per-doc scoring join; the
     bucket->log-ratio model is a broadcast join (256 rows), and the
     per-doc score is a map-side-combined SUM — no fact-sized shuffle
-    beyond the doc_id aggregate."""
+    beyond the doc_id aggregate. (r14 note: collapsing the stream to a
+    persisted (doc_id, lang, bucket) count relation to share one explode
+    pass was A/B-measured SLOWER, 1.65 -> 2.14 s at sf0.1 — the cache
+    write + barrier on the ~doc x bucket relation costs more than the
+    second map-side-combined pass over a cached 5k-doc scan. At 100 TB
+    re-tokenizing dwarfs a DISK_ONLY persist of the count relation;
+    that is where the shared-pass shape pays.)"""
     docs = DD.spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", F.explode(TX.shingles("text", 1)).alias("tok")
@@ -4063,21 +4103,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    node = (
-        tri.select(F.col("x").alias("nationkey"))
-        .unionAll(tri.select(F.col("y").alias("nationkey")))
-        .unionAll(tri.select(F.col("z").alias("nationkey")))
-    )
+    # broadcast hints: e is the thresholded nation-pair relation (bounded
+    # by nations^2 at any data scale), so the wedge-closing sides are
+    # always broadcast-sized; the hint makes that a plan guarantee rather
+    # than an AQE size estimate
+    tri = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
+    # one enumeration subtree: explode the triangle's three corners
+    # instead of unionAll-ing three selects of tri (which planned the
+    # two-join enumeration THREE times — no ReusedExchange fired)
+    node = tri.select(F.explode(F.array("x", "y", "z")).alias("nationkey"))
     t = node.groupBy("nationkey").agg(F.count("*").alias("n_tri"))
     d = (
-        e.select(F.col("a").alias("nationkey"))
-        .unionAll(e.select(F.col("b").alias("nationkey")))
+        e.select(F.explode(F.array("a", "b")).alias("nationkey"))
         .groupBy("nationkey")
         .agg(F.count("*").alias("degree"))
     )
     out = (
-        d.join(t, "nationkey", "left_outer")
+        # t is <= one row per nation: broadcast it so the final outer join
+        # does not sort-merge (2 sorts + 2 exchanges on nation-sized data)
+        d.join(F.broadcast(t), "nationkey", "left_outer")
         .filter(F.col("degree") >= 2)
         .select(
             "nationkey",

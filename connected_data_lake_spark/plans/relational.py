@@ -423,16 +423,24 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inequality (theta) self-join (J6). The equi-key (p_brand) keeps it a
-    hash join with a residual range predicate — never a full BNLJ."""
-    a = _t(spark, sf_dir, "part").alias("a")
-    b = _t(spark, sf_dir, "part").alias("b")
+    hash join with a residual range predicate — never a full BNLJ. Only
+    the pair COUNT survives, so both sides collapse to (brand, size, cnt)
+    BEFORE the join (25 brands x 50 sizes vs one row per part) and the
+    count becomes sum(cnt_a * cnt_b) — the theta probe runs on the
+    size-histogram, not the row population."""
+    g = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_size") < F.col("b.p_size")),
         )
         .groupBy(F.col("a.p_brand").alias("brand"))
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("n_pairs"))
         .orderBy("brand")
     )
 
