@@ -213,3 +213,85 @@ def test_repeated_spans_align_at_any_offset(spark, tmp_path):
     assert got[2].shared_token_fraction > 0.5
     assert got[3].shared_token_fraction == 0.0
     assert got[1].n_shared_chunks >= 5
+
+
+def test_repeated_spans_chunking_matches_window_reference(spark, tmp_path):
+    """The r14 document-local chunk assembly (boundary-position filter +
+    per-span slices) must reproduce the running-SUM(bnd)-window semantics
+    exactly: a boundary token STARTS a new chunk and belongs to it,
+    tokens before the first boundary form chunk 0, and duplicate chunk
+    fingerprints WITHIN one doc do not make a chunk 'shared'. Expected
+    values come from an independent pure-Python reference of the window
+    formulation over engineered boundary/non-boundary tokens."""
+    import hashlib
+    import itertools
+    import string
+
+    def is_bnd(tok: str) -> bool:
+        return hashlib.md5(tok.encode()).hexdigest()[0] in ("0", "1")
+
+    # deterministically mine boundary and non-boundary tokens
+    pool = (
+        "".join(p) for n in (3, 4) for p in itertools.product(string.ascii_lowercase, repeat=n)
+    )
+    bnds, nons = [], []
+    for w in pool:
+        (bnds if is_bnd(w) else nons).append(w)
+        if len(bnds) >= 3 and len(nons) >= 4:
+            break
+    b1, b2, _b3 = bnds[:3]
+    n1, n2, n3, _n4 = nons[:4]
+
+    rows = [
+        (1, f"{b1} {n1} {n2} {b2} {n3}"),  # boundary-first doc: 2 chunks
+        (2, f"{n1} {n2} {n3}"),            # no boundaries: 1 chunk (chunk 0)
+        (3, b1),                            # single boundary token: 1 chunk
+        (4, f"{b1} {n1} {b1} {n1}"),       # same chunk TWICE within one doc
+        (5, f"{n2} {b1} {n1}"),            # shares the (b1 n1) chunk with doc 4
+        (6, "   "),                         # empty after normalize: excluded
+    ]
+    (tmp_path / "documents.parquet").mkdir(parents=True, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python reference of the window formulation
+    def ref_chunks(text: str) -> list[tuple[str, int]]:
+        toks = " ".join(text.split()).lower().split(" ")
+        if toks == [""]:
+            return []
+        # running-sum semantics: boundary starts a new chunk and belongs
+        # to it; a leading non-boundary run is chunk 0
+        out = []
+        members: dict[int, list[str]] = {}
+        s = 0
+        for t in toks:
+            s += 1 if is_bnd(t) else 0
+            members.setdefault(s, []).append(t)
+        for _cid in sorted(members):
+            ctoks = members[_cid]
+            out.append(
+                (hashlib.md5(" ".join(ctoks).encode()).hexdigest(), len(ctoks))
+            )
+        return out
+
+    per_doc = {d: ref_chunks(t) for d, t in rows}
+    fp_docs: dict[str, set[int]] = {}
+    for d, chs in per_doc.items():
+        for fp, _n in chs:
+            fp_docs.setdefault(fp, set()).add(d)
+    shared = {fp for fp, ds in fp_docs.items() if len(ds) >= 2}
+
+    from connected_data_lake_spark.plans.extensions import zz_text_repeated_spans
+
+    got = {r.doc_id: r for r in zz_text_repeated_spans(spark, str(tmp_path)).collect()}
+    assert 6 not in got  # empty normalized text excluded
+    for d, chs in per_doc.items():
+        if not chs:
+            continue
+        n_sh = sum(1 for fp, _n in chs if fp in shared)
+        tok_sh = sum(n for fp, n in chs if fp in shared)
+        tok_all = sum(n for _fp, n in chs)
+        assert got[d].n_chunks == len(chs), d
+        assert got[d].n_shared_chunks == n_sh, d
+        assert abs(got[d].shared_token_fraction - round(tok_sh / tok_all, 6)) < 1e-9, d
