@@ -561,6 +561,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     threshold: float = 0.5,
     max_df: int | None = None,
+    copartition_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted shingle index.
 
@@ -576,6 +577,23 @@ def ngram_jaccard_pairs(
     sharing only ultra-common shingles cost the most — at extreme scale add
     a prefix filter (index only each doc's (1-t)·|sh|+1 rarest shingles);
     df-skew here is mild (max df 14 at sf0.1) so the plain index wins.
+
+    ``copartition_pairs`` (default True) re-establishes a PLANNER-VISIBLE
+    hash(id) partitioning on the probe side of the self-join: all join
+    rows of a pair (a, b) then live in a's partition, so the (id_a, id_b)
+    count aggregate needs NO exchange (hash(a.id) satisfies the group's
+    clustered distribution) — the Σ_shingle df² pair relation never
+    crosses the network. The persisted postings relation IS already
+    hash(id)-partitioned (``spread``), but its cached plan is an
+    AdaptiveSparkPlan whose partitioning Catalyst cannot see, so without
+    the explicit narrow re-shuffle (postings-sized — keys + metadata
+    only, the §8 lightweight-proxy trade) ENSURE_REQUIREMENTS inserts a
+    full pair exchange (measured at sf0.1: 2.53M directed join rows,
+    1.13M distinct pairs, vs a 260k-row postings shuffle). The win
+    requires the build side to hash-join (broadcast/shuffled-hash
+    preserve the probe's partitioning); under a sort-merge plan the
+    pair exchange returns and the id shuffle is one extra narrow pass —
+    callers in that regime pass ``copartition_pairs=False``.
 
     ``max_df`` is the concrete scale lever: postings whose shingle appears
     in more than ``max_df`` docs are dropped from the index (the classic
@@ -617,7 +635,8 @@ def ngram_jaccard_pairs(
         # stop-shingle set is tiny by construction (the df distribution's
         # extreme tail) — broadcast anti-join, no extra shuffle of postings
         postings = base.join(F.broadcast(hot), ["tok", *block_cols], "left_anti")
-    a, b = postings.alias("a"), postings.alias("b")
+    probe = postings.repartition(F.col("id")) if copartition_pairs else postings
+    a, b = probe.alias("a"), postings.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -651,6 +670,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_df: int | None = None,
+    copartition_pairs: bool = True,
 ) -> DataFrame:
     """DIRECTED n-gram containment pairs: C(src→dst) = |src ∩ dst| / |src|.
 
@@ -671,7 +691,12 @@ def ngram_containment_pairs(
     postings self-join into ~1e12 rows. A capped intersection only
     UNDERcounts, so containment >= threshold precision is preserved;
     recall for pairs glued solely by boilerplate shingles is the explicit
-    trade. Default ``None`` = exact (this corpus's df skew is mild)."""
+    trade. Default ``None`` = exact (this corpus's df skew is mild).
+
+    ``copartition_pairs``: same probe-side hash(src) co-partitioning as
+    :func:`ngram_jaccard_pairs` — every directed pair (src, dst) lives in
+    src's partition, so the (src_id, dst_id) count aggregate runs with no
+    exchange; see the trade note there."""
     assert threshold > 0, "inverted-index path requires a positive threshold"
     sh = spread(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -689,19 +714,50 @@ def ngram_containment_pairs(
             .select("tok")
         )
         postings = base.join(F.broadcast(hot), ["tok"], "left_anti")
-    a, b = postings.alias("a"), postings.alias("b")
+    probe = postings.repartition(F.col("id")) if copartition_pairs else postings
+    a, b = probe.alias("a"), postings.alias("b")
+    # Aggregate UNDIRECTED (a.id < b.id) and emit both directions from the
+    # aggregated pair afterwards: |src∩dst| is symmetric and both set sizes
+    # ride the same aggregate row, so counting each unordered pair once
+    # halves the join output AND the pair-aggregate state vs the former
+    # a.id != b.id join; both directions then cost one post-agg explode of
+    # a 2-element array (ONE subtree — a unionAll of two selects would
+    # duplicate the whole aggregate lineage).
     inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("src_id"), F.col("b.id").alias("dst_id"))
-        .agg(F.count("*").alias("inter"), F.first("a.sz").alias("sz_src"))
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz_a"),
+            F.first("b.sz").alias("sz_b"),
+        )
+    )
+    both = inter.select(
+        "inter",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("sz_a").alias("sz_src"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("sz_b").alias("sz_src"),
+                ),
+            )
+        ).alias("_d"),
     )
     out = (
-        inter.withColumn(
-            "containment",
-            F.round(F.col("inter").cast("double") / F.col("sz_src"), 6),
+        both.select(
+            F.col("_d.src_id").alias("src_id"),
+            F.col("_d.dst_id").alias("dst_id"),
+            F.round(F.col("inter").cast("double") / F.col("_d.sz_src"), 6).alias(
+                "containment"
+            ),
         )
         .filter(F.col("containment") >= threshold)
-        .select("src_id", "dst_id", "containment")
     )
     return _with_persisted(out, base)
 

@@ -216,6 +216,24 @@ def test_containment_reuses_postings_exchange(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "ReusedExchange" in plan
 
 
+@pytest.mark.parametrize("name", ["dedup_containment", "dedup_ngram_jaccard"])
+def test_pair_count_aggregate_is_exchange_free(spark, sf_dir, name):
+    """r15: the probe side of the postings self-join is explicitly
+    hash(id)-partitioned (copartition_pairs), so the (id_a, id_b) pair
+    count must aggregate partial→final with NO pair-keyed exchange — the
+    Σ_shingle df² join output stays partition-local instead of being the
+    plan's largest shuffle."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    # the narrow probe-side repartition is present ...
+    assert "REPARTITION_BY_COL" in plan
+    # ... and no exchange is keyed on the two-doc-id pair
+    assert not re.search(
+        r"Exchange hashpartitioning\(id#\d+L, id#\d+L", plan
+    ), "pair aggregate still shuffles the joined pair relation"
+
+
 def test_sketch_probe_scans_persisted_index(spark, sf_dir):
     from connected_data_lake_spark.plans import extensions as ext
 

@@ -1,8 +1,9 @@
 """Capture ``explain("formatted")`` output for declared queries.
 
-Writes ``plans/r14/<name>_<suffix>.txt`` for every name given (or every
+Writes ``plans/<round>/<name>_<suffix>.txt`` (default round: r15, override
+with ``--round rNN``) for every name given (or every
 declared query with ``--all``). The files are the audit artifact for
-optimization rounds: plan-shape claims in OPTIMIZATION_r14.md point at
+optimization rounds: plan-shape claims in the round doc point at
 these, captured before and after each change.
 
     python tools/capture_plans.py --suffix before name1 name2 ...
@@ -26,11 +27,16 @@ def main() -> None:
         i = args.index("--suffix")
         suffix = args[i + 1]
         del args[i : i + 2]
+    round_dir = "r15"
+    if "--round" in args:
+        i = args.index("--round")
+        round_dir = args[i + 1]
+        del args[i : i + 2]
     capture_all = "--all" in args
     names = [a for a in args if not a.startswith("-")]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     from connected_data_lake_spark.plans import all_specs
