@@ -273,14 +273,23 @@ def shingle_relation(
     (distinct, intersect, Jaccard) over the hashes equals the string-set
     semantics up to negligible, corpus-deterministic 64-bit collisions.
     At cluster scale this relation is a written table; persist() plays that
-    role here. Release with :func:`release_index` on the operator output."""
+    role here. Release with :func:`release_index` on the operator output.
+
+    The empty-set filter runs on the TOKEN count (size(tokens) >= n ⟺
+    size(sh) > 0 — a doc with ≥ n tokens always has ≥ 1 distinct shingle,
+    NULL text tokenizes to NULL and is dropped by either form): a filter on
+    the computed ``sh`` column is pushed below the projection by Catalyst,
+    which re-evaluates the whole tokenize+hash fold a second time just for
+    the size check (measured 0.22 → 0.74 s on the 5k-doc sf0.1 scan —
+    the same expression-duplication trap as guide §4.4, for plain
+    expressions instead of UDFs)."""
     return (
         spread(df, id_col)
+        .filter(F.size(TX.tokens(text_col)) >= shingle_n)
         .select(
             F.col(id_col).alias("id"),
             F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .persist()
     )
 
@@ -317,14 +326,15 @@ def minhash_lsh_candidates(
     # reference — measured 20x slowdown without this. At cluster scale this
     # is the "build the MinHash index once" step; swap persist() for a
     # checkpoint/table write when signatures should survive the job.
-    sig = (
-        shingles.select(
-            "id",
-            minhash_from_hashes(F.col("sh"), num_hashes).alias("sig"),
-        )
-        .filter(F.col("sig").isNotNull())
-        .persist()
-    )
+    # No isNotNull filter on the UDF output: shingle_relation guarantees
+    # non-empty shingle sets, so the signature is never NULL — and a filter
+    # referencing the UDF column is pushed below the projection, making the
+    # 128-permutation pandas UDF run TWICE (two ArrowEvalPython nodes, the
+    # guide §4.4 duplication; measured ~2x the signature stage).
+    sig = shingles.select(
+        "id",
+        minhash_from_hashes(F.col("sh"), num_hashes).alias("sig"),
+    ).persist()
     # The self-joined band relation carries (id, band, band_hash) ONLY —
     # 24 bytes/row. An earlier shape exploded the 128-long signature array
     # through the band join (~1 KB × bands per doc on BOTH sides, ~40x the
@@ -390,9 +400,14 @@ def minhash_bands(
     (write partitioned/bucketed by (band, band_hash) at cluster scale)."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
+    # no isNotNull filter on the UDF output — see minhash_lsh_candidates
+    # (shingle_relation guarantees non-empty sets; the filter doubled the
+    # signature UDF). NULL sigs MUST never reach the band explode here:
+    # xxhash64(slice(NULL)) is a constant, so empty docs would all share
+    # every band bucket — the shingle_relation invariant is load-bearing.
     sig = shingles.select(
         "id", minhash_from_hashes(F.col("sh"), num_hashes).alias("sig")
-    ).filter(F.col("sig").isNotNull())
+    )
     return sig.select(
         "id",
         F.posexplode(
@@ -606,11 +621,14 @@ def ngram_jaccard_pairs(
     filter above is the recall-preserving upgrade).
     """
     assert threshold > 0, "inverted-index path requires a positive threshold"
-    sh = spread(df, id_col).select(
+    # token-count pre-filter, not size(sh) > 0: a filter on the computed
+    # shingle column is pushed below the projection and re-runs the whole
+    # tokenize+hash fold for the size check (see shingle_relation)
+    sh = spread(df, id_col).filter(F.size(TX.tokens(text_col)) >= shingle_n).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     # persist: both sides of the postings self-join would otherwise re-run
     # shingling + explode (same index-build-once pattern as the LSH ops).
     # ``base`` stays bound to the persisted relation even when the df-cap
@@ -698,10 +716,11 @@ def ngram_containment_pairs(
     src's partition, so the (src_id, dst_id) count aggregate runs with no
     exchange; see the trade note there."""
     assert threshold > 0, "inverted-index path requires a positive threshold"
-    sh = spread(df, id_col).select(
+    # token-count pre-filter, not size(sh) > 0 (see shingle_relation)
+    sh = spread(df, id_col).filter(F.size(TX.tokens(text_col)) >= shingle_n).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     base = sh.select(
         "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()
@@ -888,14 +907,13 @@ def simhash_candidates(
     # (same index-build-once rationale as minhash_lsh_candidates)
     if shingles is None:
         shingles = shingle_relation(df, text_col, id_col, shingle_n)
-    sig = (
-        shingles.select(
-            "id",
-            simhash_from_hashes(F.col("sh")).alias("sh"),
-        )
-        .filter(F.col("sh").isNotNull())
-        .persist()
-    )
+    # no isNotNull filter on the UDF output — see minhash_lsh_candidates
+    # (shingle_relation guarantees non-empty sets; the filter doubled the
+    # signature UDF as a second ArrowEvalPython node)
+    sig = shingles.select(
+        "id",
+        simhash_from_hashes(F.col("sh")).alias("sh"),
+    ).persist()
     chunked = sig.select(
         "id",
         "sh",

@@ -818,22 +818,34 @@ def _knn_probe_contract(gt: DataFrame, approx: DataFrame, min_hits: int) -> Data
     the probe's returned-row count, and recall_ok = probe recovered
     ≥ min_hits of the exact top-k. Unlike :func:`_knn_recall_contract`
     the exact side is a 30-row parquet read, so the timed surface stays
-    probe + two tiny joins — the cost a user pays per serving query."""
-    hits = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
-    n_approx = approx.groupBy("query_id").agg(
-        F.count("*").cast("int").alias("n_approx")
-    )
+    probe + ONE tiny join — the cost a user pays per serving query.
+
+    The probe relation is consumed exactly ONCE (r15): the former
+    hits-left-join + separate per-query count read ``approx`` twice,
+    which duplicated the entire probe subtree in the plan — for the PQ
+    probe that meant two ArrowEvalPython ADC scans over the code table
+    (two full scans + two top-k windows). A single FULL outer join
+    carries both sides' counters: gt-only rows keep the exact stats
+    (probe-only rows contribute NULL cos, invisible to MIN/MAX),
+    probe-only rows still count into n_approx, and a row matched on
+    both sides is a recall hit."""
+    g = gt.select("query_id", "neighbor_id", "cos").withColumn("_g", F.lit(1))
+    p = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
     return (
-        gt.select("query_id", "neighbor_id", "cos")
-        .join(hits, ["query_id", "neighbor_id"], "left")
+        g.join(p, ["query_id", "neighbor_id"], "full")
         .groupBy("query_id")
         .agg(
-            F.count("*").cast("int").alias("n_exact"),
+            F.sum("_g").cast("int").alias("n_exact"),
             F.min("cos").alias("min_cos"),
             F.max("cos").alias("max_cos"),
-            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) >= min_hits).alias("recall_ok"),
+            F.sum("_hit").cast("int").alias("n_approx"),
+            (
+                F.sum(
+                    F.when(F.col("_g").isNotNull() & F.col("_hit").isNotNull(), 1).otherwise(0)
+                )
+                >= min_hits
+            ).alias("recall_ok"),
         )
-        .join(n_approx, "query_id")
         .select("query_id", "n_exact", "min_cos", "max_cos", "n_approx", "recall_ok")
         .orderBy("query_id")
     )
