@@ -46,6 +46,34 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def has_tokens(col: Column | str, n: int = 1) -> Column:
+    """True iff the document has at least ``n`` whitespace tokens —
+    for n ≥ 2 equivalent to ``token_count(col) >= n``; for n = 1 to
+    ``length(normalize_text(col)) > 0`` / ``bpe_token_estimate(col) > 0``
+    (NOT to ``token_count >= 1``, which is vacuously true because
+    ``split('')`` yields ``['']``). Evaluated as ONE character-class regex
+    scan over the RAW column instead of the normalize+split fold.
+
+    The filter-shaped twin of :func:`tokens`: a filter on a COMPUTED text
+    column is predicate-pushed below its projection and re-runs the whole
+    fold just for the predicate (the guide §4.4 duplication, for plain
+    expressions), while this form keeps the scan-level filter cheap and
+    leaves the fold single-evaluation in the projection above. NULL text
+    yields NULL → filtered, same as the fold forms.
+
+    Equivalence: normalize collapses exactly ``[ \\t\\n\\r]+`` runs to one
+    space and trims, so the token count is the number of maximal
+    non-whitespace runs; ≥ n tokens ⟺ the raw text contains n such runs
+    separated by whitespace. The class is spelled explicitly (NOT ``\\s``,
+    which also matches \\f/\\v that normalize does not collapse)."""
+    if n <= 1:
+        pat = "[^ \\t\\n\\r]"
+    else:
+        pat = "(?:[^ \\t\\n\\r]+[ \\t\\n\\r]+){%d}[^ \\t\\n\\r]" % (n - 1)
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(pat)
+
+
 def bpe_token_estimate(col: Column | str) -> Column:
     """Sub-word-ish token count via the BPE-ish regex (int)."""
     return F.size(F.expr(f"regexp_extract_all({_name(col)}, '{BPE_ISH_PATTERN}', 0)"))

@@ -285,7 +285,7 @@ def shingle_relation(
     expressions instead of UDFs)."""
     return (
         spread(df, id_col)
-        .filter(F.size(TX.tokens(text_col)) >= shingle_n)
+        .filter(TX.has_tokens(text_col, shingle_n))
         .select(
             F.col(id_col).alias("id"),
             F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
@@ -624,7 +624,7 @@ def ngram_jaccard_pairs(
     # token-count pre-filter, not size(sh) > 0: a filter on the computed
     # shingle column is pushed below the projection and re-runs the whole
     # tokenize+hash fold for the size check (see shingle_relation)
-    sh = spread(df, id_col).filter(F.size(TX.tokens(text_col)) >= shingle_n).select(
+    sh = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
@@ -717,7 +717,7 @@ def ngram_containment_pairs(
     exchange; see the trade note there."""
     assert threshold > 0, "inverted-index path requires a positive threshold"
     # token-count pre-filter, not size(sh) > 0 (see shingle_relation)
-    sh = spread(df, id_col).filter(F.size(TX.tokens(text_col)) >= shingle_n).select(
+    sh = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
     )

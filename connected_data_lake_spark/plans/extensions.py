@@ -112,8 +112,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split into their own projections: a filter ABOVE the projections gets
     # predicate-pushed below them with the aliases re-inlined (measured 5
     # regexp_replace sites in the plan vs 3 this way), while the four
-    # outputs below share one regex pass and one split per row
-    s = docs.filter(F.length(TX.normalize_text("text")) > 0)
+    # outputs below share one regex pass and one split per row.
+    # has_tokens = one character-class scan, no normalize fold in the
+    # filter at all (r15; functions.text.has_tokens equivalence note)
+    s = docs.filter(TX.has_tokens("text"))
     s = s.select("doc_id", TX.normalize_text("text").alias("nrm"))
     s = s.select("doc_id", "nrm", F.split("nrm", " ").alias("toks"))
     sw_arr = F.array(*[F.lit(w) for w in TXL["en"]])
@@ -985,8 +987,9 @@ def zz_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TX.tokens("text")
     base = (
         # empty normalized text splits to [''] in both engines — exclude it
-        # (matches the oracle's len(toks) > 0 AND toks[1] <> '' guard)
-        docs.filter(F.length(TX.normalize_text("text")) > 0)
+        # (matches the oracle's len(toks) > 0 AND toks[1] <> '' guard);
+        # has_tokens = one raw-column class scan, no normalize in the filter
+        docs.filter(TX.has_tokens("text"))
         .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
@@ -1484,9 +1487,18 @@ def zz_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, num_hashes=128, bands=32, shingles=sh, with_est=False
     )
     pairs = DD.jaccard_verify(cand, surv, threshold=0.5, shingles=sh)
-    kept = surv.join(
+    # ``surv`` executes ONCE (r15): it used to be consumed both by the
+    # persisted shingle relation's build AND directly by the kept anti-join,
+    # so the quality-regex filter + fingerprint md5 + dedup window ran twice
+    # (two Window nodes in the r14 plan). The quality gate requires ≥ 5
+    # tokens, so every survivor has ≥ 1 shingle and ``sh.id`` IS the
+    # survivor id set — kept's ids derive from the (persisted) shingle
+    # relation minus the near-dup losers, and only the tiny id set joins
+    # back to the cached docs scan for the text-derived stats below.
+    kept_ids = sh.select(F.col("id").alias("doc_id")).join(
         pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
     )
+    kept = docs.join(kept_ids, "doc_id", "semi")
     nrm = TX.normalize_text("text")
     # ``kept`` is consumed exactly ONCE, scan-locally. The previous shape
     # consumed it twice (token-explode/stopword-join vote branch +
@@ -1748,13 +1760,16 @@ def zz_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster parallelism (the 100 TB case). Measured at sf0.1: 1.44 -> 1.02 s.
     toks = TX.tokens("text")
     bgs = TX.shingles("text", 2)
-    per_doc = docs.select(
+    # pre-filter on the raw column (≥ 2 tokens): the former post-projection
+    # n_tokens >= 2 was predicate-pushed below the select and re-ran the
+    # tokenize fold for the check (r15; functions.text.has_tokens)
+    per_doc = docs.filter(TX.has_tokens("text", 2)).select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.round(
             F.lit(1.0) - F.size(F.array_distinct(bgs)).cast("double") / F.size(bgs), 6
         ).alias("dup_bigram_frac"),
-    ).filter(F.col("n_tokens") >= 2)
+    )
     top = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -2332,12 +2347,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_tokens = 2048
     docs = load_table(spark, sf_dir, "documents")
     nrm = TX.normalize_text(F.col("text"))
-    t = docs.select(
+    # pre-filter on the raw column: n_tokens > 0 ⟺ any non-whitespace char
+    # (every such char matches a BPE_ISH alternative) — filtering on the
+    # computed n_tokens pushed the whole normalize+regex fold below the
+    # projection and ran it twice per row (r15; functions.text.has_tokens)
+    t = docs.filter(TX.has_tokens("text")).select(
         "doc_id",
         F.size(F.regexp_extract_all(nrm, F.lit(TX.BPE_ISH_PATTERN), F.lit(0)))
         .cast("bigint")
         .alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    )
     n_parts = max(2, spark.sparkContext.defaultParallelism)
     # persist: the offsets pass AND the final pass both consume this
     # relation — without it the regex tokenization + range shuffle run

@@ -295,3 +295,39 @@ def test_repeated_spans_chunking_matches_window_reference(spark, tmp_path):
         assert got[d].n_chunks == len(chs), d
         assert got[d].n_shared_chunks == n_sh, d
         assert abs(got[d].shared_token_fraction - round(tok_sh / tok_all, 6)) < 1e-9, d
+
+
+def test_has_tokens_matches_token_count_and_normalize_emptiness(spark):
+    """r15: has_tokens(col, n) is the filter-shaped twin of the normalize/
+    tokenize folds — for n >= 2 it must equal token_count >= n, and for
+    n = 1 it must equal length(normalize) > 0 and bpe_token_estimate > 0
+    (NOT token_count >= 1, which is vacuous: split('') yields ['']).
+    Adversarial rows pin the whitespace-class edge cases: \f/\v are NOT
+    collapsed by normalize, so they count as token characters."""
+    from pyspark.sql import functions as F
+
+    from connected_data_lake_spark.functions import text as TX
+
+    rows = [
+        (None,), ("",), (" ",), ("\t\n\r ",), ("a",), (" a ",), ("a b",),
+        ("a\fb",), ("\f",), ("a \f b",), ("x\t\ty",), ("  x  y  z ",),
+        ("\fa\f",), ("one two three four",), ("\v\v",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    fb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    n1_refs = [
+        F.length(TX.normalize_text("text")) > 0,
+        # pack_sequences' predicate shape: BPE tokens of the NORMALIZED
+        # text (raw-text BPE would count \t\n\r as symbol tokens)
+        F.size(
+            F.regexp_extract_all(
+                TX.normalize_text("text"), F.lit(TX.BPE_ISH_PATTERN), F.lit(0)
+            )
+        )
+        > 0,
+    ]
+    for ref in n1_refs:
+        assert df.filter(fb(TX.has_tokens("text", 1)) != fb(ref)).count() == 0
+    for n in (2, 3, 5):
+        ref = F.size(TX.tokens("text")) >= n
+        assert df.filter(fb(TX.has_tokens("text", n)) != fb(ref)).count() == 0
