@@ -93,9 +93,21 @@ def _record_cc(algorithm: str, rounds: int, max_iter: int, local_finish: bool) -
 
 
 def _edge_list(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-    """Symmetrize (src, dst) pairs into a directed neighbor relation."""
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    """Symmetrize (src, dst) pairs into a directed neighbor relation.
+
+    One explode over a 2-element struct array, NOT unionAll of two selects:
+    a union duplicates the ``pairs`` subtree, and for dedup clustering that
+    subtree is the whole inverted-index pair join — the union form executed
+    it twice per materialization (r15; same single-subtree rewrite as the
+    r14 triangle-count fix)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
 
 
 #: Edge sets at or below this size finish DRIVER-side (min-id union-find)
