@@ -162,9 +162,19 @@ def persist_tables(
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every currently persisted RDD (cached tables, per-query
-    index persists, localCheckpoint blocks)."""
+    index persists, localCheckpoint blocks). One py4j round-trip: the
+    Integer key set stringifies as "[1, 2, 3]" — parsed here instead of
+    shipping each boxed key individually."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(rid) for rid in jmap.keySet().toArray()}
+    keys = jmap.keySet().toString().strip("[]")
+    return {int(k) for k in keys.split(", ") if k}
+
+
+#: ids already classified as localCheckpoint blocks (see stray_cache_ids:
+#: they linger until the ContextCleaner runs, so without this memo every
+#: bench _run_once re-fetched and re-stringified each lingering block's
+#: RDD — ~3 py4j round-trips per block per run, thousands per draw)
+_LC_BLOCK_IDS: set[int] = set()
 
 
 def stray_cache_ids(spark: SparkSession, keep_ids: set[int]) -> set[int]:
@@ -174,12 +184,21 @@ def stray_cache_ids(spark: SparkSession, keep_ids: set[int]) -> set[int]:
     would not free them either — only the ContextCleaner reclaims them
     once the plan handle is garbage-collected (the iterative graph
     operators' per-round KB-sized label blocks are this class), so
-    flagging them would trigger a fallback that cannot help."""
+    flagging them would trigger a fallback that cannot help.
+
+    Fast path: one round-trip for the id set; per-id RDD lookups happen
+    only for ids not yet classified (each id is classified once per
+    process — the common steady state is zero new ids and zero strays)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    ids = persistent_rdd_ids(spark)
     out: set[int] = set()
-    for entry in jmap.entrySet().toArray():
-        rid = int(entry.getKey())
-        if rid not in keep_ids and "localCheckpoint" not in entry.getValue().toString():
+    for rid in ids:
+        if rid in keep_ids or rid in _LC_BLOCK_IDS:
+            continue
+        rdd = jmap.get(rid)
+        if rdd is not None and "localCheckpoint" in rdd.toString():
+            _LC_BLOCK_IDS.add(rid)
+        else:
             out.add(rid)
     return out
 
