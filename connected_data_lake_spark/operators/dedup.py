@@ -216,14 +216,27 @@ def minhash_from_hashes(hashes_col: Column, num_hashes: int = 128, seed: int = 4
         # overhead ~n_rows times per batch (measured ~1.7x slower at ~200
         # shingles/doc). np.minimum.reduceat needs non-empty segments, so
         # empty/None rows are masked out and scattered back as NULL.
+        # The mix runs over ROW CHUNKS sized so the (chunk_shingles, k)
+        # intermediate stays ~64 MB: a full 10k-row Arrow batch of ~200-
+        # shingle docs would otherwise materialize a ~2 GB uint64 array per
+        # worker (guide §4.2 bound-the-batch note) — per-doc results are
+        # independent, so chunking is bit-identical.
         vals = hashes.to_numpy()
         lens = np.fromiter(
             (0 if h is None else len(h) for h in vals), dtype=np.int64, count=len(vals)
         )
         out: list = [None] * len(vals)
         nz = np.nonzero(lens > 0)[0]
-        if len(nz):
-            flat = np.concatenate([np.asarray(vals[i], dtype=np.uint64) for i in nz])
+        budget = max(1, (64 << 20) // (8 * num_hashes))  # shingles per chunk
+        start = 0
+        while start < len(nz):
+            end = start
+            tot = 0
+            while end < len(nz) and (tot == 0 or tot + lens[nz[end]] <= budget):
+                tot += lens[nz[end]]
+                end += 1
+            idx = nz[start:end]
+            flat = np.concatenate([np.asarray(vals[i], dtype=np.uint64) for i in idx])
             with np.errstate(over="ignore"):
                 x = flat[:, None] + seeds[None, :]
                 x ^= x >> np.uint64(30)
@@ -231,10 +244,11 @@ def minhash_from_hashes(hashes_col: Column, num_hashes: int = 128, seed: int = 4
                 x ^= x >> np.uint64(27)
                 x *= np.uint64(0x94D049BB133111EB)
                 x ^= x >> np.uint64(31)
-            offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            offsets = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
             mins = np.minimum.reduceat(x, offsets, axis=0).astype(np.int64)
-            for j, i in enumerate(nz):
+            for j, i in enumerate(idx):
                 out[i] = mins[j].tolist()
+            start = end
         return pd.Series(out)
 
     return _mh(hashes_col)
@@ -847,16 +861,16 @@ def simhash_from_hashes(hashes_col: Column) -> Column:
         nz = np.nonzero(lens > 0)[0]
         if len(nz):
             flat = np.concatenate([np.asarray(vals[i], dtype=np.int64) for i in nz])
-            # (total_feats, 64) bit matrix, little-endian bit order per word
-            bits = (
-                np.unpackbits(
-                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                )
-                .reshape(-1, 64)
-                .astype(np.int64)
-            )
+            # (total_feats, 64) bit matrix, little-endian bit order per word;
+            # stays uint8 — reduceat accumulates into int64 directly, which
+            # avoids materializing an 8x-wider int64 copy of the bit matrix
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).reshape(-1, 64)
             offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-            ones = np.add.reduceat(bits, offsets, axis=0)  # per-doc 1-bit counts
+            # per-doc 1-bit counts (int64 accumulator: uint8 would wrap at
+            # 256 features)
+            ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
             votes = 2 * ones - lens[nz][:, None]  # ±1 vote per bit
             words = (
                 np.packbits(votes > 0, axis=1, bitorder="little")
