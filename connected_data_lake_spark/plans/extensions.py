@@ -1008,9 +1008,12 @@ def zz_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             # chunk start positions: every boundary starts a chunk and
             # belongs to it (the running SUM(bnd) includes the current
             # row); tokens before the first boundary form chunk 0
+            # try_element_at, not element_at: identical null-on-out-of-
+            # bounds semantics under the session's ansi=false pin, but it
+            # cannot start throwing if ANSI is ever enabled (ADVICE r14 #2)
             F.when(
                 (F.size("bpos") == 0)
-                | (F.element_at("bpos", 1) != F.lit(1)),
+                | (F.try_element_at("bpos", F.lit(1)) != F.lit(1)),
                 F.concat(F.array(F.lit(1)), F.col("bpos")),
             )
             .otherwise(F.col("bpos"))
@@ -1026,7 +1029,10 @@ def zz_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda j: F.struct(
                         F.element_at(F.col("starts"), j).alias("s"),
                         F.coalesce(
-                            F.element_at(
+                            # j+1 runs past the array on the last chunk —
+                            # try_element_at keeps the NULL → coalesce
+                            # fallback ANSI-robust (ADVICE r14 #2)
+                            F.try_element_at(
                                 F.col("starts"), (j + 1).cast("int")
                             ),
                             F.size("toks") + 1,
@@ -3533,7 +3539,17 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned the shingling pass twice — column pruning made the two
     branches' exchanges structurally different, so ReusedExchange never
     fired), then the per-doc aggregate; N arrives as a broadcast
-    one-row relation (the tf-idf convention), never a driver count()."""
+    one-row relation (the tf-idf convention), never a driver count().
+
+    Scale trade (ADVICE r14 #3): COUNT-over-window drops the agg+join
+    shape's map-side partial aggregation, so a hot boilerplate shingle
+    (df > 25% of docs — exactly what this query detects) concentrates all
+    its postings in one window buffer per key. The buffer is Spark's
+    spillable external sorter (degrades to IO, not OOM), but beyond bench
+    scale the agg+join shape — partial-combined df relation joined back —
+    shuffles less and has no hot-key buffer; flip back to it when df
+    skew is web-corpus-sized (same class of scale-dependent choice as the
+    dsir persist note)."""
     docs = load_table(spark, sf_dir, "documents")
     p = _doc_shingle_rel(docs)
     n_rel = docs.agg(F.count("*").alias("n_docs"))

@@ -249,6 +249,11 @@ def test_repeated_spans_chunking_matches_window_reference(spark, tmp_path):
         (4, f"{b1} {n1} {b1} {n1}"),       # same chunk TWICE within one doc
         (5, f"{n2} {b1} {n1}"),            # shares the (b1 n1) chunk with doc 4
         (6, "   "),                         # empty after normalize: excluded
+        # duplicated chunk (b2 n2) occurs NOWHERE else: a regression from
+        # count_distinct(doc_id) to count(*) in the shared-set census would
+        # mark it shared (ADVICE r14 #1) — doc 4's duplicate alone can't
+        # catch that because its chunk is also in doc 5
+        (7, f"{b2} {n2} {b2} {n2}"),
     ]
     (tmp_path / "documents.parquet").mkdir(parents=True, exist_ok=True)
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -286,6 +291,10 @@ def test_repeated_spans_chunking_matches_window_reference(spark, tmp_path):
 
     got = {r.doc_id: r for r in zz_text_repeated_spans(spark, str(tmp_path)).collect()}
     assert 6 not in got  # empty normalized text excluded
+    # doc 7's duplicated chunk exists in no other doc: within-doc
+    # duplication alone must NOT count as shared (distinct-doc census)
+    assert got[7].n_shared_chunks == 0
+    assert got[7].shared_token_fraction == 0.0
     for d, chs in per_doc.items():
         if not chs:
             continue
