@@ -505,8 +505,13 @@ def incremental_classify(
         .join(fp_index, "fp")
         .select(id_col, "e_match")
     )
-    rest = batch.join(exact.select(id_col), id_col, "left_anti")
-    sh_n = shingle_relation(rest, text_col, id_col, shingle_n)
+    # Probe the WHOLE batch, not batch-minus-exact: the final CASE prefers
+    # exact_dup and coalesce picks e_match first, so probing exact dups too
+    # yields identical output — while the former anti-join consumed the
+    # ``exact`` lineage (batch scan + fingerprint md5 + index join) a
+    # second time just to shrink the probe by the few exact dups
+    # (same-session A/B at sf0.1: 1.235 → 1.126 s, identical rows).
+    sh_n = shingle_relation(batch, text_col, id_col, shingle_n)
     cand = minhash_lsh_probe(sh_n, index_bands=band_index, num_hashes=num_hashes, bands=bands)
     ver = (
         cand.join(sh_n.withColumnsRenamed({"id": "new_id", "sh": "sh_new"}), "new_id")
