@@ -256,7 +256,13 @@ def sample_frames(
 
 def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test/fixture helper: build a deterministic FAKE media blob per row
-    from existing columns (JVM-side concat — no UDF)."""
+    from existing columns (JVM-side concat — no UDF).
+
+    Deliberately NOT spread(): an r15 A/B put the blob shuffle + Arrow
+    re-serialization at ~2x the whole single-split decode (decode_meta
+    0.445 -> 0.795 s, resize 0.552 -> 1.279 s at sf0.1) — the fake-media
+    header parse is too cheap per row to amortize moving the payload.
+    At cluster scale the input arrives in many splits anyway."""
     header = F.concat(
         F.lit(_MAGIC),
         F.lit(b"img "),

@@ -106,6 +106,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio, punctuation ratio — all JVM-side Column expressions
     (functions.text)."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread: the single-file fixture reads as ONE split, serializing the
+    # per-row pass onto one core; pass-through once input splits reach
+    # cluster parallelism (r15 A/B win recorded in OPTIMIZATION_r15.md)
+    docs = DD.spread(docs)
     # filter FIRST on the raw column (split() never yields an empty array,
     # so the oracle's len(toks) > 0 conjunct is vacuous on both sides and
     # length(nrm) > 0 alone selects the same rows), THEN hoist normalize +
@@ -206,6 +210,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex runs once per row structurally — the single-expression form
     relied on codegen CSE and swung 3-4x between runs (VERDICT r5 #2)."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread: the single-file fixture reads as ONE split, serializing the
+    # per-row pass onto one core; pass-through once input splits reach
+    # cluster parallelism (r15 A/B win recorded in OPTIMIZATION_r15.md)
+    docs = DD.spread(docs)
     s = docs.select("doc_id", TX.normalize_text("text").alias("nrm"))
     s = s.select("doc_id", "nrm", F.split("nrm", " ").alias("toks"))
     return s.select(
@@ -1829,6 +1837,10 @@ def zz_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scanned once with a broadcast semi-join-style hit count —
     no shuffle of corpus text, only of (doc_id, hit) pairs."""
     docs = load_table(spark, sf_dir, "documents")
+    # spread: the single-file fixture reads as ONE split, serializing the
+    # per-row pass onto one core; pass-through once input splits reach
+    # cluster parallelism (r15 A/B win recorded in OPTIMIZATION_r15.md)
+    docs = DD.spread(docs)
     # shingle each side EXACTLY once: the eval set shingles 25 docs (tiny,
     # broadcast); the corpus shingles under the explode only — the per-doc
     # carrier relation reads just (doc_id, source) via a column-pruned scan
@@ -2433,6 +2445,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     give downstream dedup/indexing a stable key."""
     window, stride, min_tail = 64, 48, 8
     docs = load_table(spark, sf_dir, "documents")
+    # spread: the single-file fixture reads as ONE split, serializing the
+    # per-row pass onto one core; pass-through once input splits reach
+    # cluster parallelism (r15 A/B win recorded in OPTIMIZATION_r15.md)
+    docs = DD.spread(docs)
     toks = TX.tokens("text")
     t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     starts = F.filter(
