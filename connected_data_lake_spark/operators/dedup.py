@@ -642,25 +642,27 @@ def ngram_jaccard_pairs(
     assert threshold > 0, "inverted-index path requires a positive threshold"
     # token-count pre-filter, not size(sh) > 0: a filter on the computed
     # shingle column is pushed below the projection and re-runs the whole
-    # tokenize+hash fold for the size check (see shingle_relation)
-    sh = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
-    )
-    # persist: both sides of the postings self-join would otherwise re-run
-    # shingling + explode (same index-build-once pattern as the LSH ops).
-    # ``base`` stays bound to the persisted relation even when the df-cap
-    # anti-join rebinds ``postings`` below, so release_index() unpersists
-    # the relation that actually holds cached blocks.
+    # tokenize+hash fold for the size check (see shingle_relation).
+    # The PERSIST sits at the DOC level, below the explode (r15):
+    # InferFiltersFromGenerate re-derives a size(sh) > 0 filter under any
+    # explode of a computed array and pushes it through the projection —
+    # re-inlining the whole fold into the scan filter no matter what the
+    # caller filtered on. With the doc-level relation cached, that inferred
+    # filter lands on the materialized column instead; the explode itself
+    # is a cheap cache read per consumer.
     # (r14 note: a basket-form rewrite — collect_list posting lists + i<j
     # explode, the join_cooccurrence trick — was A/B-measured SLOWER here,
     # 1.98 -> 2.64 s at sf0.1: the inverted index is dominated by
     # SINGLETON buckets, so the ObjectHashAggregate list-building overhead
     # is paid per posting while the self-join only pays at matching keys.)
-    base = sh.select(
-        "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    sh_rel = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
     ).persist()
+    base = sh_rel.select(
+        "id", *block_cols, F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    )
     postings = base
     if max_df is not None:
         hot = (
@@ -697,7 +699,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _with_persisted(out, base)
+    return _with_persisted(out, sh_rel)
 
 
 def ngram_containment_pairs(
@@ -735,14 +737,17 @@ def ngram_containment_pairs(
     src's partition, so the (src_id, dst_id) count aggregate runs with no
     exchange; see the trade note there."""
     assert threshold > 0, "inverted-index path requires a positive threshold"
-    # token-count pre-filter, not size(sh) > 0 (see shingle_relation)
-    sh = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
+    # token-count pre-filter, not size(sh) > 0 (see shingle_relation);
+    # doc-level persist below the explode so InferFiltersFromGenerate's
+    # re-derived size filter lands on the cached column, not a re-inlined
+    # fold in the scan filter (see ngram_jaccard_pairs)
+    sh_rel = spread(df, id_col).filter(TX.has_tokens(text_col, shingle_n)).select(
         F.col(id_col).alias("id"),
         F.array_distinct(TX.shingle_hashes(text_col, shingle_n)).alias("sh"),
-    )
-    base = sh.select(
-        "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     ).persist()
+    base = sh_rel.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    )
     postings = base
     if max_df is not None:
         hot = (
@@ -797,7 +802,7 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    return _with_persisted(out, base)
+    return _with_persisted(out, sh_rel)
 
 
 # ---------------------------------------------------------------------------
