@@ -233,9 +233,11 @@ def test_pair_count_aggregate_is_exchange_free(spark, sf_dir, name):
     import re
 
     plan = plan_of(spark, sf_dir, name)
-    # the narrow probe-side repartition is present ...
-    assert "REPARTITION_BY_COL" in plan
-    # ... and no exchange is keyed on the two-doc-id pair
+    # No exchange keyed on the two-doc-id pair — guaranteed by the explicit
+    # probe-side repartition(id) on a cold cache, and by the FINALIZED
+    # cached plan's visible hash(id) partitioning on a warm one (where the
+    # planner rightly elides the now-redundant repartition, so asserting
+    # REPARTITION_BY_COL itself would be cache-state-dependent).
     assert not re.search(
         r"Exchange hashpartitioning\(id#\d+L, id#\d+L", plan
     ), "pair aggregate still shuffles the joined pair relation"
